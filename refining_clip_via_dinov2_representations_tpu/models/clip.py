@@ -1,0 +1,264 @@
+"""The two-tower CLIP model as a flax module.
+
+Covers both reference variants (`CLIP` `model.py:293-584` and
+`CustomTextCLIP` `model.py:587-788`) with one module: in JAX there is no
+shared-vs-encapsulated namespace distinction — the text tower is always the
+`text` submodule and the checkpoint converter flattens either torch layout
+onto it.
+
+Forward contract matches the reference with `output_dict=True`
+(`model.py:566-576`): a dict of L2-normalized `image_features`,
+`text_features`, exponentiated `logit_scale` and optional `logit_bias`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .config import CLIPModelCfg, CLIPTextCfg, CLIPVisionCfg, to_2tuple
+from .layers import get_act_fn
+from .transformer import TextTransformer, VisionTransformer
+
+Dtype = Any
+
+DEFAULT_INIT_LOGIT_SCALE = math.log(1 / 0.07)  # model.py:302
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    """F.normalize parity: divide by max(norm, eps)."""
+    norm = jnp.linalg.norm(x, axis=axis, keepdims=True)
+    return x / jnp.maximum(norm, eps)
+
+
+def _build_vision_tower(
+    embed_dim: int,
+    cfg: CLIPVisionCfg,
+    quick_gelu: bool,
+    dtype,
+    attn_impl: str,
+    remat: bool,
+    name: str = "visual",
+) -> nn.Module:
+    if cfg.timm_model_name is not None:
+        raise NotImplementedError(
+            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port yet; "
+            "use a ViT/ResNet config (reference: src/open_clip/timm_model.py)"
+        )
+    if cfg.is_resnet:
+        from .resnet import ModifiedResNet
+
+        vision_heads = cfg.width * 32 // cfg.head_width
+        return ModifiedResNet(
+            layers=tuple(cfg.layers),
+            output_dim=embed_dim,
+            heads=vision_heads,
+            image_size=to_2tuple(cfg.image_size)[0],
+            width=cfg.width,
+            dtype=dtype,
+            name=name,
+        )
+    act = get_act_fn("quick_gelu" if quick_gelu else "gelu")
+    if cfg.act_kwargs:  # e.g. {"approximate": "tanh"} — map onto tanh-gelu
+        if cfg.act_kwargs.get("approximate") == "tanh":
+            act = get_act_fn("gelu_tanh")
+    norm_eps = (cfg.norm_kwargs or {}).get("eps", 1e-5)
+    return VisionTransformer(
+        image_size=to_2tuple(cfg.image_size),
+        patch_size=to_2tuple(cfg.patch_size),
+        width=cfg.width,
+        layers=cfg.layers,
+        heads=cfg.heads,
+        mlp_ratio=cfg.mlp_ratio,
+        ls_init_value=cfg.ls_init_value,
+        attentional_pool=cfg.attentional_pool,
+        attn_pooler_queries=cfg.attn_pooler_queries,
+        attn_pooler_heads=cfg.attn_pooler_heads,
+        output_dim=embed_dim,
+        patch_dropout=cfg.patch_dropout,
+        no_ln_pre=cfg.no_ln_pre,
+        pos_embed_type=cfg.pos_embed_type,
+        pool_type=cfg.pool_type,
+        final_ln_after_pool=cfg.final_ln_after_pool,
+        act=act,
+        norm_eps=norm_eps,
+        output_tokens=cfg.output_tokens,
+        dtype=dtype,
+        attn_impl=attn_impl,
+        remat=remat,
+        name=name,
+    )
+
+
+def _build_text_tower(
+    embed_dim: int,
+    cfg: CLIPTextCfg,
+    quick_gelu: bool,
+    dtype,
+    attn_impl: str,
+    remat: bool,
+    name: str = "text",
+) -> nn.Module:
+    if cfg.hf_model_name is not None:
+        raise NotImplementedError(
+            f"HF text tower {cfg.hf_model_name!r} has no TPU-native port yet "
+            "(reference: src/open_clip/hf_model.py)"
+        )
+    act = get_act_fn("quick_gelu" if quick_gelu else "gelu")
+    if cfg.act_kwargs and cfg.act_kwargs.get("approximate") == "tanh":
+        act = get_act_fn("gelu_tanh")
+    norm_eps = (cfg.norm_kwargs or {}).get("eps", 1e-5)
+    return TextTransformer(
+        context_length=cfg.context_length,
+        vocab_size=cfg.vocab_size,
+        width=cfg.width,
+        heads=cfg.heads,
+        layers=cfg.layers,
+        mlp_ratio=cfg.mlp_ratio,
+        ls_init_value=cfg.ls_init_value,
+        output_dim=embed_dim,
+        embed_cls=cfg.embed_cls,
+        no_causal_mask=cfg.no_causal_mask,
+        pad_id=cfg.pad_id,
+        pool_type=cfg.pool_type,
+        proj_type=cfg.proj_type,
+        proj_bias=cfg.proj_bias,
+        act=act,
+        norm_eps=norm_eps,
+        output_tokens=cfg.output_tokens,
+        dtype=dtype,
+        attn_impl=attn_impl,
+        remat=remat,
+        name=name,
+    )
+
+
+class CLIP(nn.Module):
+    """Two-tower contrastive model.
+
+    Attributes mirror `create_model`'s knobs; `dtype` is the compute dtype
+    (bf16 on TPU), parameters stay fp32.
+    """
+
+    embed_dim: int
+    vision_cfg: CLIPVisionCfg
+    text_cfg: CLIPTextCfg
+    quick_gelu: bool = False
+    init_logit_scale: float = DEFAULT_INIT_LOGIT_SCALE
+    init_logit_bias: Optional[float] = None
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    def setup(self):
+        self.visual = _build_vision_tower(
+            self.embed_dim, self.vision_cfg, self.quick_gelu, self.dtype,
+            self.attn_impl, self.remat,
+        )
+        self.text = _build_text_tower(
+            self.embed_dim, self.text_cfg, self.quick_gelu, self.dtype,
+            self.attn_impl, self.remat,
+        )
+        self.logit_scale = self.param(
+            "logit_scale",
+            nn.initializers.constant(self.init_logit_scale),
+            (),
+            jnp.float32,
+        )
+        if self.init_logit_bias is not None:
+            self.logit_bias = self.param(
+                "logit_bias",
+                nn.initializers.constant(self.init_logit_bias),
+                (),
+                jnp.float32,
+            )
+        else:
+            self.logit_bias = None
+
+    # -- encoders ----------------------------------------------------------
+    def encode_image(
+        self, image: jnp.ndarray, normalize: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        features = self.visual(image, deterministic=deterministic)
+        if isinstance(features, tuple):  # output_tokens configs
+            features = features[0]
+        return l2_normalize(features) if normalize else features
+
+    def encode_text(
+        self, text: jnp.ndarray, normalize: bool = False, deterministic: bool = True
+    ) -> jnp.ndarray:
+        features = self.text(text, deterministic=deterministic)
+        if isinstance(features, tuple):
+            features = features[0]
+        return l2_normalize(features) if normalize else features
+
+    def get_logits(self, image: jnp.ndarray, text: jnp.ndarray):
+        """Paired logits (`model.py:435-442`)."""
+        image_features = self.encode_image(image, normalize=True)
+        text_features = self.encode_text(text, normalize=True)
+        image_logits = jnp.exp(self.logit_scale) * image_features @ text_features.T
+        if self.logit_bias is not None:
+            image_logits = image_logits + self.logit_bias
+        return image_logits, image_logits.T
+
+    def __call__(
+        self,
+        image: Optional[jnp.ndarray] = None,
+        text: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        out = {
+            "image_features": self.encode_image(
+                image, normalize=True, deterministic=deterministic
+            )
+            if image is not None
+            else None,
+            "text_features": self.encode_text(
+                text, normalize=True, deterministic=deterministic
+            )
+            if text is not None
+            else None,
+            "logit_scale": jnp.exp(self.logit_scale),
+        }
+        if self.logit_bias is not None:
+            out["logit_bias"] = self.logit_bias
+        return out
+
+
+def build_model(
+    cfg: CLIPModelCfg,
+    dtype=jnp.float32,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    force_quick_gelu: bool = False,
+) -> CLIP:
+    """Instantiate the flax CLIP module from a parsed registry config."""
+    if cfg.multimodal_cfg is not None:
+        from .coca import CoCa
+
+        return CoCa(
+            embed_dim=cfg.embed_dim,
+            vision_cfg=cfg.vision_cfg,
+            text_cfg=cfg.text_cfg,
+            multimodal_cfg=cfg.multimodal_cfg,
+            quick_gelu=cfg.quick_gelu or force_quick_gelu,
+            init_logit_scale=cfg.init_logit_scale or DEFAULT_INIT_LOGIT_SCALE,
+            init_logit_bias=cfg.init_logit_bias,
+            dtype=dtype,
+            attn_impl=attn_impl,
+            remat=remat,
+        )
+    return CLIP(
+        embed_dim=cfg.embed_dim,
+        vision_cfg=cfg.vision_cfg,
+        text_cfg=cfg.text_cfg,
+        quick_gelu=cfg.quick_gelu or force_quick_gelu,
+        init_logit_scale=cfg.init_logit_scale or DEFAULT_INIT_LOGIT_SCALE,
+        init_logit_bias=cfg.init_logit_bias,
+        dtype=dtype,
+        attn_impl=attn_impl,
+        remat=remat,
+    )

@@ -1,0 +1,293 @@
+"""PyTorch open_clip checkpoint → flax parameter-tree converter.
+
+The embedding-fidelity bridge: takes a reference-format state dict (from
+`torch.save`/safetensors, either the shared-namespace `CLIP` layout or the
+`CustomTextCLIP`/CoCa layouts — `src/open_clip/model.py:293-788`) and emits
+the nested parameter dict of our `models.clip.CLIP` flax module.
+
+Layout rules (torch → flax):
+  Linear `weight` [out, in]         → `kernel` [in, out]  (transpose)
+  Conv2d `weight` OIHW              → `kernel` HWIO        (permute 2,3,1,0)
+  LayerNorm `weight`/`bias`         → `scale`/`bias`
+  MHA `in_proj_weight` [3D, D]      → `in_proj_kernel` [D, 3D]
+  Embedding `weight`                → `embedding`
+  bare projection Parameters (`visual.proj`, `text_projection`) copy as-is —
+  the reference applies them as `x @ P` (`transformer.py:918`, `1223`).
+
+Also handles the reference loader's checkpoint massaging
+(`factory.py:218-277`): `module.`-prefix strip, logit_scale/bias squeeze to
+scalar, position-embedding resize hooks live in `factory.py` here too.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / np array → fp32 numpy (params are fp32 in flax)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().float().numpy()
+    return np.asarray(t, dtype=np.float32)
+
+
+def _set(tree: Dict[str, Any], path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def normalize_state_dict_keys(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Strip DDP/torch.compile prefixes (`factory.py:236-243` semantics)."""
+    out = {}
+    for k, v in state_dict.items():
+        for prefix in ("module.", "_orig_mod."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        out[k] = v
+    # position_ids buffers from HF towers are not parameters
+    out.pop("text.transformer.embeddings.position_ids", None)
+    return out
+
+
+_LN_KEYS = {"weight": "scale", "bias": "bias"}
+
+
+def _convert_block_leaf(parts, tensor, tree, prefix):
+    """Convert one leaf inside a `resblocks_{i}`/`cross_attn_{i}` block."""
+    # parts e.g. ['ln_1', 'weight'] or ['attn', 'in_proj_weight'] or
+    # ['mlp', 'c_fc', 'weight'] or ['ls_1', 'gamma']
+    if parts[0] in ("ln_1", "ln_2", "ln_1_kv", "ln_attn"):
+        _set(tree, prefix + [parts[0], _LN_KEYS[parts[1]]], _np(tensor))
+    elif parts[0] == "attn":
+        sub = parts[1]
+        if sub == "in_proj_weight":
+            _set(tree, prefix + ["attn", "in_proj_kernel"], _np(tensor).T)
+        elif sub == "in_proj_bias":
+            _set(tree, prefix + ["attn", "in_proj_bias"], _np(tensor))
+        elif sub == "out_proj":
+            leaf = "kernel" if parts[2] == "weight" else "bias"
+            val = _np(tensor).T if parts[2] == "weight" else _np(tensor)
+            _set(tree, prefix + ["attn", "out_proj", leaf], val)
+        else:
+            raise KeyError(f"unhandled attn leaf {parts}")
+    elif parts[0] == "mlp":
+        layer = parts[1]  # c_fc / c_proj
+        leaf = "kernel" if parts[2] == "weight" else "bias"
+        val = _np(tensor).T if parts[2] == "weight" else _np(tensor)
+        _set(tree, prefix + ["mlp", layer, leaf], val)
+    elif parts[0] in ("ls_1", "ls_2"):
+        _set(tree, prefix + [parts[0], "gamma"], _np(tensor))
+    else:
+        raise KeyError(f"unhandled block leaf {parts}")
+
+
+def _convert_attn_pooler(parts, tensor, tree, prefix):
+    """AttentionalPooler params (`transformer.py:194-216`): torch MHA with
+    kdim/vdim keeps separate q/k/v projection weights."""
+    if parts[0] == "query":
+        _set(tree, prefix + ["query"], _np(tensor))
+    elif parts[0] in ("ln_q", "ln_k"):
+        _set(tree, prefix + [parts[0], _LN_KEYS[parts[1]]], _np(tensor))
+    elif parts[0] == "attn":
+        sub = parts[1]
+        if sub in ("q_proj_weight", "k_proj_weight", "v_proj_weight"):
+            _set(tree, prefix + [sub[0] + "_proj", "kernel"], _np(tensor).T)
+        elif sub == "in_proj_bias":
+            b = _np(tensor)
+            d = b.shape[0] // 3
+            _set(tree, prefix + ["q_proj", "bias"], b[:d])
+            _set(tree, prefix + ["k_proj", "bias"], b[d : 2 * d])
+            _set(tree, prefix + ["v_proj", "bias"], b[2 * d :])
+        elif sub == "in_proj_weight":
+            w = _np(tensor)
+            d = w.shape[0] // 3
+            _set(tree, prefix + ["q_proj", "kernel"], w[:d].T)
+            _set(tree, prefix + ["k_proj", "kernel"], w[d : 2 * d].T)
+            _set(tree, prefix + ["v_proj", "kernel"], w[2 * d :].T)
+        elif sub == "out_proj":
+            leaf = "kernel" if parts[2] == "weight" else "bias"
+            val = _np(tensor).T if parts[2] == "weight" else _np(tensor)
+            _set(tree, prefix + ["out_proj", leaf], val)
+        else:
+            raise KeyError(f"unhandled pooler leaf {parts}")
+    else:
+        raise KeyError(f"unhandled pooler leaf {parts}")
+
+
+def convert_clip_state_dict(state_dict: Mapping[str, Any], strict: bool = True) -> Dict[str, Any]:
+    """Convert a reference state dict to our flax param tree.
+
+    Handles the shared-namespace `CLIP` layout (text keys at root,
+    `model.py:313-322`), the `CustomTextCLIP` layout (`text.` prefix), and
+    CoCa's extra `text_decoder.` keys.
+    """
+    sd = normalize_state_dict_keys(state_dict)
+    params: Dict[str, Any] = {}
+    unhandled = []
+
+    block_re = re.compile(r"^(resblocks|cross_attn)\.(\d+)\.(.+)$")
+
+    for key, tensor in sd.items():
+        parts = key.split(".")
+        try:
+            if key in ("logit_scale", "logit_bias"):
+                _set(params, [key], _np(tensor).reshape(()))  # scalar-ize (factory.py:245-261)
+                continue
+
+            # ---- route to tower ----
+            if parts[0] == "visual":
+                tower, rest = "visual", parts[1:]
+            elif parts[0] in ("text", "text_decoder"):
+                tower, rest = parts[0], parts[1:]
+            else:
+                tower, rest = "text", parts  # shared-namespace CLIP text keys
+
+            rest_key = ".".join(rest)
+
+            if tower == "visual":
+                if rest[0] == "conv1":
+                    _set(params, ["visual", "conv1", "kernel"], _np(tensor).transpose(2, 3, 1, 0))
+                elif rest[0] in ("class_embedding", "positional_embedding", "proj"):
+                    _set(params, ["visual", rest[0]], _np(tensor))
+                elif rest[0] in ("ln_pre", "ln_post"):
+                    _set(params, ["visual", rest[0], _LN_KEYS[rest[1]]], _np(tensor))
+                elif rest[0] == "transformer":
+                    m = block_re.match(".".join(rest[1:]))
+                    if not m:
+                        raise KeyError(key)
+                    kind, idx, leaf = m.groups()
+                    _convert_block_leaf(
+                        leaf.split("."), tensor, params,
+                        ["visual", "transformer", f"{kind}_{idx}" if kind != "resblocks" else f"resblocks_{idx}"],
+                    )
+                elif rest[0] in ("attn_pool", "attn_pool_contrastive"):
+                    _convert_attn_pooler(rest[1:], tensor, params, ["visual", rest[0]])
+                else:
+                    raise KeyError(key)
+
+            elif tower == "text":
+                if rest[0] == "token_embedding":
+                    _set(params, ["text", "token_embedding", "embedding"], _np(tensor))
+                elif rest_key == "positional_embedding":
+                    _set(params, ["text", "positional_embedding"], _np(tensor))
+                elif rest_key == "cls_emb":
+                    _set(params, ["text", "cls_emb"], _np(tensor))
+                elif rest[0] == "ln_final":
+                    _set(params, ["text", "ln_final", _LN_KEYS[rest[1]]], _np(tensor))
+                elif rest_key == "text_projection":
+                    _set(params, ["text", "text_projection"], _np(tensor))
+                elif rest[0] == "text_projection":  # Linear variant (proj_bias)
+                    leaf = "kernel" if rest[1] == "weight" else "bias"
+                    val = _np(tensor).T if rest[1] == "weight" else _np(tensor)
+                    _set(params, ["text", "text_projection", leaf], val)
+                elif rest[0] == "transformer":
+                    m = block_re.match(".".join(rest[1:]))
+                    if not m:
+                        raise KeyError(key)
+                    kind, idx, leaf = m.groups()
+                    _convert_block_leaf(
+                        leaf.split("."), tensor, params,
+                        ["text", "transformer", f"resblocks_{idx}"],
+                    )
+                elif rest[0] == "attn_mask":
+                    continue  # buffer, not a parameter
+                else:
+                    raise KeyError(key)
+
+            elif tower == "text_decoder":
+                m = block_re.match(rest_key)
+                if m:
+                    kind, idx, leaf = m.groups()
+                    name = f"resblocks_{idx}" if kind == "resblocks" else f"cross_attn_{idx}"
+                    _convert_block_leaf(leaf.split("."), tensor, params, ["text_decoder", name])
+                elif rest[0] == "ln_final":
+                    _set(params, ["text_decoder", "ln_final", _LN_KEYS[rest[1]]], _np(tensor))
+                elif rest_key == "text_projection":
+                    _set(params, ["text_decoder", "text_projection"], _np(tensor))
+                elif rest[0] == "attn_mask":
+                    continue
+                else:
+                    raise KeyError(key)
+        except KeyError:
+            unhandled.append(key)
+
+    if unhandled and strict:
+        raise ValueError(f"unconverted checkpoint keys: {unhandled[:20]}{'...' if len(unhandled) > 20 else ''}")
+    return params
+
+
+def flax_params_to_torch_state_dict(params: Dict[str, Any], shared_text_namespace: bool = True) -> Dict[str, Any]:
+    """Inverse conversion for checkpoint interoperability (save-side).
+
+    Emits the shared-namespace `CLIP` layout by default so reference
+    tooling (`factory.load_checkpoint`) can read our checkpoints.
+    """
+    import torch
+
+    sd: Dict[str, Any] = {}
+
+    def t(x, transpose=False):
+        arr = np.asarray(x)
+        if transpose:
+            arr = arr.T if arr.ndim == 2 else arr
+        return torch.from_numpy(np.ascontiguousarray(arr))
+
+    def emit_block(tree, torch_prefix):
+        for ln in ("ln_1", "ln_2", "ln_1_kv"):
+            if ln in tree:
+                sd[f"{torch_prefix}.{ln}.weight"] = t(tree[ln]["scale"])
+                sd[f"{torch_prefix}.{ln}.bias"] = t(tree[ln]["bias"])
+        attn = tree["attn"]
+        sd[f"{torch_prefix}.attn.in_proj_weight"] = t(attn["in_proj_kernel"], transpose=True)
+        if "in_proj_bias" in attn:
+            sd[f"{torch_prefix}.attn.in_proj_bias"] = t(attn["in_proj_bias"])
+        sd[f"{torch_prefix}.attn.out_proj.weight"] = t(attn["out_proj"]["kernel"], transpose=True)
+        sd[f"{torch_prefix}.attn.out_proj.bias"] = t(attn["out_proj"]["bias"])
+        mlp = tree["mlp"]
+        for lin in ("c_fc", "c_proj"):
+            sd[f"{torch_prefix}.mlp.{lin}.weight"] = t(mlp[lin]["kernel"], transpose=True)
+            sd[f"{torch_prefix}.mlp.{lin}.bias"] = t(mlp[lin]["bias"])
+        for ls in ("ls_1", "ls_2"):
+            if ls in tree:
+                sd[f"{torch_prefix}.{ls}.gamma"] = t(tree[ls]["gamma"])
+
+    visual = params["visual"]
+    sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
+    sd["visual.class_embedding"] = t(visual["class_embedding"])
+    sd["visual.positional_embedding"] = t(visual["positional_embedding"])
+    if "ln_pre" in visual:
+        sd["visual.ln_pre.weight"] = t(visual["ln_pre"]["scale"])
+        sd["visual.ln_pre.bias"] = t(visual["ln_pre"]["bias"])
+    for name, block in visual["transformer"].items():
+        idx = name.split("_")[-1]
+        emit_block(block, f"visual.transformer.resblocks.{idx}")
+    sd["visual.ln_post.weight"] = t(visual["ln_post"]["scale"])
+    sd["visual.ln_post.bias"] = t(visual["ln_post"]["bias"])
+    sd["visual.proj"] = t(visual["proj"])
+
+    text = params["text"]
+    tp = "" if shared_text_namespace else "text."
+    sd[f"{tp}token_embedding.weight"] = t(text["token_embedding"]["embedding"])
+    sd[f"{tp}positional_embedding"] = t(text["positional_embedding"])
+    for name, block in text["transformer"].items():
+        idx = name.split("_")[-1]
+        emit_block(block, f"{tp}transformer.resblocks.{idx}")
+    sd[f"{tp}ln_final.weight"] = t(text["ln_final"]["scale"])
+    sd[f"{tp}ln_final.bias"] = t(text["ln_final"]["bias"])
+    proj = text["text_projection"]
+    if isinstance(proj, dict):
+        sd[f"{tp}text_projection.weight"] = t(proj["kernel"], transpose=True)
+        if "bias" in proj:
+            sd[f"{tp}text_projection.bias"] = t(proj["bias"])
+    else:
+        sd[f"{tp}text_projection"] = t(proj)
+
+    sd["logit_scale"] = t(params["logit_scale"])
+    if "logit_bias" in params:
+        sd["logit_bias"] = t(params["logit_bias"])
+    return sd

@@ -1,0 +1,492 @@
+"""Flax transformer towers: vision ViT, causal text transformer, CoCa decoder.
+
+TPU-native re-design of the reference towers
+(`src/open_clip/transformer.py:219-1356`). Key mappings:
+
+* `ResidualAttentionBlock` → pre-LN block, `x + ls1(attn(ln1(x)))` then
+  `x + ls2(mlp(ln2(x)))` (`transformer.py:273-290`).
+* `Transformer` → unrolled stack of named blocks `resblocks_{i}` with
+  optional per-block `nn.remat` — the JAX equivalent of
+  `torch.utils.checkpoint` grad checkpointing (`transformer.py:536-538`).
+* `VisionTransformer` → NHWC conv patchify (TPU-native layout; the torch
+  OIHW conv kernel is permuted by the checkpoint converter), CLS+pos embed,
+  tok/avg/none pooling, optional attentional pooler
+  (`transformer.py:551-923`).
+* `TextTransformer` → token embed + learned pos embed + causal mask +
+  argmax-EOT pooling (`transformer.py:926-1228`).
+* `MultimodalTransformer` → CoCa text decoder with interleaved self/cross
+  blocks (`transformer.py:1231-1356`).
+
+Images are NHWC everywhere (TPU-native); the public API boundary accepts
+NCHW too and transposes once on entry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    LayerNorm,
+    LayerScale,
+    MLP,
+    MultiheadAttention,
+    AttentionalPooler,
+    PatchDropout,
+    gelu,
+)
+
+Dtype = Any
+
+
+class ResidualAttentionBlock(nn.Module):
+    n_head: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu
+    is_cross_attention: bool = False
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv: Optional[jnp.ndarray] = None,
+        mask: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+    ) -> jnp.ndarray:
+        d = x.shape[-1]
+        ln = lambda name: LayerNorm(name=name, epsilon=self.norm_eps, dtype=self.dtype)
+
+        kv_n = None
+        if self.is_cross_attention and kv is not None:
+            kv_n = ln("ln_1_kv")(kv)
+
+        attn_out = MultiheadAttention(
+            num_heads=self.n_head, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
+        )(ln("ln_1")(x), kv=kv_n, mask=mask, causal=causal)
+        if self.ls_init_value is not None:
+            attn_out = LayerScale(self.ls_init_value, name="ls_1", dtype=self.dtype)(attn_out)
+        x = x + attn_out
+
+        mlp_out = MLP(
+            hidden_dim=int(d * self.mlp_ratio), act=self.act, dtype=self.dtype, name="mlp"
+        )(ln("ln_2")(x))
+        if self.ls_init_value is not None:
+            mlp_out = LayerScale(self.ls_init_value, name="ls_2", dtype=self.dtype)(mlp_out)
+        return x + mlp_out
+
+
+class Transformer(nn.Module):
+    width: int
+    layers: int
+    heads: int
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        causal: bool = False,
+    ) -> jnp.ndarray:
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(4,))
+        for i in range(self.layers):
+            blk = block_cls(
+                n_head=self.heads,
+                mlp_ratio=self.mlp_ratio,
+                ls_init_value=self.ls_init_value,
+                act=self.act,
+                norm_eps=self.norm_eps,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"resblocks_{i}",
+            )
+            x = blk(x, None, mask, causal)
+        return x
+
+
+def text_global_pool(
+    x: jnp.ndarray,
+    text: Optional[jnp.ndarray] = None,
+    pool_type: str = "argmax",
+) -> jnp.ndarray:
+    """Pool token features (`transformer.py:926-942`). 'argmax' picks the EOT
+    position — the highest token id in each sequence."""
+    if pool_type == "first":
+        return x[:, 0]
+    if pool_type == "last":
+        return x[:, -1]
+    if pool_type == "argmax":
+        assert text is not None
+        eot_idx = jnp.argmax(text, axis=-1)
+        return jnp.take_along_axis(x, eot_idx[:, None, None], axis=1)[:, 0]
+    return x
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:
+    """Fixed 2D sine-cosine positional embedding (`pos_embed.py:20-72`)."""
+    def _1d(dim, pos):
+        omega = np.arange(dim // 2, dtype=np.float64) / (dim / 2.0)
+        omega = 1.0 / 10000 ** omega
+        out = np.einsum("m,d->md", pos.reshape(-1), omega)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)
+
+    grid_h = np.arange(grid_size, dtype=np.float64)
+    grid_w = np.arange(grid_size, dtype=np.float64)
+    grid = np.meshgrid(grid_w, grid_h)  # w goes first
+    grid = np.stack(grid, axis=0).reshape(2, 1, grid_size, grid_size)
+    emb = np.concatenate(
+        [_1d(embed_dim // 2, grid[0]), _1d(embed_dim // 2, grid[1])], axis=1
+    )
+    if cls_token:
+        emb = np.concatenate([np.zeros((1, embed_dim)), emb], axis=0)
+    return emb.astype(np.float32)
+
+
+class VisionTransformer(nn.Module):
+    image_size: Tuple[int, int] = (224, 224)
+    patch_size: Tuple[int, int] = (16, 16)
+    width: int = 768
+    layers: int = 12
+    heads: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    attentional_pool: Any = False  # False | True | 'parallel' | 'cascade'
+    attn_pooler_queries: int = 256
+    attn_pooler_heads: int = 8
+    output_dim: int = 512
+    patch_dropout: float = 0.0
+    no_ln_pre: bool = False
+    pos_embed_type: str = "learnable"
+    pool_type: str = "tok"
+    final_ln_after_pool: bool = False
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu
+    norm_eps: float = 1e-5
+    output_tokens: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        return (
+            self.image_size[0] // self.patch_size[0],
+            self.image_size[1] // self.patch_size[1],
+        )
+
+    def _embeds(self, x: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        b = x.shape[0]
+        # NHWC patchify conv, no bias (`transformer.py:587-593`)
+        x = nn.Conv(
+            features=self.width,
+            kernel_size=self.patch_size,
+            strides=self.patch_size,
+            use_bias=False,
+            padding="VALID",
+            dtype=self.dtype,
+            name="conv1",
+        )(x)
+        gh, gw = x.shape[1], x.shape[2]
+        x = x.reshape(b, gh * gw, self.width)
+
+        scale = self.width ** -0.5
+        cls_emb = self.param(
+            "class_embedding",
+            nn.initializers.normal(stddev=scale),
+            (self.width,),
+            jnp.float32,
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls_emb.astype(x.dtype), (b, 1, self.width)), x], axis=1
+        )
+
+        n_pos = self.grid_size[0] * self.grid_size[1] + 1
+        if self.pos_embed_type == "learnable":
+            pos = self.param(
+                "positional_embedding",
+                nn.initializers.normal(stddev=scale),
+                (n_pos, self.width),
+                jnp.float32,
+            )
+        elif self.pos_embed_type == "sin_cos_2d":
+            assert self.grid_size[0] == self.grid_size[1]
+            pos = self.param(
+                "positional_embedding",
+                lambda rng, shape, dtype: jnp.asarray(
+                    get_2d_sincos_pos_embed(self.width, self.grid_size[0], cls_token=True)
+                ),
+                (n_pos, self.width),
+                jnp.float32,
+            )
+        else:
+            raise ValueError(self.pos_embed_type)
+        x = x + pos.astype(x.dtype)
+
+        if self.patch_dropout > 0.0:
+            x = PatchDropout(prob=self.patch_dropout, name="patch_dropout")(
+                x, deterministic=deterministic
+            )
+        if not self.no_ln_pre:
+            x = LayerNorm(name="ln_pre", epsilon=self.norm_eps, dtype=self.dtype)(x)
+        return x
+
+    def _global_pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.pool_type == "avg":
+            return jnp.mean(x[:, 1:], axis=1), x[:, 1:]
+        if self.pool_type == "tok":
+            return x[:, 0], x[:, 1:]
+        return x, x
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True):
+        if x.shape[1] == 3 and x.shape[-1] != 3:
+            x = jnp.transpose(x, (0, 2, 3, 1))  # accept NCHW at the boundary
+        x = x.astype(self.dtype)
+        x = self._embeds(x, deterministic)
+
+        x = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            act=self.act,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            name="transformer",
+        )(x)
+
+        ln_post = LayerNorm(name="ln_post", epsilon=self.norm_eps, dtype=self.dtype)
+        use_attn_pool = bool(self.attentional_pool)
+        if use_attn_pool:
+            if isinstance(self.attentional_pool, str):
+                # parallel/cascade CoCa-paper pooling (`transformer.py:800-810`)
+                x = ln_post(x)
+                tokens = AttentionalPooler(
+                    d_model=self.output_dim,
+                    n_head=self.attn_pooler_heads,
+                    n_queries=self.attn_pooler_queries,
+                    dtype=self.dtype,
+                    name="attn_pool",
+                )(x)
+                contrastive = AttentionalPooler(
+                    d_model=self.output_dim,
+                    n_head=self.attn_pooler_heads,
+                    n_queries=1,
+                    dtype=self.dtype,
+                    name="attn_pool_contrastive",
+                )(x if self.attentional_pool == "parallel" else tokens)
+                pooled = contrastive[:, 0]
+            else:
+                # original OpenCLIP CoCa pooling (`transformer.py:811-815`)
+                x = AttentionalPooler(
+                    d_model=self.output_dim,
+                    n_head=self.attn_pooler_heads,
+                    n_queries=self.attn_pooler_queries,
+                    dtype=self.dtype,
+                    name="attn_pool",
+                )(x)
+                x = ln_post(x)
+                pooled, tokens = self._global_pool(x)
+        elif self.final_ln_after_pool:
+            pooled, tokens = self._global_pool(x)
+            pooled = ln_post(pooled)
+        else:
+            x = ln_post(x)
+            pooled, tokens = self._global_pool(x)
+
+        proj = self.param(
+            "proj",
+            nn.initializers.normal(stddev=self.width ** -0.5),
+            (pooled.shape[-1], self.output_dim),
+            jnp.float32,
+        )
+        pooled = pooled @ proj.astype(pooled.dtype)
+
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled
+
+
+class TextTransformer(nn.Module):
+    context_length: int = 77
+    vocab_size: int = 49408
+    width: int = 512
+    heads: int = 8
+    layers: int = 12
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    output_dim: Optional[int] = 512
+    embed_cls: bool = False
+    no_causal_mask: bool = False
+    pad_id: int = 0
+    pool_type: str = "argmax"
+    proj_type: str = "linear"
+    proj_bias: bool = False
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu
+    norm_eps: float = 1e-5
+    output_tokens: bool = False
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @property
+    def num_pos(self) -> int:
+        return self.context_length + (1 if self.embed_cls else 0)
+
+    def _cls_mask(self, text: jnp.ndarray) -> jnp.ndarray:
+        """Mask padding for the appended CLS token (`transformer.py:1061-1070`).
+
+        Returns an additive [B, 1, L+1, L+1] mask blocking attention *to* pad
+        positions; the extra final column (the CLS slot itself) is open.
+        """
+        valid = text != self.pad_id  # [B, L]
+        valid = jnp.concatenate(
+            [valid, jnp.ones((text.shape[0], 1), bool)], axis=1
+        )  # [B, L+1] — CLS always attendable
+        add = jnp.where(valid[:, None, :], 0.0, -jnp.inf).astype(jnp.float32)
+        return add[:, None, None, :]  # broadcast over heads and query positions
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, deterministic: bool = True):
+        b, seq_len = text.shape
+        x = nn.Embed(
+            self.vocab_size,
+            self.width,
+            dtype=self.dtype,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            name="token_embedding",
+        )(text)
+
+        mask = None
+        causal = not self.no_causal_mask
+        if self.embed_cls:
+            cls_emb = self.param(
+                "cls_emb", nn.initializers.normal(stddev=0.01), (self.width,), jnp.float32
+            )
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(cls_emb.astype(x.dtype), (b, 1, self.width))], axis=1
+            )
+            seq_len += 1
+            cls_mask = self._cls_mask(text)
+            if causal:
+                causal_add = jnp.triu(
+                    jnp.full((seq_len, seq_len), -jnp.inf, dtype=jnp.float32), k=1
+                )
+                mask = causal_add[None, None] + cls_mask
+                causal = False
+
+        pos = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=0.01),
+            (self.num_pos, self.width),
+            jnp.float32,
+        )
+        x = x + pos[:seq_len].astype(x.dtype)
+
+        x = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            act=self.act,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+            remat=self.remat,
+            name="transformer",
+        )(x, mask=mask, causal=causal)
+
+        ln_final = LayerNorm(name="ln_final", epsilon=self.norm_eps, dtype=self.dtype)
+        if self.embed_cls:
+            # appended CLS overrides pool_type; LN after pooling
+            pooled = text_global_pool(x, pool_type="last")
+            pooled = ln_final(pooled)
+            tokens = x[:, :-1]
+        else:
+            x = ln_final(x)
+            pooled = text_global_pool(x, text, pool_type=self.pool_type)
+            tokens = x
+
+        if self.proj_type != "none" and self.output_dim:
+            if self.proj_bias:
+                pooled = nn.Dense(self.output_dim, dtype=self.dtype, name="text_projection")(
+                    pooled
+                )
+            else:
+                proj = self.param(
+                    "text_projection",
+                    nn.initializers.normal(stddev=self.width ** -0.5),
+                    (self.width, self.output_dim),
+                    jnp.float32,
+                )
+                pooled = pooled @ proj.astype(pooled.dtype)
+
+        if self.output_tokens:
+            return pooled, tokens
+        return pooled
+
+
+class MultimodalTransformer(nn.Module):
+    """CoCa text decoder: causal self-attention + cross-attention to image
+    tokens per layer (`transformer.py:1231-1356`)."""
+
+    width: int
+    layers: int
+    heads: int
+    context_length: int = 77
+    mlp_ratio: float = 4.0
+    ls_init_value: Optional[float] = None
+    output_dim: int = 512
+    act: Callable[[jnp.ndarray], jnp.ndarray] = gelu
+    norm_eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    attn_impl: str = "xla"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, image_embs: jnp.ndarray, text_embs: jnp.ndarray) -> jnp.ndarray:
+        block_kwargs = dict(
+            n_head=self.heads,
+            mlp_ratio=self.mlp_ratio,
+            ls_init_value=self.ls_init_value,
+            act=self.act,
+            norm_eps=self.norm_eps,
+            dtype=self.dtype,
+            attn_impl=self.attn_impl,
+        )
+        block_cls = ResidualAttentionBlock
+        if self.remat:
+            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(4,))
+        x = text_embs
+        for i in range(self.layers):
+            x = block_cls(name=f"resblocks_{i}", **block_kwargs)(x, None, None, True)
+            x = block_cls(name=f"cross_attn_{i}", is_cross_attention=True, **block_kwargs)(
+                x, image_embs, None, False
+            )
+
+        x = LayerNorm(name="ln_final", epsilon=self.norm_eps, dtype=self.dtype)(x)
+        proj = self.param(
+            "text_projection",
+            nn.initializers.normal(stddev=self.width ** -0.5),
+            (self.width, self.output_dim),
+            jnp.float32,
+        )
+        return x @ proj.astype(x.dtype)

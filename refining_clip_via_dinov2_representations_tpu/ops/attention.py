@@ -1,0 +1,85 @@
+"""Multi-head attention compute kernels.
+
+This is the TPU replacement for the reference's SDPA call
+(`src/open_clip/transformer.py:164-170`, via `nn.MultiheadAttention`): one
+functional entry point, `multi_head_attention`, dispatching between
+
+* ``impl="xla"`` — einsum attention with fp32 softmax. XLA fuses the
+  scale+mask+softmax chain; this is the correctness oracle and the CPU path.
+* ``impl="flash"`` — Pallas blockwise flash attention (`ops/flash_attention.py`),
+  O(L) memory, MXU-tiled. Falls back to XLA off-TPU or for tiny shapes.
+
+Layout convention is ``[batch, heads, seq, head_dim]`` throughout ("BHLD").
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def dot_product_attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Reference attention. q,k,v: [B,H,L,D]; mask: additive, broadcastable to
+    [B,H,Lq,Lk]. Softmax is computed in fp32 regardless of input dtype, which
+    matches torch SDPA behaviour for bf16 inputs closely enough for parity
+    tests (<=1e-3 in bf16, <=1e-6 in fp32)."""
+    head_dim = q.shape[-1]
+    if scale is None:
+        scale = head_dim ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    weights = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "impl", "scale"))
+def _mha_jit(q, k, v, mask, causal, impl, scale):
+    return multi_head_attention(q, k, v, mask=mask, causal=causal, impl=impl, scale=scale)
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
+    impl: str = "xla",
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Dispatching attention entry point.
+
+    Args:
+      q, k, v: [B, H, L, D] arrays.
+      mask: optional additive mask broadcastable to [B, H, Lq, Lk]. When
+        ``causal`` is set and no mask is given, a causal mask is applied
+        inside the kernel (cheaper than materializing one).
+      impl: "xla" | "flash" | "auto". "auto" picks flash on TPU backends when
+        the shape is kernel-friendly.
+    """
+    if causal and mask is None:
+        lq, lk = q.shape[-2], k.shape[-2]
+        mask = jnp.triu(jnp.full((lq, lk), -jnp.inf, dtype=jnp.float32), k=1)
+
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        impl = "flash" if on_tpu else "xla"
+
+    if impl == "flash":
+        from .flash_attention import flash_attention_compatible, flash_mha
+
+        if flash_attention_compatible(q, k, v, mask):
+            return flash_mha(q, k, v, mask=mask, scale=scale)
+        impl = "xla"
+
+    return dot_product_attention_xla(q, k, v, mask=mask, scale=scale)

@@ -1,0 +1,460 @@
+"""Byte-level BPE tokenizer for CLIP, TPU-framework edition.
+
+This is a from-scratch implementation of the OpenAI CLIP byte-pair-encoding
+scheme (the public algorithm behind the reference's
+`src/open_clip/tokenizer.py:133-265`).  Token-id parity with the reference is
+covered by `tests/test_tokenizer.py`.
+
+Differences from the reference (deliberate, TPU-first):
+
+* returns `numpy.int32` arrays (host-side) rather than torch tensors — ids are
+  fed straight to `jax.device_put` / the input pipeline;
+* `ftfy` is optional: when absent we fall back to NFC normalization, which is
+  identical for well-formed unicode input (the reference hard-requires ftfy);
+* the encoder caches per-word BPE segmentations with a plain dict (same as the
+  reference) but is safe to share across threads because entries are
+  write-once.
+
+Reference behaviours reproduced exactly:
+  vocab construction (`tokenizer.py:140-153`), special tokens
+  `<start_of_text>`/`<end_of_text>` (`tokenizer.py:150`), clean functions
+  lower/whitespace/canonicalize (`tokenizer.py:66-130`), pad-with-zeros +
+  truncate-with-EOT framing (`tokenizer.py:259-265`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import html
+import os
+import string
+import unicodedata
+from functools import lru_cache
+from typing import Callable, List, Optional, Union
+
+import numpy as np
+
+try:  # optional; reference requires it (tokenizer.py:13)
+    import ftfy
+
+    _HAS_FTFY = True
+except ImportError:  # pragma: no cover
+    ftfy = None
+    _HAS_FTFY = False
+
+import regex as re
+
+DEFAULT_CONTEXT_LENGTH = 77  # OpenAI CLIP context length (tokenizer.py:23)
+
+
+@lru_cache()
+def default_bpe() -> str:
+    return os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "assets", "bpe_simple_vocab_16e6.txt.gz"
+    )
+
+
+@lru_cache()
+def bytes_to_unicode():
+    """Map all 256 byte values to printable unicode codepoints.
+
+    Standard GPT-2/CLIP scheme: printable latin ranges map to themselves, the
+    rest are shifted past 255 so the BPE never sees whitespace/control chars.
+    """
+    printable = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    mapping = {b: chr(b) for b in printable}
+    shift = 0
+    for b in range(256):
+        if b not in mapping:
+            mapping[b] = chr(256 + shift)
+            shift += 1
+    return mapping
+
+
+def basic_clean(text: str) -> str:
+    if _HAS_FTFY:
+        text = ftfy.fix_text(text)
+    else:
+        text = unicodedata.normalize("NFC", text)
+    # double-unescape matches the reference (tokenizer.py:66-69)
+    text = html.unescape(html.unescape(text))
+    return text.strip()
+
+
+def whitespace_clean(text: str) -> str:
+    return " ".join(text.split()).strip()
+
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+
+
+def canonicalize_text(
+    text: str,
+    *,
+    keep_punctuation_exact_string: Optional[str] = None,
+    trans_punctuation: dict = _PUNCT_TABLE,
+) -> str:
+    """Lowercase + strip punctuation (big_vision prompt canonicalization)."""
+    text = text.replace("_", " ")
+    if keep_punctuation_exact_string:
+        text = keep_punctuation_exact_string.join(
+            part.translate(trans_punctuation)
+            for part in text.split(keep_punctuation_exact_string)
+        )
+    else:
+        text = text.translate(trans_punctuation)
+    text = text.lower()
+    return " ".join(text.split()).strip()
+
+
+def _clean_canonicalize(x: str) -> str:
+    return canonicalize_text(basic_clean(x))
+
+
+def _clean_lower(x: str) -> str:
+    return whitespace_clean(basic_clean(x)).lower()
+
+
+def _clean_whitespace(x: str) -> str:
+    return whitespace_clean(basic_clean(x))
+
+
+def get_clean_fn(type: str) -> Callable[[str], str]:
+    if type == "canonicalize":
+        return _clean_canonicalize
+    if type == "lower":
+        return _clean_lower
+    if type == "whitespace":
+        return _clean_whitespace
+    raise ValueError(f"Invalid clean function ({type}).")
+
+
+class SimpleTokenizer:
+    """CLIP byte-BPE tokenizer producing fixed-length int32 id arrays."""
+
+    def __init__(
+        self,
+        bpe_path: Optional[str] = None,
+        additional_special_tokens: Optional[List[str]] = None,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "lower",
+        reduction_mask: str = "",
+    ):
+        bpe_path = bpe_path or default_bpe()
+        self.byte_encoder = bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+
+        with gzip.open(bpe_path) as f:
+            lines = f.read().decode("utf-8").split("\n")
+        # header line dropped; 48894 merges used (tokenizer.py:141-142)
+        merge_lines = lines[1 : 49152 - 256 - 2 + 1]
+        merges = [tuple(line.split()) for line in merge_lines]
+
+        base = list(self.byte_encoder.values())
+        vocab = base + [tok + "</w>" for tok in base]
+        vocab.extend("".join(m) for m in merges)
+        special_tokens = ["<start_of_text>", "<end_of_text>"]
+        if additional_special_tokens:
+            special_tokens = special_tokens + list(additional_special_tokens)
+        vocab.extend(special_tokens)
+
+        self.encoder = {tok: i for i, tok in enumerate(vocab)}
+        self.decoder = {i: tok for tok, i in self.encoder.items()}
+        self.bpe_ranks = {m: i for i, m in enumerate(merges)}
+        self._cache = {t: t for t in special_tokens}
+        special_alt = "|".join(special_tokens)
+        self.pat = re.compile(
+            special_alt + r"""|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
+            re.IGNORECASE,
+        )
+        self.vocab_size = len(self.encoder)
+        self.all_special_ids = [self.encoder[t] for t in special_tokens]
+        self.sot_token_id = self.all_special_ids[0]
+        self.eot_token_id = self.all_special_ids[1]
+        self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
+        self.reduction_fn = (
+            get_reduction_mask_fn(reduction_mask) if reduction_mask else None
+        )
+
+    # -- BPE core ----------------------------------------------------------
+    def bpe(self, token: str) -> str:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        word = tuple(token[:-1]) + (token[-1] + "</w>",)
+        if len(word) == 1:
+            return token + "</w>"
+
+        while len(word) > 1:
+            # find the lowest-rank adjacent pair
+            best_rank = None
+            best_pair = None
+            for pair in zip(word[:-1], word[1:]):
+                rank = self.bpe_ranks.get(pair)
+                if rank is not None and (best_rank is None or rank < best_rank):
+                    best_rank = rank
+                    best_pair = pair
+            if best_pair is None:
+                break
+            first, second = best_pair
+            merged = []
+            i = 0
+            n = len(word)
+            while i < n:
+                if i < n - 1 and word[i] == first and word[i + 1] == second:
+                    merged.append(first + second)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = tuple(merged)
+
+        out = " ".join(word)
+        self._cache[token] = out
+        return out
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = []
+        text = self.clean_fn(text)
+        for token in re.findall(self.pat, text):
+            token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
+            ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+        return ids
+
+    def decode(self, tokens) -> str:
+        text = "".join(self.decoder[int(t)] for t in tokens)
+        raw = bytearray(self.byte_decoder[c] for c in text)
+        return raw.decode("utf-8", errors="replace").replace("</w>", " ")
+
+    # -- batching ----------------------------------------------------------
+    def __call__(
+        self,
+        texts: Union[str, List[str]],
+        context_length: Optional[int] = None,
+    ) -> np.ndarray:
+        """Tokenize to a `[len(texts), context_length]` int32 array.
+
+        Framing matches `tokenizer.py:250-265`: `<sot> ids <eot>` padded with
+        zeros; over-long sequences truncated with the final slot forced to EOT.
+        """
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "Please set a valid context length"
+
+        if self.reduction_fn is not None:
+            return self.reduction_fn(
+                texts,
+                context_length=context_length,
+                sot_token_id=self.sot_token_id,
+                eot_token_id=self.eot_token_id,
+                encode_fn=self.encode,
+            )
+
+        result = np.zeros((len(texts), context_length), dtype=np.int32)
+        for i, text in enumerate(texts):
+            tokens = [self.sot_token_id] + self.encode(text) + [self.eot_token_id]
+            if len(tokens) > context_length:
+                tokens = tokens[:context_length]
+                tokens[-1] = self.eot_token_id
+            result[i, : len(tokens)] = tokens
+        return result
+
+
+_tokenizer: Optional[SimpleTokenizer] = None
+
+
+def _default_tokenizer() -> SimpleTokenizer:
+    global _tokenizer
+    if _tokenizer is None:
+        _tokenizer = SimpleTokenizer()
+    return _tokenizer
+
+
+def tokenize(
+    texts: Union[str, List[str]], context_length: int = DEFAULT_CONTEXT_LENGTH
+) -> np.ndarray:
+    """Module-level convenience matching `open_clip.tokenize`."""
+    return _default_tokenizer()(texts, context_length=context_length)
+
+
+def decode(output_ids) -> str:
+    return _default_tokenizer().decode(np.asarray(output_ids))
+
+
+# ---------------------------------------------------------------------------
+# Token-reduction strategies (`tokenizer.py:280-400`): used to squeeze long
+# texts into the context window during training.
+# ---------------------------------------------------------------------------
+
+def random_mask_tokenize(
+    texts: List[str],
+    context_length: int,
+    sot_token_id: int,
+    eot_token_id: int,
+    encode_fn: Callable,
+    shuffle: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    rng = rng or np.random.default_rng()
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = np.asarray(encode_fn(text), dtype=np.int32)
+        num_tokens = len(tokens)
+        budget = context_length - 2  # room for sot/eot
+        if num_tokens > budget:
+            keep = rng.permutation(num_tokens)[:budget]
+            if not shuffle:
+                keep = np.sort(keep)
+            tokens = tokens[keep]
+            num_tokens = budget
+        result[i, 0] = sot_token_id
+        result[i, 1 : 1 + num_tokens] = tokens
+        result[i, 1 + num_tokens] = eot_token_id
+    return result
+
+
+def simple_mask_tokenize(
+    texts: List[str],
+    context_length: int,
+    sot_token_id: int,
+    eot_token_id: int,
+    encode_fn: Callable,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Keep a random contiguous span when the caption is over-long."""
+    rng = rng or np.random.default_rng()
+    result = np.zeros((len(texts), context_length), dtype=np.int32)
+    for i, text in enumerate(texts):
+        tokens = encode_fn(text)
+        budget = context_length - 2
+        if len(tokens) > budget:
+            start = int(rng.integers(0, len(tokens) - budget + 1))
+            tokens = tokens[start : start + budget]
+        framed = [sot_token_id] + list(tokens) + [eot_token_id]
+        result[i, : len(framed)] = framed
+    return result
+
+
+def get_reduction_mask_fn(type: str) -> Callable:
+    if type == "simple":
+        return simple_mask_tokenize
+    if type == "random":
+        return random_mask_tokenize
+    if type == "shuffle":
+        import functools
+
+        return functools.partial(random_mask_tokenize, shuffle=True)
+    raise ValueError(f"Unsupported reduction mask type: {type!r} (syntax mask needs nltk)")
+
+
+# ---------------------------------------------------------------------------
+# HF / SentencePiece wrappers (`tokenizer.py:403-528`) — thin adapters that
+# keep the same calling convention but emit numpy.
+# ---------------------------------------------------------------------------
+
+class HFTokenizer:
+    """HuggingFace AutoTokenizer wrapper with CLIP-style framing."""
+
+    def __init__(
+        self,
+        tokenizer_name: str,
+        context_length: Optional[int] = DEFAULT_CONTEXT_LENGTH,
+        clean: str = "whitespace",
+        strip_sep_token: bool = False,
+        language: Optional[str] = None,
+        cache_dir: Optional[str] = None,
+        **kwargs,
+    ):
+        from transformers import AutoTokenizer
+
+        self.tokenizer = AutoTokenizer.from_pretrained(
+            tokenizer_name, cache_dir=cache_dir, **kwargs
+        )
+        set_lang_fn = getattr(self.tokenizer, "set_src_lang_special_tokens", None)
+        if callable(set_lang_fn):
+            self.set_lang_fn = set_lang_fn
+        if language is not None:
+            self.set_language(language)
+        self.context_length = context_length
+        self.clean_fn = get_clean_fn(clean)
+        self.strip_sep_token = strip_sep_token
+
+    def save_pretrained(self, dest):
+        self.tokenizer.save_pretrained(dest)
+
+    def __call__(self, texts, context_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "Please set a valid context length in class init or call."
+
+        texts = [self.clean_fn(t) for t in texts]
+        input_ids = self.tokenizer.batch_encode_plus(
+            texts,
+            return_tensors="np",
+            max_length=context_length,
+            padding="max_length",
+            truncation=True,
+        ).input_ids
+        if self.strip_sep_token:
+            input_ids = np.where(
+                input_ids == self.tokenizer.sep_token_id, 0, input_ids
+            )
+        return input_ids.astype(np.int32)
+
+    def set_language(self, src_lang):
+        if hasattr(self, "set_lang_fn"):
+            self.set_lang_fn(src_lang)
+        else:
+            import warnings
+
+            warnings.warn("Cannot set language for the tokenizer.")
+
+
+class SigLipTokenizer:
+    """SentencePiece tokenizer wrapper for SigLIP models (T5/mT5 vocabs)."""
+
+    VOCAB_FILES = {
+        # english, vocab_size=32000
+        "c4-en": "c4_en_32000.model",
+        # used in multilingual models (mT5, PaLI), vocab_size=250000
+        "mc4": "mc4_250000.model",
+    }
+
+    def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
+        from transformers import T5TokenizerFast
+
+        if tokenizer_name in self.VOCAB_FILES:
+            raise NotImplementedError(
+                "Bundled SigLIP sentencepiece vocabs require network download; "
+                "pass a local path or HF-cached tokenizer name instead."
+            )
+        self.tokenizer = T5TokenizerFast(tokenizer_name, legacy=False)
+        self.tokenizer.pad_token_id = 1
+        self.tokenizer.eos_token_id = 1
+        self.context_length = context_length
+
+    def save_pretrained(self, dest):
+        self.tokenizer.save_pretrained(dest)
+
+    def __call__(self, texts, context_length: Optional[int] = None) -> np.ndarray:
+        if isinstance(texts, str):
+            texts = [texts]
+        context_length = context_length or self.context_length
+        assert context_length, "Please set a valid context length in class init or call."
+
+        texts = [canonicalize_text(basic_clean(t)) for t in texts]
+        output = self.tokenizer(
+            texts,
+            return_tensors="np",
+            max_length=context_length,
+            padding="max_length",
+            truncation=True,
+        )
+        return output.input_ids.astype(np.int32)

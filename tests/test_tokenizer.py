@@ -1,0 +1,87 @@
+"""Token-id parity vs the PyTorch reference tokenizer (SURVEY §4 strategy a)."""
+
+import numpy as np
+import pytest
+
+from refining_clip_via_dinov2_representations_tpu.tokenizer import (
+    SimpleTokenizer,
+    tokenize,
+    decode,
+)
+from tests.ref_loader import load_ref, reference_available
+
+TEXTS = [
+    "a photo of a cat",
+    "A PHOTO OF A DOG!",
+    "the quick brown fox jumps over the lazy dog",
+    "an image    with   extra whitespace\t\tand tabs",
+    "caption, with punctuation; really?! (yes) [no] {maybe} #hashtag @user",
+    "unicode: café naïve jalapeño – em—dash … ☕🚀",
+    "numbers 1234567890 and mixed a1b2c3",
+    "",
+    "word " * 200,  # over-long: exercises truncation + forced EOT
+    "It's John's dog; we'll we've they're I'm you'd",
+    "&amp;&lt;html&gt; entities &quot;quoted&quot;",
+]
+
+
+@pytest.fixture(scope="module")
+def jax_tok():
+    return SimpleTokenizer()
+
+
+@pytest.fixture(scope="module")
+def ref_tok():
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    mod = load_ref("tokenizer")
+    return mod.SimpleTokenizer()
+
+
+def test_vocab_matches_reference(jax_tok, ref_tok):
+    assert jax_tok.vocab_size == ref_tok.vocab_size == 49408
+    assert jax_tok.sot_token_id == ref_tok.sot_token_id
+    assert jax_tok.eot_token_id == ref_tok.eot_token_id
+    # spot-check encoder agreement over a sample of entries
+    for tok in ["a</w>", "photo</w>", "the</w>", "ing", "<start_of_text>", "<end_of_text>"]:
+        assert jax_tok.encoder[tok] == ref_tok.encoder[tok]
+
+
+@pytest.mark.parametrize("text", TEXTS, ids=range(len(TEXTS)))
+def test_token_ids_match_reference(jax_tok, ref_tok, text):
+    ours = jax_tok([text])
+    theirs = ref_tok([text]).numpy()
+    np.testing.assert_array_equal(ours, theirs.astype(np.int32))
+
+
+def test_batch_shape_and_framing(jax_tok):
+    out = jax_tok(["hello world", "second caption"])
+    assert out.shape == (2, 77)
+    assert out.dtype == np.int32
+    assert out[0, 0] == jax_tok.sot_token_id
+    row = out[0]
+    eot_pos = int(np.argmax(row == jax_tok.eot_token_id))
+    assert (row[eot_pos + 1 :] == 0).all()
+
+
+def test_truncation_forces_eot(jax_tok):
+    out = jax_tok(["word " * 500])
+    assert out.shape[1] == 77
+    assert out[0, -1] == jax_tok.eot_token_id
+
+
+def test_roundtrip_decode(jax_tok):
+    text = "a photo of a cat"
+    ids = jax_tok.encode(text)
+    assert jax_tok.decode(ids).strip() == text
+
+
+def test_module_level_helpers():
+    ids = tokenize("a diagram")
+    assert ids.shape == (1, 77)
+    assert "diagram" in decode([i for i in ids[0] if i not in (0, 49406, 49407)])
+
+
+def test_custom_context_length(jax_tok):
+    out = jax_tok(["a photo of a cat"], context_length=16)
+    assert out.shape == (1, 16)
