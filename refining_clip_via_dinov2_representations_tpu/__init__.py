@@ -10,6 +10,12 @@ __version__ = "0.1.0"
 
 from .constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 from .tokenizer import SimpleTokenizer, HFTokenizer, SigLipTokenizer, tokenize, decode
+from .transform import (
+    AugmentationCfg,
+    PreprocessCfg,
+    image_transform,
+    image_transform_v2,
+)
 from .models import (
     CLIP,
     CLIPModelCfg,
@@ -18,7 +24,24 @@ from .models import (
     add_model_config,
     build_model,
     convert_clip_state_dict,
+    create_model,
+    create_model_and_transforms,
+    create_model_from_pretrained,
     get_model_config,
+    get_pretrained_cfg,
+    get_tokenizer,
     list_models,
+    list_pretrained,
+    load_checkpoint,
     parse_model_cfg,
+)
+from .losses import (
+    DinoLossCfg,
+    DinoProjectionHead,
+    clip_loss,
+    coca_loss,
+    cyclip_loss,
+    dino_enhanced_loss,
+    distill_clip_loss,
+    siglip_loss,
 )

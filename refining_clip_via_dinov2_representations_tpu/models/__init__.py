@@ -18,9 +18,31 @@ from .transformer import (
     text_global_pool,
 )
 from .convert import convert_clip_state_dict, flax_params_to_torch_state_dict
+from .factory import (
+    create_model,
+    create_model_and_transforms,
+    create_model_from_pretrained,
+    get_tokenizer,
+    load_checkpoint,
+)
+from .pretrained import (
+    get_pretrained_cfg,
+    list_pretrained,
+    list_pretrained_models_by_tag,
+    list_pretrained_tags_by_model,
+)
 
 __all__ = [
     "CLIP",
+    "create_model",
+    "create_model_and_transforms",
+    "create_model_from_pretrained",
+    "get_pretrained_cfg",
+    "get_tokenizer",
+    "list_pretrained",
+    "list_pretrained_models_by_tag",
+    "list_pretrained_tags_by_model",
+    "load_checkpoint",
     "CLIPModelCfg",
     "CLIPTextCfg",
     "CLIPVisionCfg",

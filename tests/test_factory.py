@@ -1,0 +1,132 @@
+"""Factory + transforms + checkpoint-loading integration tests."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+import refining_clip_via_dinov2_representations_tpu as oc
+from refining_clip_via_dinov2_representations_tpu.models import (
+    register_model_config,
+)
+from tests.ref_loader import load_ref, reference_available
+
+TINY_CFG = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 32, "patch_size": 8, "width": 48, "layers": 2, "head_width": 24},
+    "text_cfg": {"context_length": 16, "vocab_size": 128, "width": 32, "heads": 4, "layers": 2},
+}
+register_model_config("tiny-test-model", TINY_CFG)
+
+
+def test_create_model_and_transforms_smoke():
+    model, variables, pp_train, pp_val = oc.create_model_and_transforms("tiny-test-model")
+    img = Image.fromarray(np.random.default_rng(0).integers(0, 255, (48, 64, 3), dtype=np.uint8))
+    x_val = pp_val(img)
+    x_train = pp_train(img)
+    assert x_val.shape == (32, 32, 3) and x_train.shape == (32, 32, 3)
+    out = model.apply(
+        variables, jnp.asarray(x_val[None]), jnp.zeros((1, 16), jnp.int32)
+    )
+    assert out["image_features"].shape == (1, 64)
+
+
+def test_eval_transform_matches_reference_geometry():
+    """Shortest-edge resize + center crop coordinates match torchvision."""
+    pp = oc.image_transform(8, is_train=False)
+    img = Image.fromarray(
+        np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3) % 255
+    )
+    out = pp(img)
+    assert out.shape == (8, 8, 3)
+    # shortest edge 16 -> 8 means scale 0.5 -> resized (8, 12), crop x offset 2
+    ref = np.asarray(
+        img.resize((12, 8), Image.BICUBIC).crop((2, 0, 10, 8)), dtype=np.float32
+    ) / 255.0
+    ref = (ref - np.asarray(oc.OPENAI_DATASET_MEAN, np.float32)) / np.asarray(
+        oc.OPENAI_DATASET_STD, np.float32
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+def test_train_transform_stochastic_and_in_range():
+    pp = oc.image_transform(16, is_train=True, seed=0)
+    img = Image.fromarray(np.random.default_rng(1).integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    a, b = pp(img), pp(img)
+    assert a.shape == (16, 16, 3)
+    assert not np.allclose(a, b)  # RandomResizedCrop varies
+
+
+def test_quickgelu_suffix_sets_flag():
+    model, _, _ = oc.create_model("ViT-B-32-quickgelu", init_params=False)
+    assert model.quick_gelu
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_load_reference_torch_checkpoint(tmp_path):
+    """End-to-end: torch-side save → our load_checkpoint → identical outputs."""
+    torch = pytest.importorskip("torch")
+    ref_model_mod = load_ref("model")
+    torch.manual_seed(7)
+    ref = ref_model_mod.CLIP(
+        embed_dim=64,
+        vision_cfg=ref_model_mod.CLIPVisionCfg(**TINY_CFG["vision_cfg"]),
+        text_cfg=ref_model_mod.CLIPTextCfg(**TINY_CFG["text_cfg"]),
+    )
+    ref.eval()
+    ckpt = tmp_path / "epoch_3.pt"
+    torch.save({"epoch": 3, "state_dict": ref.state_dict()}, ckpt)
+
+    model, variables, _ = oc.create_model("tiny-test-model", pretrained=str(ckpt))
+    rng = np.random.default_rng(0)
+    images = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = ref.encode_image(torch.from_numpy(images)).numpy()
+    got = model.apply(variables, jnp.asarray(images), method="encode_image")
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-4, rtol=2e-4)
+
+
+def test_force_image_size_resizes_pos_embed(tmp_path):
+    """Pos-embed bicubic interpolation on image-size change (`factory.py:272`)."""
+    torch = pytest.importorskip("torch")
+    if not reference_available():
+        pytest.skip("reference not mounted")
+    ref_model_mod = load_ref("model")
+    torch.manual_seed(7)
+    ref = ref_model_mod.CLIP(
+        embed_dim=64,
+        vision_cfg=ref_model_mod.CLIPVisionCfg(**TINY_CFG["vision_cfg"]),
+        text_cfg=ref_model_mod.CLIPTextCfg(**TINY_CFG["text_cfg"]),
+    )
+    ckpt = tmp_path / "m.pt"
+    torch.save(ref.state_dict(), ckpt)
+    model, variables, pp_cfg = oc.create_model(
+        "tiny-test-model", pretrained=str(ckpt), force_image_size=64
+    )
+    assert pp_cfg.size == 64
+    # grid 4x4 -> 8x8: pos embed 17 -> 65 rows
+    assert variables["params"]["visual"]["positional_embedding"].shape[0] == 65
+    out = model.apply(
+        variables, jnp.zeros((1, 64, 64, 3)), method="encode_image"
+    )
+    assert out.shape == (1, 64)
+
+
+def test_get_tokenizer_from_config():
+    tok = oc.get_tokenizer("ViT-B-32")
+    ids = tok(["hello"])
+    assert ids.shape == (1, 77)
+    tok16 = oc.get_tokenizer("tiny-test-model")
+    assert tok16(["hello"]).shape == (1, 16)
+
+
+def test_pretrained_registry_surface():
+    tags = oc.models.list_pretrained_tags_by_model("ViT-B-32")
+    assert "openai" in tags
+    cfg = oc.get_pretrained_cfg("ViT-B-32", "openai")
+    assert cfg.get("url") or cfg.get("hf_hub")
+    assert ("ViT-B-32", "openai") in oc.list_pretrained()
