@@ -1,0 +1,116 @@
+"""Device-mesh construction and sharding helpers.
+
+The single JAX runtime replaces the reference's whole distributed stack
+(`src/open_clip_train/distributed.py`: process groups, NCCL/gloo backend
+selection, Horovod, DDP wrapping — SURVEY §2.6). Design:
+
+* a 2-D logical mesh `(data, model)` over ICI; `model=1` for pure data
+  parallelism (the reference's only mode), >1 to weight-shard ViT-g-scale
+  configs (SURVEY §7 stage 8);
+* batches are sharded over `data`, parameters are replicated (or sharded over
+  `model` by the rules below);
+* gradient averaging is implicit in pjit (XLA all-reduce over ICI) — the DDP
+  bucket machinery disappears.
+
+Multi-host: `jax.distributed.initialize()` once per host, then the same mesh
+spans all slices (`create_hybrid_device_mesh` handles ICI+DCN topology).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def init_distributed(coordinator_address: Optional[str] = None) -> None:
+    """Join the multi-host job (replaces `init_process_group`,
+    `distributed.py:157-178`). No-op single-host."""
+    if coordinator_address or int(jax.process_count()) > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address)
+
+
+def create_mesh(
+    data: Optional[int] = None,
+    model: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build the 2-D (data, model) mesh. `data=None` → all devices / model."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if data is None:
+        assert n % model == 0, f"{n} devices not divisible by model={model}"
+        data = n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    if model == 1 or data == 1:
+        dev_array = np.asarray(devices).reshape(data, model)
+    else:
+        from jax.experimental import mesh_utils
+
+        dev_array = mesh_utils.create_device_mesh((data, model), devices=devices)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for batch arrays."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """device_put a host batch pytree with leading-axis data sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules for the `model` axis (tensor parallelism)
+# ---------------------------------------------------------------------------
+
+def _param_spec(path: Tuple[str, ...], value) -> P:
+    """Megatron-style ViT sharding: MLP c_fc column-/c_proj row-parallel,
+    fused QKV column-parallel, attention out row-parallel, embeddings
+    vocab-replicated. 1-D params stay replicated (tiny)."""
+    name = "/".join(path)
+    if value.ndim < 2:
+        return P()
+    if name.endswith("mlp/c_fc/kernel") or name.endswith("attn/in_proj_kernel"):
+        return P(None, MODEL_AXIS)
+    if name.endswith("mlp/c_proj/kernel") or name.endswith("attn/out_proj/kernel"):
+        return P(MODEL_AXIS, None)
+    if name.endswith("token_embedding/embedding"):
+        return P(None, MODEL_AXIS)
+    return P()
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """NamedShardings for a param tree; model-axis sharding only when the
+    mesh actually has a model dimension > 1."""
+    if mesh.shape[MODEL_AXIS] == 1:
+        return jax.tree.map(lambda _: replicated(mesh), params)
+
+    def to_sharding(path, value):
+        keys = tuple(
+            p.key if hasattr(p, "key") else str(p) for p in path
+        )
+        return NamedSharding(mesh, _param_spec(keys, value))
+
+    return jax.tree_util.tree_map_with_path(to_sharding, params)
+
+
+def log_mesh(mesh: Mesh) -> None:
+    logging.info(
+        "mesh: %s over %d %s devices",
+        dict(mesh.shape),
+        len(mesh.devices.flatten()),
+        mesh.devices.flatten()[0].platform,
+    )

@@ -1,0 +1,236 @@
+"""Optimizer construction: param-group AdamW + tower locking as masks.
+
+Reproduces the reference's 5-group optimizer (`main.py:538-656`) with optax:
+
+  1. heads (text_projection / resnet attnpool / non-visual "proj") —
+     lr `head_lr` (1e-4), wd 0          (`main.py:549-561`)
+  2. logit_scale — lr `logit_scale_lr` (1e-6), wd 0   (`main.py:563-574`)
+  3. visual.layer4 / layer3 (ResNet) — lr 2e-5 / 1e-5 (`main.py:577-601`)
+  4. unlocked text blocks + token/positional embeddings — lr `text_lr` (5e-5)
+     (`main.py:603-638`). QUIRK KEPT: the reference's substring match
+     "positional_embedding" also catches the *visual* positional embedding,
+     so it trains at text_lr; mirrored here for parity.
+  5. everything else — base lr, wd     (`main.py:640-648`)
+
+Plus a 'dino_head' group: the DINO projection head is a real optimized
+subtree here (reference bug: never optimized — SURVEY §2.2); it joins the
+heads group unless `freeze_projection` is set.
+
+Locking (`lock_image_tower`/`lock_text_tower`) becomes a 'frozen' label with
+`optax.set_to_zero` — the JAX analogue of requires_grad=False.
+
+Note: the reference defines an ln/bias/no-wd `exclude` predicate but never
+uses it in the grouped path — wd applies uniformly inside groups 3-5. Kept.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import re
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .scheduler import Schedule
+
+
+@dataclasses.dataclass
+class OptimCfg:
+    lr: float = 5.0e-4
+    beta1: float = 0.9
+    beta2: float = 0.98
+    eps: float = 1.0e-6
+    wd: float = 0.2
+    head_lr: float = 1.0e-4
+    logit_scale_lr: float = 1.0e-6
+    resnet_lr4: float = 2.0e-5
+    resnet_lr3: float = 1.0e-5
+    text_lr: float = 5.0e-5
+    grad_clip_norm: Optional[float] = None
+    # locking (reference --lock-image/--lock-text flag family)
+    lock_image: bool = False
+    lock_image_unlocked_groups: int = 0
+    lock_text: bool = False
+    lock_text_unlocked_layers: int = 0
+    freeze_projection: bool = False  # bug-compatible: don't train the DINO head
+    flatten_group_lrs: bool = False  # bug-compatible: scheduler overrides group LRs
+    use_param_groups: bool = True    # False → single-group AdamW at base lr
+
+
+GROUP_WD = {
+    "heads": 0.0,
+    "logit_scale": 0.0,
+    "resnet_l4": None,  # None → cfg.wd
+    "resnet_l3": None,
+    "text": None,
+    "default": None,
+}
+
+
+def _path_str(path: Tuple) -> str:
+    return "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+
+
+def _text_block_index(path: str) -> Optional[int]:
+    m = re.search(r"^model/text/transformer/resblocks_(\d+)/", path)
+    return int(m.group(1)) if m else None
+
+
+def _vision_block_index(path: str) -> Optional[int]:
+    m = re.search(r"^model/visual/transformer/resblocks_(\d+)/", path)
+    return int(m.group(1)) if m else None
+
+
+def label_params(
+    params: Dict[str, Any],
+    cfg: OptimCfg,
+    text_layers: Optional[int] = None,
+    vision_layers: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Assign each leaf a group label. `params` is the train tree:
+    {"model": clip_params, "dino_head": head_params (optional)}."""
+    if text_layers is None:
+        tf = params.get("model", {}).get("text", {}).get("transformer", {})
+        text_layers = len(tf)
+    if vision_layers is None:
+        vf = params.get("model", {}).get("visual", {}).get("transformer", {})
+        vision_layers = len(vf) if vf else 0
+
+    n_unlock_text = cfg.lock_text_unlocked_layers
+    text_start = max(0, text_layers - n_unlock_text)
+
+    def label_one(path, value) -> str:
+        p = _path_str(path)
+
+        # ---- frozen by tower locking ----
+        if cfg.lock_image and p.startswith("model/visual/"):
+            vb = _vision_block_index(p)
+            g = cfg.lock_image_unlocked_groups
+            if g <= 0:
+                return "frozen"
+            # unlocked: last g blocks + ln_post + proj (`transformer.py:709-739`)
+            unlocked = (
+                (vb is not None and vb >= vision_layers - g)
+                or p.startswith("model/visual/ln_post")
+                or p == "model/visual/proj"
+            )
+            if not unlocked:
+                return "frozen"
+        if cfg.lock_text and p.startswith("model/text/"):
+            tb = _text_block_index(p)
+            if tb is not None:
+                if tb < text_layers - cfg.lock_text_unlocked_layers:
+                    return "frozen"
+            elif cfg.lock_text_unlocked_layers == 0:
+                # embeddings/ln_final/projection freeze only at full lock
+                # (`transformer.py:1102-1111`)
+                return "frozen"
+
+        if p.startswith("dino_head/"):
+            return "frozen" if cfg.freeze_projection else "heads"
+
+        # ---- group 1: heads ----
+        if "text_projection" in p:
+            return "heads"
+        if "visual/attnpool" in p:
+            return "heads"
+
+        # ---- group 2: logit scale ----
+        if "logit_scale" in p:
+            return "logit_scale"
+
+        # ---- group 3: resnet stages ----
+        if p.startswith("model/visual/layer4"):
+            return "resnet_l4"
+        if p.startswith("model/visual/layer3"):
+            return "resnet_l3"
+
+        # ---- group 4: text ----
+        tb = _text_block_index(p)
+        if tb is not None and tb >= text_start and n_unlock_text > 0:
+            return "text"
+        if "token_embedding" in p or "positional_embedding" in p:
+            return "text"  # note: catches visual pos-embed too (quirk kept)
+
+        return "default"
+
+    return jax.tree_util.tree_map_with_path(label_one, params)
+
+
+def group_base_lrs(cfg: OptimCfg) -> Dict[str, float]:
+    base = cfg.lr if cfg.lr is not None else 5e-5
+    return {
+        "heads": cfg.head_lr,
+        "logit_scale": cfg.logit_scale_lr,
+        "resnet_l4": cfg.resnet_lr4,
+        "resnet_l3": cfg.resnet_lr3,
+        "text": cfg.text_lr,
+        "default": base,
+    }
+
+
+def build_optimizer(
+    params: Dict[str, Any],
+    cfg: OptimCfg,
+    schedule: Schedule,
+    base_lr: Optional[float] = None,
+) -> Tuple[optax.GradientTransformation, Dict[str, Any]]:
+    """AdamW with per-group lr/wd, global grad-norm clipping, and frozen
+    masking. Returns (tx, labels)."""
+    base_lr = base_lr if base_lr is not None else (cfg.lr if cfg.lr is not None else 5e-5)
+    labels = label_params(params, cfg)
+
+    def group_tx(group: str) -> optax.GradientTransformation:
+        g_lr = group_base_lrs(cfg)[group]
+        wd = GROUP_WD[group] if GROUP_WD[group] is not None else cfg.wd
+
+        if cfg.flatten_group_lrs:
+            g_sched = schedule  # reference quirk: one lr for all groups
+        else:
+            ratio = g_lr / base_lr if base_lr > 0 else 1.0
+
+            def g_sched(step, _ratio=ratio):
+                return schedule(step) * _ratio
+
+        return optax.adamw(
+            learning_rate=g_sched,
+            b1=cfg.beta1,
+            b2=cfg.beta2,
+            eps=cfg.eps,
+            weight_decay=wd,
+        )
+
+    if not cfg.use_param_groups:
+        tx = optax.adamw(
+            learning_rate=schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
+            weight_decay=cfg.wd,
+        )
+        labels = jax.tree.map(lambda _: "default", params)
+        transforms = {"default": tx, "frozen": optax.set_to_zero()}
+    else:
+        transforms = {g: group_tx(g) for g in GROUP_WD}
+        transforms["frozen"] = optax.set_to_zero()
+
+    tx = optax.multi_transform(transforms, labels)
+    if cfg.grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+
+    counts: Dict[str, int] = {}
+    sizes: Dict[str, int] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(params):
+        lbl = _lookup_label(labels, path)
+        counts[lbl] = counts.get(lbl, 0) + 1
+        sizes[lbl] = sizes.get(lbl, 0) + int(leaf.size)
+    logging.info("optimizer groups: %s (param counts %s)", dict(sizes), dict(counts))
+    return tx, labels
+
+
+def _lookup_label(labels, path):
+    node = labels
+    for p in path:
+        key = p.key if hasattr(p, "key") else str(p)
+        node = node[key]
+    return node

@@ -1,0 +1,244 @@
+"""The pjit'd training step.
+
+One compiled function replaces the reference's hot loop body
+(`src/open_clip_train/train.py:221-425`): forward both towers → loss (with
+in-step collectives) → grad → param-group AdamW → logit-scale clamp. Under a
+`(data, model)` mesh the step runs GSPMD-partitioned: batches are sharded on
+`data`, XLA inserts the all-reduce for gradients (replacing DDP) and shards
+the contrastive B×B logits row-block-wise (replacing `local_loss`
+bookkeeping).
+
+Gradient accumulation is a `lax.scan` over microbatches — the correct
+implementation of `--accum-freq` (the reference's accumulation path is broken
+in this fork: it deleted the re-forward loop, SURVEY §2.6).
+
+λ warm-up for the DINO terms (`train.py:120-141`) is computed in-graph from
+the step counter, so no recompilation per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..losses import (
+    DinoLossCfg,
+    clip_loss,
+    coca_loss,
+    cyclip_loss,
+    dino_enhanced_loss,
+    distill_clip_loss,
+    siglip_loss,
+)
+from ..losses.dino import DinoProjectionHead
+
+LN100 = math.log(100.0)
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any           # {"model": ..., "dino_head": ... (optional)}
+    opt_state: Any
+    rng: jax.Array
+
+
+@dataclasses.dataclass(frozen=True)
+class StepCfg:
+    """Static configuration of the compiled step."""
+
+    loss_type: str = "clip"  # clip | dino | siglip | cyclip | distill | coca
+    dino: DinoLossCfg = DinoLossCfg()
+    accum_freq: int = 1
+    enable_warmup_dino_hyperparams: bool = False
+    warmup: int = 10000
+    siglip_dist_impl: str = "gather"  # GSPMD path shards the full matrix
+    coca_caption_loss_weight: float = 2.0
+    coca_contrastive_loss_weight: float = 1.0
+    lambda_cyc_inmodal: float = 0.25
+    lambda_cyc_crossmodal: float = 0.25
+    use_patch_dropout: bool = False
+
+
+def create_train_state(
+    rng: jax.Array,
+    model_params: Any,
+    tx: optax.GradientTransformation,
+    head_params: Optional[Any] = None,
+) -> TrainState:
+    params = {"model": model_params}
+    if head_params is not None:
+        params["dino_head"] = head_params
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+        rng=rng,
+    )
+
+
+def _lambda_overrides(cfg: StepCfg, step: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    if not cfg.enable_warmup_dino_hyperparams:
+        return {}
+    frac = jnp.minimum(1.0, step.astype(jnp.float32) / max(1, cfg.warmup))
+    return {
+        "lambda_soft": frac * cfg.dino.lambda_soft,
+        "lambda_weighted": frac * cfg.dino.lambda_weighted,
+    }
+
+
+def make_loss_fn(
+    model,
+    cfg: StepCfg,
+    head: Optional[DinoProjectionHead] = None,
+    dist_model=None,
+    dist_variables=None,
+):
+    """Build the pure loss closure: (params, batch, step, rng) -> (loss, metrics).
+
+    `batch` keys: images [B,H,W,3] float, texts [B,L] int32, optional
+    dino_features [B,Dd] float, optional dist_* teacher outputs.
+    """
+
+    def loss_fn(params, batch, step, rng):
+        rngs = {"patch_dropout": rng} if cfg.use_patch_dropout else None
+        out = model.apply(
+            {"params": params["model"]},
+            batch["images"],
+            batch["texts"],
+            deterministic=not cfg.use_patch_dropout,
+            rngs=rngs,
+        )
+        img_f, txt_f = out["image_features"], out["text_features"]
+        logit_scale = out["logit_scale"]
+        metrics: Dict[str, jnp.ndarray] = {"logit_scale": logit_scale}
+
+        if cfg.loss_type == "clip":
+            total = clip_loss(img_f, txt_f, logit_scale)
+            metrics["contrastive_loss"] = total
+        elif cfg.loss_type == "dino":
+            dino_feats = batch.get("dino_features")
+            raw_proj = None
+            if dino_feats is not None and cfg.dino.use_projection and head is not None:
+                raw_proj = head.apply({"params": params["dino_head"]}, img_f)
+            losses = dino_enhanced_loss(
+                img_f, txt_f, logit_scale, dino_feats, cfg.dino,
+                image_proj=raw_proj,
+                lambda_overrides=_lambda_overrides(cfg, step),
+            )
+            total = losses.pop("total_loss")
+            metrics.update(losses)
+        elif cfg.loss_type == "siglip":
+            total = siglip_loss(img_f, txt_f, logit_scale, out.get("logit_bias", 0.0))
+            metrics["contrastive_loss"] = total
+        elif cfg.loss_type == "cyclip":
+            losses = cyclip_loss(
+                img_f, txt_f, logit_scale,
+                lambda_inmodal=cfg.lambda_cyc_inmodal,
+                lambda_crossmodal=cfg.lambda_cyc_crossmodal,
+            )
+            total = losses.pop("total_loss")
+            metrics.update(losses)
+        elif cfg.loss_type == "distill":
+            t_out = dist_model.apply(
+                dist_variables, batch["images"], batch["texts"]
+            )
+            losses = distill_clip_loss(
+                img_f, txt_f, logit_scale,
+                jax.lax.stop_gradient(t_out["image_features"]),
+                jax.lax.stop_gradient(t_out["text_features"]),
+                jax.lax.stop_gradient(t_out["logit_scale"]),
+            )
+            total = losses["contrastive_loss"] + losses["distill_loss"]
+            metrics.update(losses)
+        elif cfg.loss_type == "coca":
+            losses = coca_loss(
+                img_f, txt_f, out["logits"], out["labels"], logit_scale,
+                caption_loss_weight=cfg.coca_caption_loss_weight,
+                clip_loss_weight=cfg.coca_contrastive_loss_weight,
+            )
+            total = losses["contrastive_loss"] + losses["caption_loss"]
+            metrics.update(losses)
+        else:
+            raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+
+        metrics["total_loss"] = total
+        return total, metrics
+
+    return loss_fn
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    cfg: StepCfg,
+    head: Optional[DinoProjectionHead] = None,
+    dist_model=None,
+    dist_variables=None,
+) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
+    """Build the jitted train step. Call with a globally-shaped batch; shard
+    inputs over the mesh before calling (parallel.shard_batch)."""
+    loss_fn = make_loss_fn(model, cfg, head, dist_model, dist_variables)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _forward_backward(params, batch, step, rng):
+        (loss, metrics), grads = grad_fn(params, batch, step, rng)
+        return loss, metrics, grads
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        rng, step_rng = jax.random.split(state.rng)
+
+        if cfg.accum_freq > 1:
+            # microbatch scan: batch leaves are [accum, B/accum, ...]
+            def scan_body(carry, micro):
+                acc_grads, acc_metrics = carry
+                _, metrics, grads = _forward_backward(
+                    state.params, micro, state.step, step_rng
+                )
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
+                return (acc_grads, acc_metrics), None
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            micro0 = jax.tree.map(lambda x: x[0], batch)
+            _, metrics0, grads0 = _forward_backward(
+                state.params, micro0, state.step, step_rng
+            )
+            rest = jax.tree.map(lambda x: x[1:], batch)
+            (grads, metrics), _ = jax.lax.scan(
+                scan_body, (grads0, metrics0), rest
+            )
+            k = float(cfg.accum_freq)
+            grads = jax.tree.map(lambda g: g / k, grads)
+            metrics = jax.tree.map(lambda m: m / k, metrics)
+        else:
+            _, metrics, grads = _forward_backward(
+                state.params, batch, state.step, step_rng
+            )
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # clamp ln-scale to [0, ln 100] (`train.py:424-425`)
+        model_params = dict(params["model"])
+        model_params["logit_scale"] = jnp.clip(
+            model_params["logit_scale"], 0.0, LN100
+        )
+        params = dict(params)
+        params["model"] = model_params
+
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=new_opt_state, rng=rng
+        )
+        return new_state, metrics
+
+    return train_step
