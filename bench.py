@@ -1,0 +1,161 @@
+"""Benchmark: ViT-B/16 DINO-soft fine-tune step throughput on one TPU chip.
+
+This is BASELINE.json's headline metric (`images/sec/chip for ViT-B/16
+distill step`). The reference publishes no throughput numbers (SURVEY §6), so
+`vs_baseline` is reported against the driver's stated north-star instead:
+achieved MFU / 0.50 — a value >= 1.0 means the >=50% MFU target is met.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N, ...extras}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+
+def _analytic_step_flops(batch: int) -> float:
+    """Analytic FLOPs for one ViT-B/16 CLIP train step (fwd + bwd ≈ 3x fwd).
+
+    Counts matmul FLOPs (2*m*n*k) of both towers; attention included.
+    Vision: 224/16 -> 197 tokens, width 768, 12 layers. Text: 77 tokens,
+    width 512, 12 layers. Ignores the small DINO-head/loss matmuls.
+    """
+    def tower_flops(tokens, width, layers, mlp_ratio=4):
+        per_layer = (
+            2 * tokens * width * 3 * width        # qkv proj
+            + 2 * tokens * tokens * width * 2     # qk^T and attn @ v
+            + 2 * tokens * width * width          # out proj
+            + 2 * 2 * tokens * width * (mlp_ratio * width)  # mlp
+        )
+        return per_layer * layers
+
+    vision = tower_flops(197, 768, 12) + 2 * 197 * 768 * (16 * 16 * 3)  # + patchify
+    vision += 2 * 768 * 512  # proj
+    text = tower_flops(77, 512, 12) + 2 * 512 * 512
+    fwd = batch * (vision + text)
+    return 3.0 * fwd
+
+
+def _log(msg):
+    import sys
+    import time as _t
+
+    print(f"[bench {_t.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
+
+
+def main():
+    import os
+
+    import jax
+
+    # persistent compilation cache: the first bench run on a fresh chip pays
+    # the (slow, tunneled) compile; later runs in any process reuse it.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from refining_clip_via_dinov2_representations_tpu.losses import DinoLossCfg
+    from refining_clip_via_dinov2_representations_tpu.losses.dino import (
+        DinoProjectionHead,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model,
+        get_model_config,
+        parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.optim import (
+        OptimCfg,
+        build_optimizer,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.scheduler import cosine_lr
+    from refining_clip_via_dinov2_representations_tpu.train.step import (
+        StepCfg,
+        create_train_state,
+        make_train_step,
+    )
+
+    backend = jax.default_backend()
+    n_chips = jax.device_count()
+    batch = int(os.environ.get("BENCH_BATCH", 256))
+    dino_dim = 384  # DINOv2 ViT-S/14 feature dim
+    _log(f"backend={backend} chips={n_chips} batch={batch}")
+
+    cfg = parse_model_cfg(get_model_config("ViT-B-16"))
+    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl="auto")
+    rng = jax.random.PRNGKey(0)
+    images = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    texts = jnp.zeros((batch, 77), jnp.int32)
+    _log("init params...")
+    variables = jax.jit(model.init)(rng, images, texts)
+    jax.block_until_ready(variables)
+    _log("init done")
+
+    head = DinoProjectionHead(dino_dim=dino_dim, projection_type="mlp")
+    head_params = head.init(jax.random.PRNGKey(1), jnp.zeros((1, cfg.embed_dim)))[
+        "params"
+    ]
+
+    params = {"model": variables["params"], "dino_head": head_params}
+    tx, _ = build_optimizer(params, OptimCfg(lr=5e-4), cosine_lr(5e-4, 100, 10000))
+    state = create_train_state(rng, variables["params"], tx, head_params)
+
+    step_cfg = StepCfg(
+        loss_type="dino",
+        dino=DinoLossCfg(lambda_soft=0.5, soft_mode="kl_teacher", lambda_weighted=0.2),
+    )
+    train_step = make_train_step(model, tx, step_cfg, head=head)
+
+    npr = np.random.default_rng(0)
+    batch_data = {
+        "images": jnp.asarray(npr.normal(size=(batch, 224, 224, 3)), jnp.bfloat16),
+        "texts": jnp.asarray(npr.integers(1, 49407, size=(batch, 77)), jnp.int32),
+        "dino_features": jnp.asarray(npr.normal(size=(batch, dino_dim)), jnp.float32),
+    }
+
+    # warmup / compile
+    _log("compiling train step...")
+    for i in range(2):
+        state, metrics = train_step(state, batch_data)
+        jax.block_until_ready(metrics["total_loss"])
+        _log(f"warmup step {i} done")
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch_data)
+    jax.block_until_ready(metrics["total_loss"])
+    dt = time.perf_counter() - t0
+
+    step_time = dt / n_steps
+    ips = batch / step_time / n_chips
+
+    flops = _analytic_step_flops(batch)
+    peak = {"tpu": 197e12, "cpu": 1e12}.get(backend, 100e12)  # v5e bf16 peak
+    mfu = flops / step_time / (peak * n_chips)
+
+    print(
+        json.dumps(
+            {
+                "metric": "vitb16_dino_soft_train_images_per_sec_per_chip",
+                "value": round(ips, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(mfu / 0.50, 4),
+                "mfu": round(mfu, 4),
+                "step_time_ms": round(step_time * 1e3, 2),
+                "batch": batch,
+                "backend": backend,
+                "chips": n_chips,
+                "loss": round(float(metrics["total_loss"]), 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -275,7 +275,8 @@ def create_model(
         dummy_img = jnp.zeros((1, ih, iw, 3), compute_dtype)
         dummy_txt = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
         with jax.default_device(jax.local_devices(backend="cpu")[0] if _has_cpu() else None):
-            variables = model.init(rng or jax.random.PRNGKey(0), dummy_img, dummy_txt)
+            init_rng = rng if rng is not None else jax.random.PRNGKey(0)
+            variables = model.init(init_rng, dummy_img, dummy_txt)
         if checkpoint_path:
             variables, _ = load_checkpoint(model, variables, checkpoint_path)
         if param_dtype != jnp.float32:

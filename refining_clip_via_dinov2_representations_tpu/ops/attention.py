@@ -67,10 +67,6 @@ def multi_head_attention(
       impl: "xla" | "flash" | "auto". "auto" picks flash on TPU backends when
         the shape is kernel-friendly.
     """
-    if causal and mask is None:
-        lq, lk = q.shape[-2], k.shape[-2]
-        mask = jnp.triu(jnp.full((lq, lk), -jnp.inf, dtype=jnp.float32), k=1)
-
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
         impl = "flash" if on_tpu else "xla"
@@ -79,7 +75,10 @@ def multi_head_attention(
         from .flash_attention import flash_attention_compatible, flash_mha
 
         if flash_attention_compatible(q, k, v, mask):
-            return flash_mha(q, k, v, mask=mask, scale=scale)
+            return flash_mha(q, k, v, mask=None, causal=causal, scale=scale)
         impl = "xla"
 
+    if causal and mask is None:
+        lq, lk = q.shape[-2], k.shape[-2]
+        mask = jnp.triu(jnp.full((lq, lk), -jnp.inf, dtype=jnp.float32), k=1)
     return dot_product_attention_xla(q, k, v, mask=mask, scale=scale)

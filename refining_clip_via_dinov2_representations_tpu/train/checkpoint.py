@@ -1,0 +1,112 @@
+"""Checkpoint save/resume via Orbax + torch-interop export.
+
+Replaces the reference's torch.save dict flow (`main.py:940-974`,
+`file_utils.py`):
+
+* per-epoch orbax checkpoints `epoch_N` holding
+  {params, opt_state, step, epoch} — async-capable, atomic by construction
+  (orbax writes to tmp + renames, the reference hand-rolled that with
+  `os.replace`, `main.py:965-969`);
+* `latest` resume discovery via natural sort (`helpers.py:74-94`);
+* `export_torch_checkpoint` writes the reference's
+  `{epoch, name, state_dict}` .pt layout so reference tooling and the
+  offline eval scripts can consume our runs.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def _natural_key(s: str):
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", s)]
+
+
+def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Newest checkpoint path by natural sort (`helpers.py:74-94`)."""
+    d = Path(checkpoint_dir)
+    if not d.is_dir():
+        return None
+    cands = [p for p in d.iterdir() if re.match(r"^epoch_\d+$", p.name)]
+    if not cands:
+        return None
+    return str(sorted(cands, key=lambda p: _natural_key(p.name))[-1])
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    state,
+    epoch: int,
+    save_most_recent: bool = False,
+    delete_previous: bool = False,
+) -> str:
+    import orbax.checkpoint as ocp
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.abspath(os.path.join(checkpoint_dir, f"epoch_{epoch}"))
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(epoch),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+
+    if save_most_recent:
+        latest = os.path.join(checkpoint_dir, "epoch_latest")
+        ckptr.save(os.path.abspath(latest), payload, force=True)
+        ckptr.wait_until_finished()
+    if delete_previous:
+        prev = os.path.join(checkpoint_dir, f"epoch_{epoch - 1}")
+        if os.path.isdir(prev):
+            import shutil
+
+            shutil.rmtree(prev)
+    logging.info("saved checkpoint %s", path)
+    return path
+
+
+def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
+    """Restore into the structure of `state`; returns (state, start_epoch)."""
+    import orbax.checkpoint as ocp
+
+    if path == "latest":
+        raise ValueError("resolve 'latest' with latest_checkpoint() first")
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": np.asarray(state.step),
+        "epoch": np.asarray(0),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path), template)
+    new_state = state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=jax.numpy.asarray(restored["step"]),
+    )
+    return new_state, int(restored["epoch"])
+
+
+def export_torch_checkpoint(
+    state, epoch: int, name: str, out_path: str
+) -> str:
+    """Write the reference's .pt layout (`main.py:940-948`) for interop."""
+    import torch
+
+    from ..models.convert import flax_params_to_torch_state_dict
+
+    sd = flax_params_to_torch_state_dict(
+        jax.tree.map(np.asarray, state.params["model"])
+    )
+    torch.save({"epoch": epoch, "name": name, "state_dict": sd}, out_path)
+    return out_path

@@ -1,0 +1,117 @@
+"""Validation: val loss + Flickr-style retrieval (+ zero-shot hook).
+
+Rebuild of `src/open_clip_train/train.py:588-760`: encode every val batch
+with a jitted forward, accumulate features on host (the reference moves them
+to CPU for the same reason — `train.py:662-664`), map caption rows to image
+ids, dedup image features by first occurrence, then compute the retrieval
+metrics that produce the thesis' headline numbers.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses import clip_loss
+from .metrics import (
+    build_unique_image_features,
+    clip_retrieval_metrics,
+    get_clip_metrics,
+)
+
+
+def _encode_fn(model):
+    @jax.jit
+    def encode(variables, images, texts):
+        out = model.apply(variables, images, texts)
+        return out["image_features"], out["text_features"], out["logit_scale"]
+
+    return encode
+
+
+def evaluate(
+    model,
+    variables,
+    data: Dict,
+    epoch: int,
+    args,
+    tokenizer=None,
+    val_key: str = "val",
+) -> Dict[str, float]:
+    metrics: Dict[str, float] = {}
+
+    # zero-shot ImageNet (frequency-gated inside)
+    try:
+        from .zero_shot import zero_shot_eval
+
+        metrics.update(zero_shot_eval(model, variables, data, epoch, args, tokenizer))
+    except ImportError:
+        pass
+
+    if val_key not in data:
+        return metrics
+    if args.val_frequency and not ((epoch % args.val_frequency) == 0 or epoch == args.epochs):
+        return metrics
+
+    loader = data[val_key].dataloader
+    encode = _encode_fn(model)
+
+    all_img, all_txt, all_ids = [], [], []
+    path2id: Dict[str, int] = {}
+    cumulative_loss = 0.0
+    num_samples = 0
+    logit_scale = 1.0
+
+    for i, batch in enumerate(loader):
+        images = jnp.asarray(batch["images"])
+        texts = jnp.asarray(batch["texts"])
+        img_f, txt_f, scale = encode(variables, images, texts)
+        logit_scale = float(scale)
+
+        all_img.append(np.asarray(img_f, np.float32))
+        all_txt.append(np.asarray(txt_f, np.float32))
+        if "image_path" in batch:
+            for p in batch["image_path"]:
+                if p not in path2id:
+                    path2id[p] = len(path2id)
+                all_ids.append(path2id[p])
+
+        b = images.shape[0]
+        cumulative_loss += float(clip_loss(img_f, txt_f, scale)) * b
+        num_samples += b
+        if i % 100 == 0:
+            logging.info(
+                "Eval Epoch: %d [%d / %d]\tClip Loss: %.6f",
+                epoch, num_samples, getattr(loader, "num_samples", -1),
+                cumulative_loss / max(1, num_samples),
+            )
+
+    img_feats_per_cap = np.concatenate(all_img, axis=0)
+    txt_feats = np.concatenate(all_txt, axis=0)
+
+    if all_ids:
+        cap2img = np.asarray(all_ids, np.int64)
+        img_feats = build_unique_image_features(img_feats_per_cap, cap2img)
+        val_metrics = clip_retrieval_metrics(img_feats, txt_feats, cap2img)
+    else:
+        val_metrics = get_clip_metrics(img_feats_per_cap, txt_feats, logit_scale)
+
+    metrics.update(val_metrics)
+    metrics.update(
+        {
+            "clip_val_loss": cumulative_loss / max(1, num_samples),
+            "epoch": epoch,
+            "num_samples": num_samples,
+        }
+    )
+    logging.info(
+        "Eval Epoch: %d %s",
+        epoch,
+        "\t".join(f"{k}: {round(v, 4):.4f}" for k, v in metrics.items()),
+    )
+    return metrics

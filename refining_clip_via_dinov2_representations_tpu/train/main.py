@@ -1,0 +1,389 @@
+"""Training CLI — the run-lifecycle orchestrator.
+
+TPU-native rebuild of `src/open_clip_train/main.py:97-1167`:
+flags → mesh → model/transforms → tower locking → param-group optimizer →
+resume → DINO feature/index-map load → data → schedule → epoch loop
+{train_one_epoch → evaluate over every val key → best-retrieval-score
+tracking → checkpoint} → final artifacts (loss_steps.json,
+best_metrics.json).
+
+What one JAX runtime deletes from the reference: process-group init, DDP
+wrapping, GradScaler, autocast, pinned-memory transfer management, the
+worker-sharded DataLoader pairing. What stays identical: flag names, metric
+names, artifact file names, checkpoint naming (`epoch_N`), and the
+best-epoch selection criterion (mean of six recalls).
+
+Usage: python -m refining_clip_via_dinov2_representations_tpu.train.main <flags>
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+import time
+from datetime import datetime
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def random_seed(seed: int = 42, rank: int = 0):
+    import random
+
+    random.seed(seed + rank)
+    np.random.seed(seed + rank)
+
+
+def _resolve_loss_type(args) -> str:
+    """Dispatch mirroring `create_loss` (`factory.py:506-588`)."""
+    if args.distill_model and args.distill_pretrained:
+        return "distill"
+    if "coca" in args.model.lower() or args.use_coca:
+        return "coca"
+    if args.siglip:
+        return "siglip"
+    if args.use_CyClip:
+        return "cyclip"
+    if args.use_dino_general:
+        return "dino"
+    return "clip"
+
+
+def main(args=None):
+    from .params import parse_args
+
+    args = parse_args(args) if (args is None or isinstance(args, list)) else args
+
+    import jax
+
+    if args.force_cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from ..losses import DinoLossCfg
+    from ..losses.dino import DinoProjectionHead
+    from ..models import create_model_and_transforms, get_tokenizer
+    from ..parallel.mesh import create_mesh, log_mesh, shard_batch
+    from .checkpoint import (
+        export_torch_checkpoint,
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from .data import DinoFeatureStore, get_data, load_dino_index_map
+    from .evaluate import evaluate
+    from .helpers import epoch_retrieval_score
+    from .logger import setup_logging
+    from .optim import OptimCfg, build_optimizer
+    from .scheduler import make_schedule
+    from .step import StepCfg, create_train_state, make_train_step
+
+    # ---- run naming + logging (`main.py:129-184`) ----
+    if args.name is None:
+        args.name = "-".join(
+            [
+                datetime.now().strftime("%Y_%m_%d-%H_%M_%S"),
+                f"model_{args.model.replace('/', '-')}",
+                f"lr_{args.lr}",
+                f"b_{args.batch_size}",
+                f"p_{args.precision}",
+            ]
+        )
+    log_base = os.path.join(args.logs, args.name)
+    checkpoint_dir = os.path.join(log_base, "checkpoints")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    setup_logging(
+        os.path.join(log_base, "out.log"),
+        logging.DEBUG if args.debug else logging.INFO,
+    )
+    random_seed(args.seed)
+
+    mesh = create_mesh(model=args.mesh_model_axis)
+    log_mesh(mesh)
+
+    # ---- model + transforms ----
+    model, variables, preprocess_train, preprocess_val = create_model_and_transforms(
+        args.model,
+        args.pretrained or None,
+        precision=args.precision,
+        force_quick_gelu=args.force_quick_gelu,
+        force_patch_dropout=args.force_patch_dropout,
+        force_image_size=args.force_image_size,
+        grad_checkpointing=args.grad_checkpointing,
+        cache_dir=args.cache_dir,
+        aug_cfg=args.aug_cfg,
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    tokenizer = get_tokenizer(args.model, cache_dir=args.cache_dir)
+
+    # distillation teacher (`main.py:341-350`)
+    dist_model = dist_variables = None
+    if args.distill_model and args.distill_pretrained:
+        from ..models import create_model
+
+        dist_model, dist_variables, _ = create_model(
+            args.distill_model, args.distill_pretrained, precision=args.precision
+        )
+        dist_variables = jax.tree.map(jnp.asarray, dist_variables)
+
+    # ---- DINO teacher features (`main.py:692-741`) ----
+    dino_store = None
+    dino_index_map = None
+    if args.use_dino_general:
+        if args.dino_fts_path:
+            logging.info("[INFO] Loading precomputed DINO features from %s", args.dino_fts_path)
+            dino_store = DinoFeatureStore(args.dino_fts_path)
+            logging.info("[DINO] feats mmap: shape=%s", dino_store.shape)
+        if args.dino_index_map_path:
+            dino_index_map = load_dino_index_map(args.dino_index_map_path)
+
+    data = get_data(
+        args,
+        (preprocess_train, preprocess_val),
+        epoch=0,
+        tokenizer=tokenizer,
+        dino_index_map=dino_index_map,
+    )
+    assert len(data), "At least one train or eval dataset must be specified."
+
+    # ---- optimizer + schedule ----
+    state = None
+    train_step = None
+    total_steps = 0
+    if "train" in data:
+        steps_per_epoch = data["train"].dataloader.num_batches // max(1, args.accum_freq)
+        total_steps = steps_per_epoch * args.epochs
+        schedule = make_schedule(args, args.lr, total_steps)
+        optim_cfg = OptimCfg(
+            lr=args.lr,
+            beta1=args.beta1,
+            beta2=args.beta2,
+            eps=args.eps,
+            wd=args.wd,
+            head_lr=args.head_lr,
+            logit_scale_lr=args.logit_scale_lr,
+            text_lr=args.text_lr,
+            resnet_lr4=args.resnet_lr4,
+            resnet_lr3=args.resnet_lr3,
+            grad_clip_norm=args.grad_clip_norm,
+            lock_image=args.lock_image,
+            lock_image_unlocked_groups=args.lock_image_unlocked_groups,
+            lock_text=args.lock_text,
+            lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+            freeze_projection=args.freeze_projection,
+            flatten_group_lrs=args.flatten_group_lrs,
+            use_param_groups=args.use_param_groups,
+        )
+
+        head = head_params = None
+        if args.use_dino_general and args.use_projection:
+            dino_dim = (
+                dino_store.shape[1] if dino_store is not None else args.synthetic_dino_dim
+            )
+            head = DinoProjectionHead(
+                dino_dim=dino_dim,
+                projection_type=args.projection_type,
+                use_layernorm=args.use_layernorm,
+            )
+            head_params = head.init(
+                jax.random.PRNGKey(args.seed + 1),
+                jnp.zeros((1, model.embed_dim)),
+            )["params"]
+
+        params = {"model": variables["params"]}
+        if head_params is not None:
+            params["dino_head"] = head_params
+        tx, _ = build_optimizer(params, optim_cfg, schedule)
+        state = create_train_state(
+            jax.random.PRNGKey(args.seed), variables["params"], tx, head_params
+        )
+
+        dino_cfg = DinoLossCfg(
+            lambda_original=args.lambda_original,
+            lambda_soft=args.lambda_soft,
+            soft_mode=args.soft_mode if args.soft_mode != "none" else "kl_teacher",
+            teacher_temp=args.teacher_temp,
+            soft_dino_to_text=args.soft_dino_to_text,
+            text_lambda=args.text_lambda,
+            text_student_temp=args.text_student_temp,
+            lambda_weighted=args.lambda_weighted,
+            rho=args.rho,
+            c_clip=args.c_clip,
+            weight_text_symmetry=args.weight_text_symmetry,
+            use_projection=args.use_projection,
+            projection_type=args.projection_type,
+            use_layernorm=args.use_layernorm,
+            residual_projection=args.residual_projection,
+            residual_alpha=args.residual_alpha,
+            with_diagnostics=args.dbg_print_every > 0,
+        )
+        step_cfg = StepCfg(
+            loss_type=_resolve_loss_type(args),
+            dino=dino_cfg,
+            accum_freq=args.accum_freq,
+            enable_warmup_dino_hyperparams=args.enable_warmup_dino_hyperparams,
+            warmup=args.warmup,
+            coca_caption_loss_weight=args.coca_caption_loss_weight,
+            coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
+            lambda_cyc_inmodal=args.lambda_cyc_inmodal,
+            lambda_cyc_crossmodal=args.lambda_cyc_crossmodal,
+            use_patch_dropout=bool(args.force_patch_dropout),
+        )
+        train_step = make_train_step(
+            model, tx, step_cfg,
+            head=head, dist_model=dist_model, dist_variables=dist_variables,
+        )
+
+    # ---- resume (`main.py:666-686`) ----
+    start_epoch = 0
+    if args.resume is not None and state is not None:
+        resume_path = (
+            latest_checkpoint(checkpoint_dir) if args.resume == "latest" else args.resume
+        )
+        if resume_path:
+            state, start_epoch = restore_checkpoint(resume_path, state)
+            logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)
+        else:
+            logging.info("=> no checkpoint found at %s", args.resume)
+
+    params_file = os.path.join(log_base, "params.txt")
+    with open(params_file, "w") as f:
+        for name in sorted(vars(args)):
+            f.write(f"{name}: {getattr(args, name)}\n")
+
+    # eval-only path (`main.py:808-822`)
+    eval_keys = [k for k in ("val", "flickr30k-val", "mscoco-val") if k in data]
+    if "train" not in data:
+        variables_eval = {"params": variables["params"]}
+        for key in eval_keys:
+            evaluate(model, variables_eval, data, start_epoch, args, tokenizer, val_key=key)
+        return
+
+    # ---- epoch loop ----
+    loss_steps = []
+    all_results = []
+    best = {"score": float("-inf"), "tie": float("-inf"), "epoch": -1}
+
+    for epoch in range(start_epoch, args.epochs):
+        logging.info("Start epoch %d", epoch)
+        state, epoch_records = train_one_epoch(
+            train_step, state, data["train"], mesh, args, epoch
+        )
+        loss_steps.extend(epoch_records)
+        completed_epoch = epoch + 1
+
+        variables_eval = {"params": state.params["model"]}
+        epoch_results = []
+        for key in eval_keys:
+            m = evaluate(
+                model, variables_eval, data, completed_epoch, args, tokenizer, val_key=key
+            )
+            if m:
+                epoch_results.append({"val_name": key, "metrics": m})
+        all_results.append({"epoch": completed_epoch, "results": epoch_results})
+
+        score, tie = epoch_retrieval_score(epoch_results)
+        if not math.isnan(score) and (score, tie) > (best["score"], best["tie"]):
+            best = {"score": score, "tie": tie, "epoch": completed_epoch}
+            if epoch_results:
+                best["metrics"] = {
+                    r["val_name"]: r["metrics"] for r in epoch_results
+                }
+
+        # checkpoints (`main.py:940-974`)
+        if args.save_frequency > 0 and (
+            completed_epoch % args.save_frequency == 0 or completed_epoch == args.epochs
+        ):
+            save_checkpoint(
+                checkpoint_dir,
+                state,
+                completed_epoch,
+                save_most_recent=args.save_most_recent,
+                delete_previous=args.delete_previous_checkpoint,
+            )
+
+    # ---- final artifacts (`main.py:977-1098`) ----
+    with open(os.path.join(log_base, "loss_steps.json"), "w") as f:
+        json.dump(loss_steps, f)
+    with open(os.path.join(log_base, "final_itm_results.json"), "w") as f:
+        json.dump(all_results, f, default=float)
+    if best["epoch"] >= 0:
+        with open(os.path.join(log_base, "best_metrics.json"), "w") as f:
+            json.dump(best, f, default=float)
+        logging.info(
+            "Best epoch %d with retrieval score %.4f", best["epoch"], best["score"]
+        )
+    if state is not None:
+        try:
+            export_torch_checkpoint(
+                state, args.epochs, args.name,
+                os.path.join(checkpoint_dir, "final_torch_state.pt"),
+            )
+        except ImportError:
+            logging.info("torch unavailable; skipping interop export")
+    return best
+
+
+def train_one_epoch(train_step, state, train_data, mesh, args, epoch):
+    """One epoch of the hot loop (`train.py:145-584`): iterate, shard, step,
+    meter samples/s, log every `--log-every-n-steps`."""
+    import jax
+
+    from ..parallel.mesh import shard_batch
+
+    loader = train_data.dataloader
+    loader.set_epoch(epoch)
+    records = []
+    t_end = time.time()
+    samples = 0
+    accum = max(1, args.accum_freq)
+    micro = []
+
+    num_batches = getattr(loader, "num_batches", None)
+    for i, batch in enumerate(loader):
+        batch = {
+            k: v for k, v in batch.items() if k in ("images", "texts", "dino_features")
+        }
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        if args.use_dino_general and "dino_features" not in batch:
+            # zero out DINO lambdas when the batch lacks teacher features
+            # (`train.py:134-139`) — handled by supplying no dino_features.
+            pass
+        if accum > 1:
+            micro.append(batch)
+            if len(micro) < accum:
+                continue
+            batch = {
+                k: np.stack([m[k] for m in micro]) for k in micro[0]
+            }
+            micro = []
+
+        data_time = time.time() - t_end
+        with jax.set_mesh(mesh):
+            sharded = shard_batch(batch, mesh)
+            state, metrics = train_step(state, sharded)
+
+        step = int(state.step)
+        bsz = batch["images"].shape[-4] * accum
+        samples += bsz
+        batch_time = time.time() - t_end
+        t_end = time.time()
+
+        if step % args.log_every_n_steps == 0 or (num_batches and i == num_batches - 1):
+            m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
+            ips = bsz / max(batch_time, 1e-9)
+            logging.info(
+                "Train Epoch: %d [%d] total_loss: %.5f logit_scale: %.3f "
+                "%.1f samples/s (data %.3fs)",
+                epoch, step, m.get("total_loss", float("nan")),
+                m.get("logit_scale", float("nan")), ips, data_time,
+            )
+            records.append({"step": step, "epoch": epoch, **m})
+    return state, records
+
+
+if __name__ == "__main__":
+    main()

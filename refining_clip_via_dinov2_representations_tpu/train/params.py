@@ -1,0 +1,218 @@
+"""Training CLI flag surface.
+
+Mirrors the reference's argparse surface (`src/open_clip_train/params.py:29-1121`,
+~140 flags) with identical flag names for the subset that drives behaviour in
+this framework; torch-only flags (horovod, ddp-static-graph, torchcompile…)
+are accepted and ignored with a warning so reference launch scripts keep
+working. New TPU-native flags are marked [tpu].
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def get_default_params(model_name: str):
+    """Model-family default hparams (`params.py:6-12`)."""
+    model_name = model_name.lower()
+    if "vit" in model_name:
+        return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.98, "eps": 1.0e-6}
+    return {"lr": 5.0e-4, "beta1": 0.9, "beta2": 0.999, "eps": 1.0e-8}
+
+
+class ParseKwargs(argparse.Action):
+    """`--aug-cfg k=v` parsing (`params.py:15-26`)."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        kw = {}
+        for value in values:
+            key, _, v = value.partition("=")
+            try:
+                import ast
+
+                kw[key] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                kw[key] = v
+        setattr(namespace, self.dest, kw)
+
+
+def parse_args(args=None):
+    parser = argparse.ArgumentParser("TPU-native open_clip training")
+
+    # ---- data ----
+    parser.add_argument("--train-data", type=str, default=None)
+    parser.add_argument("--val-data", type=str, default=None)
+    parser.add_argument("--flickr-val-data", dest="flickr_val_data", type=str, default=None)
+    parser.add_argument("--mscoco-val-data", dest="mscoco_val_data", type=str, default=None)
+    parser.add_argument("--train-num-samples", type=int, default=None)
+    parser.add_argument("--val-num-samples", type=int, default=None)
+    parser.add_argument(
+        "--dataset-type", choices=["webdataset", "csv", "synthetic", "auto"], default="auto"
+    )
+    parser.add_argument("--dataset-resampled", default=False, action="store_true")
+    parser.add_argument("--csv-separator", type=str, default=",")
+    parser.add_argument("--csv-img-key", type=str, default="filepath")
+    parser.add_argument("--csv-caption-key", type=str, default="title")
+    parser.add_argument("--imagenet-val", type=str, default=None)
+    parser.add_argument("--imagenet-v2", type=str, default=None)
+    parser.add_argument("--cache-dir", type=str, default=None)
+    parser.add_argument("--workers", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+
+    # ---- schedule / optim ----
+    parser.add_argument("--epochs", type=int, default=32)
+    parser.add_argument("--epochs-cooldown", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=None)
+    parser.add_argument("--beta1", type=float, default=None)
+    parser.add_argument("--beta2", type=float, default=None)
+    parser.add_argument("--eps", type=float, default=None)
+    parser.add_argument("--wd", type=float, default=0.2)
+    parser.add_argument("--momentum", type=float, default=None)
+    parser.add_argument("--warmup", type=int, default=10000)
+    parser.add_argument(
+        "--lr-scheduler", type=str, default="cosine",
+        choices=["cosine", "const", "const-cooldown"],
+    )
+    parser.add_argument("--lr-min", type=float, default=0.0)
+    parser.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    parser.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    parser.add_argument("--grad-clip-norm", type=float, default=None)
+    parser.add_argument("--accum-freq", type=int, default=1)
+    parser.add_argument("--opt", type=str, default="adamw")
+    # per-group LRs (`params.py:696-727`)
+    parser.add_argument("--head-lr", dest="head_lr", type=float, default=1e-4)
+    parser.add_argument("--logit-scale-lr", dest="logit_scale_lr", type=float, default=1e-6)
+    parser.add_argument("--text-lr", dest="text_lr", type=float, default=5e-5)
+    parser.add_argument("--resnet-lr4", dest="resnet_lr4", type=float, default=2e-5)
+    parser.add_argument("--resnet-lr3", dest="resnet_lr3", type=float, default=1e-5)
+    parser.add_argument("--use-param-groups", dest="use_param_groups",
+                        default=True, action="store_true")
+    parser.add_argument("--no-param-groups", dest="use_param_groups", action="store_false")
+    parser.add_argument("--flatten-group-lrs", default=False, action="store_true",
+                        help="bug-compatible: scheduler overrides per-group LRs")
+
+    # ---- model ----
+    parser.add_argument("--model", type=str, default="RN50")
+    parser.add_argument("--pretrained", type=str, default="")
+    parser.add_argument(
+        "--precision",
+        choices=["amp", "amp_bf16", "amp_bfloat16", "bf16", "fp16", "pure_bf16",
+                 "pure_fp16", "fp32"],
+        default="amp",
+    )
+    parser.add_argument("--force-quick-gelu", default=False, action="store_true")
+    parser.add_argument("--force-custom-text", default=False, action="store_true")
+    parser.add_argument("--force-patch-dropout", type=float, default=None)
+    parser.add_argument("--force-image-size", type=int, nargs="+", default=None)
+    parser.add_argument("--grad-checkpointing", default=False, action="store_true")
+    parser.add_argument("--lock-image", default=False, action="store_true")
+    parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
+    parser.add_argument("--lock-image-freeze-bn-stats", default=False, action="store_true")
+    parser.add_argument("--lock-text", default=False, action="store_true")
+    parser.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    parser.add_argument("--lock-text-freeze-layer-norm", default=False, action="store_true")
+    parser.add_argument("--torchscript", default=False, action="store_true")
+    parser.add_argument("--torchcompile", default=False, action="store_true")
+    parser.add_argument("--trace", default=False, action="store_true")
+    parser.add_argument("--use-bn-sync", default=False, action="store_true")
+    parser.add_argument("--siglip", default=False, action="store_true")
+    parser.add_argument("--loss-dist-impl", type=str, default=None)
+
+    # ---- DINO thesis knobs (`params.py:58-530`) ----
+    parser.add_argument("--use_dino_general", default=False, action="store_true")
+    parser.add_argument("--lambda_original", type=float, default=1.0)
+    parser.add_argument("--lambda_soft", type=float, default=0.0)
+    parser.add_argument("--soft_mode", type=str, default="none",
+                        choices=["none", "siglip_dino", "kl_teacher"])
+    parser.add_argument("--teacher_temp", type=float, default=0.15)
+    parser.add_argument("--student_temp", type=float, default=None)
+    parser.add_argument("--soft_dino_to_text", default=False, action="store_true")
+    parser.add_argument("--text_lambda", type=float, default=0.2)
+    parser.add_argument("--text_student_temp", type=float, default=0.05)
+    parser.add_argument("--lambda_weighted", type=float, default=0.0)
+    parser.add_argument("--rho", type=float, default=0.1)
+    parser.add_argument("--c_clip", type=float, default=1.0)
+    parser.add_argument("--weight_text_symmetry", default=False, action="store_true")
+    parser.add_argument("--use_projection", default=True, action="store_true")
+    parser.add_argument("--no_projection", dest="use_projection", action="store_false")
+    parser.add_argument("--projection_type", type=str, default="mlp",
+                        choices=["linear", "mlp"])
+    parser.add_argument("--use_layernorm", default=False, action="store_true")
+    parser.add_argument("--residual_projection", default=False, action="store_true")
+    parser.add_argument("--residual_alpha", type=float, default=None)
+    parser.add_argument("--freeze_projection", default=False, action="store_true",
+                        help="bug-compatible: never update the DINO head")
+    parser.add_argument("--enable_warmup_dino_hyperparams", default=False, action="store_true")
+    parser.add_argument("--dino_fts_path", type=str, default=None)
+    parser.add_argument("--dino_index_map_path", type=str, default=None)
+    parser.add_argument("--dino_model_name", type=str, default="facebook/dinov2-small")
+    parser.add_argument("--synthetic-dino-dim", dest="synthetic_dino_dim",
+                        type=int, default=384, help="[tpu] teacher dim for synthetic data")
+    parser.add_argument("--dbg_print_every", type=int, default=0)
+
+    # ---- CyCLIP / CoCa / distill ----
+    parser.add_argument("--use_CyClip", default=False, action="store_true")
+    parser.add_argument("--lambda_cyc_inmodal", type=float, default=0.25)
+    parser.add_argument("--lambda_cyc_crossmodal", type=float, default=0.25)
+    parser.add_argument("--use_coca", default=False, action="store_true")
+    parser.add_argument("--coca-caption-loss-weight", type=float, default=2.0)
+    parser.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0)
+    parser.add_argument("--distill-model", type=str, default=None)
+    parser.add_argument("--distill-pretrained", type=str, default=None)
+
+    # ---- contrastive dist options ----
+    parser.add_argument("--local-loss", default=False, action="store_true")
+    parser.add_argument("--gather-with-grad", default=False, action="store_true")
+
+    # ---- eval / logging / ckpt ----
+    parser.add_argument("--val-frequency", type=int, default=1)
+    parser.add_argument("--zeroshot-frequency", type=int, default=2)
+    parser.add_argument("--save-frequency", type=int, default=1)
+    parser.add_argument("--save-most-recent", default=False, action="store_true")
+    parser.add_argument("--delete-previous-checkpoint", default=False, action="store_true")
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--logs", type=str, default="./logs/")
+    parser.add_argument("--log-local", default=False, action="store_true")
+    parser.add_argument("--name", type=str, default=None)
+    parser.add_argument("--log-every-n-steps", type=int, default=100)
+    parser.add_argument("--report-to", type=str, default="")
+    parser.add_argument("--wandb-notes", type=str, default="")
+    parser.add_argument("--wandb-project-name", type=str, default="open-clip")
+    parser.add_argument("--copy-codebase", default=False, action="store_true")
+    parser.add_argument("--debug", default=False, action="store_true")
+    parser.add_argument("--run_clip_blind", default=False, action="store_true")
+    parser.add_argument("--clip_blind_max_images", type=int, default=2000)
+    parser.add_argument("--remote-sync", type=str, default=None)
+    parser.add_argument("--remote-sync-frequency", type=int, default=300)
+    parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="s3")
+
+    # ---- runtime ----
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", type=str, default=None)
+    parser.add_argument("--force-cpu", default=False, action="store_true",
+                        help="[tpu] run on host CPU devices (tests/smoke)")
+    parser.add_argument("--mesh-model-axis", type=int, default=1,
+                        help="[tpu] model-parallel axis size of the (data,model) mesh")
+    parser.add_argument("--dist-url", type=str, default=None)
+    parser.add_argument("--dist-backend", type=str, default=None)
+    parser.add_argument("--horovod", default=False, action="store_true")
+    parser.add_argument("--ddp-static-graph", default=False, action="store_true")
+    parser.add_argument("--no-set-device-rank", default=False, action="store_true")
+
+    ns = parser.parse_args(args)
+
+    # model-family default hparams (`params.py:6-12` + main.py wiring)
+    defaults = get_default_params(ns.model)
+    for name, val in defaults.items():
+        if getattr(ns, name) is None:
+            setattr(ns, name, val)
+
+    for torch_only in ("torchscript", "torchcompile", "trace", "horovod",
+                       "ddp_static_graph", "use_bn_sync"):
+        if getattr(ns, torch_only):
+            import logging
+
+            logging.warning("flag --%s is torch-specific; ignored on TPU",
+                            torch_only.replace("_", "-"))
+    return ns

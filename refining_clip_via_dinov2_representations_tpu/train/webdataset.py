@@ -1,0 +1,251 @@
+"""WebDataset-style tar-shard reader (no external webdataset dependency).
+
+TPU-native rebuild of the reference's webdataset pipeline
+(`src/open_clip_train/data.py:313-691`): iterate `.tar` shards of
+(key.jpg, key.txt) pairs, with
+
+* brace expansion of shard patterns (`{00000..00099}.tar`),
+* deterministic epoch-seeded shard shuffling (detshuffle2 semantics,
+  `data.py:410-439`),
+* shard split across hosts (`split_by_node`) — here `jax.process_index` —
+  and across reader threads (`split_by_worker`),
+* non-throwing sample handling: decode/IO errors are logged and skipped
+  (`log_and_continue` `data.py:342-345`, non-throwing tar grouping
+  `data.py:348-387`),
+* a sample-level shuffle buffer, then batching.
+
+Shard resampling mode (`ResampledShards2`, `data.py:442-496`) draws shards
+with replacement per epoch from a seeded RNG — used for infinite-stream
+training.
+"""
+
+from __future__ import annotations
+
+import io
+import logging
+import os
+import random
+import re
+import tarfile
+from typing import Any, Callable, Dict, Iterator, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .data import DataInfo, _collate
+
+
+def expand_urls(urls) -> List[str]:
+    """Brace expansion: 'a-{000..002}.tar' -> [a-000.tar, a-001.tar, a-002.tar].
+    Accepts '::'-joined lists like the reference (`data.py:316-330`)."""
+    if isinstance(urls, str):
+        url_list = urls.split("::")
+    else:
+        url_list = list(urls)
+    out: List[str] = []
+    pat = re.compile(r"\{(\d+)\.\.(\d+)\}")
+    for url in url_list:
+        m = pat.search(url)
+        if not m:
+            out.append(url)
+            continue
+        lo, hi = m.group(1), m.group(2)
+        width = len(lo)
+        for i in range(int(lo), int(hi) + 1):
+            out.append(url[: m.start()] + str(i).zfill(width) + url[m.end():])
+    return out
+
+
+_IMG_EXT = {"jpg", "jpeg", "png", "webp", "bmp"}
+_TXT_EXT = {"txt", "text", "caption"}
+_JSON_EXT = {"json"}
+
+
+def _group_tar_samples(tar_path: str) -> Iterator[Dict[str, bytes]]:
+    """Group tar members by basename key; never raises on a bad member
+    (`tarfile_to_samples_nothrow`, `data.py:348-387`)."""
+    try:
+        tf = tarfile.open(tar_path)
+    except (OSError, tarfile.TarError) as e:
+        logging.warning("Skipping unreadable shard %s (%r)", tar_path, e)
+        return
+    current_key = None
+    sample: Dict[str, bytes] = {}
+    try:
+        for member in tf:
+            if not member.isfile():
+                continue
+            base = os.path.basename(member.name)
+            key, _, ext = base.rpartition(".")
+            if not key:
+                continue
+            if key != current_key:
+                if sample and current_key is not None:
+                    yield sample
+                current_key = key
+                sample = {"__key__": current_key.encode()}
+            try:
+                sample[ext.lower()] = tf.extractfile(member).read()
+            except (OSError, tarfile.TarError) as e:
+                logging.warning("Error reading %s from %s (%r)", member.name, tar_path, e)
+        if sample and current_key is not None:
+            yield sample
+    finally:
+        tf.close()
+
+
+class WdsLoader:
+    """Iterable over batches read from tar shards."""
+
+    def __init__(
+        self,
+        urls,
+        preprocess_img: Callable,
+        tokenizer,
+        batch_size: int,
+        num_samples: int,
+        is_train: bool = True,
+        seed: int = 0,
+        resampled: bool = False,
+        shuffle_buffer: int = 5000,
+        process_index: int = 0,
+        process_count: int = 1,
+        caption_key: str = "txt",
+    ):
+        self.shards = expand_urls(urls)
+        assert self.shards, "no shards resolved"
+        self.preprocess_img = preprocess_img
+        self.tokenizer = tokenizer
+        self.batch_size = batch_size
+        self.is_train = is_train
+        self.seed = seed
+        self.resampled = resampled
+        self.shuffle_buffer = shuffle_buffer if is_train else 0
+        self.process_index = process_index
+        self.process_count = process_count
+        self.caption_key = caption_key
+        self.epoch = 0
+        self.num_samples = num_samples
+        # per-host batch count; mirror of the reference's worker-epoch sizing
+        # (`data.py:589-606`): every host must emit the same number of batches.
+        self.num_batches = max(1, num_samples // (batch_size * process_count))
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _epoch_shards(self) -> List[str]:
+        rng = random.Random(self.seed + self.epoch)
+        if self.resampled:
+            return [rng.choice(self.shards) for _ in range(len(self.shards))]
+        shards = list(self.shards)
+        if self.is_train:
+            rng.shuffle(shards)  # deterministic epoch-seeded (detshuffle2)
+        return shards[self.process_index :: self.process_count] or shards[:1]
+
+    def _samples(self) -> Iterator[Dict[str, Any]]:
+        for shard in self._epoch_shards():
+            for raw in _group_tar_samples(shard):
+                try:
+                    img_bytes = next(
+                        (raw[e] for e in _IMG_EXT if e in raw), None
+                    )
+                    if img_bytes is None:
+                        continue
+                    caption = None
+                    for e in _TXT_EXT:
+                        if e in raw:
+                            caption = raw[e].decode("utf-8")
+                            break
+                    if caption is None and any(e in raw for e in _JSON_EXT):
+                        import json as _json
+
+                        meta = _json.loads(raw["json"])
+                        caption = meta.get(self.caption_key) or meta.get("caption", "")
+                    if caption is None:
+                        continue
+                    with Image.open(io.BytesIO(img_bytes)) as img:
+                        image = self.preprocess_img(img.convert("RGB"))
+                    text = (
+                        self.tokenizer([caption])[0] if self.tokenizer else caption
+                    )
+                    yield {"images": image, "texts": text}
+                except Exception as e:  # never kill training on one bad sample
+                    logging.warning("Skipping sample (%r)", e)
+                    continue
+
+    def __len__(self):
+        return self.num_batches
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        rng = random.Random(self.seed * 1000 + self.epoch)
+        buf: List[Dict[str, Any]] = []
+        batch: List[Dict[str, Any]] = []
+        emitted = 0
+
+        def emit_from(sample):
+            nonlocal emitted
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                out = _collate(batch)
+                batch.clear()
+                emitted += 1
+                return out
+            return None
+
+        samples = self._samples()
+        while emitted < self.num_batches:
+            try:
+                s = next(samples)
+            except StopIteration:
+                if self.is_train:
+                    # wrap around within the epoch so every host emits the
+                    # same batch count even with uneven shards
+                    self.epoch += 1000000  # new shard order for the wrap
+                    samples = self._samples()
+                    self.epoch -= 1000000
+                    continue
+                break
+            if self.shuffle_buffer:
+                buf.append(s)
+                if len(buf) < self.shuffle_buffer:
+                    continue
+                idx = rng.randrange(len(buf))
+                buf[idx], s = s, buf[idx]
+            out = emit_from(s)
+            if out is not None:
+                yield out
+        # drain shuffle buffer for eval / end of stream
+        if not self.is_train:
+            for s in buf:
+                out = emit_from(s)
+                if out is not None:
+                    yield out
+            if batch:
+                yield _collate(batch)
+
+
+def get_wds_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_index_map=None):
+    import jax
+
+    urls = args.train_data if is_train else args.val_data
+    num_samples = (
+        args.train_num_samples if is_train else (args.val_num_samples or 0)
+    )
+    if is_train and not num_samples:
+        raise RuntimeError(
+            "Currently, the number of dataset samples must be specified for the "
+            "training dataset. Please specify it via `--train-num-samples`."
+        )
+    loader = WdsLoader(
+        urls,
+        preprocess_img=preprocess_fn,
+        tokenizer=tokenizer,
+        batch_size=args.batch_size,
+        num_samples=num_samples,
+        is_train=is_train,
+        seed=getattr(args, "seed", 0),
+        resampled=getattr(args, "dataset_resampled", False),
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    return DataInfo(loader)

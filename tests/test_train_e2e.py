@@ -1,0 +1,236 @@
+"""End-to-end harness tests: CLI on synthetic data, CSV/webdataset pipelines,
+metrics, checkpoint save/resume."""
+
+import io
+import json
+import os
+import tarfile
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from refining_clip_via_dinov2_representations_tpu.models import register_model_config
+from refining_clip_via_dinov2_representations_tpu.train.metrics import (
+    build_unique_image_features,
+    clip_retrieval_metrics,
+)
+
+TINY_CFG = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 16, "patch_size": 8, "width": 32, "layers": 2, "head_width": 16},
+    "text_cfg": {"context_length": 12, "vocab_size": 49408, "width": 32, "heads": 4, "layers": 2},
+}
+register_model_config("tiny-e2e-model", TINY_CFG)
+
+
+def test_cli_synthetic_training(tmp_path):
+    """Full main(): synthetic data, 1 epoch, checkpoint written, artifacts."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    best = main([
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "32",
+        "--batch-size", "8",
+        "--epochs", "1",
+        "--warmup", "2",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--name", "smoke",
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+    ])
+    base = tmp_path / "smoke"
+    assert (base / "checkpoints" / "epoch_1").exists()
+    assert (base / "loss_steps.json").exists()
+    assert (base / "params.txt").exists()
+    steps = json.loads((base / "loss_steps.json").read_text())
+    assert len(steps) >= 1 and np.isfinite(steps[-1]["total_loss"])
+
+
+def test_cli_dino_synthetic_training(tmp_path):
+    """DINO loss path end-to-end on synthetic data with random teacher feats."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    main([
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "8",
+        "--epochs", "1",
+        "--warmup", "1",
+        "--precision", "fp32",
+        "--use_dino_general",
+        "--lambda_soft", "0.5",
+        "--soft_mode", "kl_teacher",
+        "--lambda_weighted", "0.2",
+        "--synthetic-dino-dim", "24",
+        "--logs", str(tmp_path),
+        "--name", "dino-smoke",
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+    ])
+    steps = json.loads((tmp_path / "dino-smoke" / "loss_steps.json").read_text())
+    assert any("soft_loss" in s for s in steps)
+
+
+def _write_csv_dataset(tmp_path, n_images=4, caps_per_img=2):
+    import pandas as pd
+
+    rows = []
+    rng = np.random.default_rng(0)
+    for i in range(n_images):
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(p)
+        for c in range(caps_per_img):
+            rows.append({"filepath": str(p), "title": f"caption {i} variant {c}"})
+    csv = tmp_path / "data.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    return csv
+
+
+def test_csv_dataset_and_loader(tmp_path):
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SimpleTokenizer
+    from refining_clip_via_dinov2_representations_tpu.train.data import CsvDataset, Loader
+    from refining_clip_via_dinov2_representations_tpu.transform import image_transform
+
+    csv = _write_csv_dataset(tmp_path)
+    ds = CsvDataset(
+        str(csv), image_transform(16, is_train=False), "filepath", "title",
+        tokenizer=SimpleTokenizer(context_length=12), return_image_id=True,
+    )
+    assert len(ds) == 8
+    loader = Loader(ds, batch_size=4, shuffle=False, num_workers=2)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["images"].shape == (4, 16, 16, 3)
+    assert batches[0]["texts"].shape == (4, 12)
+    assert len(batches[0]["image_path"]) == 4
+
+
+def test_csv_dino_map_validation_error(tmp_path):
+    from refining_clip_via_dinov2_representations_tpu.train.data import CsvDataset
+    from refining_clip_via_dinov2_representations_tpu.transform import image_transform
+
+    csv = _write_csv_dataset(tmp_path)
+    with pytest.raises(RuntimeError, match="CSV ↔ DINO map mismatch"):
+        CsvDataset(
+            str(csv), image_transform(16, is_train=False), "filepath", "title",
+            dino_index_map={"/nonexistent/path.jpg": 0},
+        )
+
+
+def test_dino_feature_store_pt_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from refining_clip_via_dinov2_representations_tpu.train.data import DinoFeatureStore
+
+    feats = np.random.default_rng(0).normal(size=(10, 6)).astype(np.float32)
+    pt = tmp_path / "feats.pt"
+    torch.save(torch.from_numpy(feats), pt)
+    store = DinoFeatureStore(str(pt))
+    np.testing.assert_allclose(store.take([2, 5]), feats[[2, 5]])
+    with pytest.raises(ValueError, match="Out-of-range"):
+        store.take([99])
+
+
+def test_webdataset_reader(tmp_path):
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SimpleTokenizer
+    from refining_clip_via_dinov2_representations_tpu.train.webdataset import (
+        WdsLoader,
+        expand_urls,
+    )
+    from refining_clip_via_dinov2_representations_tpu.transform import image_transform
+
+    assert expand_urls("s-{000..002}.tar") == ["s-000.tar", "s-001.tar", "s-002.tar"]
+
+    rng = np.random.default_rng(0)
+    for shard in range(2):
+        with tarfile.open(tmp_path / f"shard-{shard}.tar", "w") as tf:
+            for i in range(6):
+                key = f"{shard}_{i}"
+                img = Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = f"caption {key}".encode()
+                info = tarfile.TarInfo(f"{key}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+    loader = WdsLoader(
+        str(tmp_path / "shard-{0..1}.tar"),
+        preprocess_img=image_transform(16, is_train=False),
+        tokenizer=SimpleTokenizer(context_length=12),
+        batch_size=4,
+        num_samples=12,
+        is_train=True,
+        shuffle_buffer=4,
+    )
+    batches = list(loader)
+    assert len(batches) == 3
+    assert batches[0]["images"].shape == (4, 16, 16, 3)
+    assert batches[0]["texts"].dtype == np.int32
+
+
+def test_retrieval_metrics_known_case():
+    """Hand-checkable case: 2 images, 4 captions (2 each), near-perfect feats."""
+    img = np.eye(2, 4, dtype=np.float32)          # img0 -> e0, img1 -> e1
+    txt = np.array(
+        [[1, 0.1, 0, 0], [1, -0.1, 0, 0],          # captions of img0
+         [0, 1, 0.1, 0], [0.2, 1, 0, 0]],          # captions of img1
+        np.float32,
+    )
+    cap2img = [0, 0, 1, 1]
+    m = clip_retrieval_metrics(img, txt, cap2img)
+    assert m["text_to_image_R@1"] == 100.0
+    assert m["image_to_text_R@1"] == 100.0
+    assert m["text_to_image_mean_rank"] == 1.0
+    assert 0 < m["modality_gap"] < 2.0
+
+
+def test_unique_image_features_first_occurrence():
+    feats = np.arange(12, dtype=np.float32).reshape(6, 2)
+    cap2img = [0, 0, 1, 1, 0, 2]
+    out = build_unique_image_features(feats, cap2img)
+    np.testing.assert_array_equal(out[0], feats[0])  # first row wins
+    np.testing.assert_array_equal(out[1], feats[2])
+    np.testing.assert_array_equal(out[2], feats[5])
+
+
+def test_checkpoint_save_restore(tmp_path):
+    import jax.numpy as jnp
+    import optax
+
+    from refining_clip_via_dinov2_representations_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.step import (
+        create_train_state,
+    )
+
+    params = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    tx = optax.adam(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), params, tx)
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+
+    save_checkpoint(str(tmp_path), state, epoch=3)
+    save_checkpoint(str(tmp_path), state, epoch=10)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("epoch_10")
+
+    fresh = create_train_state(jax.random.PRNGKey(1), params, tx)
+    restored, epoch = restore_checkpoint(latest, fresh)
+    assert epoch == 10
+    assert int(restored.step) == 7
+    np.testing.assert_allclose(
+        np.asarray(restored.params["model"]["w"]), np.ones((4, 4))
+    )
