@@ -118,18 +118,19 @@ def main():
         "dino_features": jnp.asarray(npr.normal(size=(batch, dino_dim)), jnp.float32),
     }
 
-    # warmup / compile
+    # warmup / compile. NOTE: timing must end on a VALUE FETCH — on the
+    # tunneled axon backend `block_until_ready` returns before execution
+    # completes; fetching the final loss forces the whole chained computation.
     _log("compiling train step...")
     for i in range(2):
         state, metrics = train_step(state, batch_data)
-        jax.block_until_ready(metrics["total_loss"])
-        _log(f"warmup step {i} done")
+        _log(f"warmup step {i} done, loss={float(metrics['total_loss']):.4f}")
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, batch_data)
-    jax.block_until_ready(metrics["total_loss"])
+    final_loss = float(metrics["total_loss"])  # sync point
     dt = time.perf_counter() - t0
 
     step_time = dt / n_steps

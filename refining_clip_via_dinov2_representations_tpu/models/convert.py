@@ -119,17 +119,84 @@ def _convert_attn_pooler(parts, tensor, tree, prefix):
         raise KeyError(f"unhandled pooler leaf {parts}")
 
 
+_RESNET_RE = re.compile(r"^layer([1-4])\.(\d+)\.(.+)$")
+_BN_STATS = {"running_mean": "mean", "running_var": "var"}
+
+
+def _convert_resnet_leaf(rest, tensor, params, batch_stats):
+    """Map one `visual.*` ModifiedResNet leaf (reference
+    `modified_resnet.py:96-200` layout) onto params/batch_stats trees."""
+    def put_conv(prefix, leaf="kernel"):
+        _set(params, ["visual", *prefix, leaf], _np(tensor).transpose(2, 3, 1, 0))
+
+    def put_bn(prefix, leaf):
+        if leaf in _BN_STATS:
+            _set(batch_stats, ["visual", *prefix, _BN_STATS[leaf]], _np(tensor))
+        elif leaf == "num_batches_tracked":
+            pass
+        else:
+            _set(params, ["visual", *prefix, "scale" if leaf == "weight" else "bias"], _np(tensor))
+
+    if rest[0] in ("conv1", "conv2", "conv3") and len(rest) == 2:
+        put_conv([rest[0]])
+    elif rest[0] in ("bn1", "bn2", "bn3") and len(rest) == 2:
+        put_bn([rest[0]], rest[1])
+    elif rest[0] == "attnpool":
+        if rest[1] == "positional_embedding":
+            _set(params, ["visual", "attnpool", "positional_embedding"], _np(tensor))
+        else:  # q/k/v/c_proj Linear
+            leaf = "kernel" if rest[2] == "weight" else "bias"
+            val = _np(tensor).T if rest[2] == "weight" else _np(tensor)
+            _set(params, ["visual", "attnpool", rest[1], leaf], val)
+    else:
+        m = _RESNET_RE.match(".".join(rest))
+        if not m:
+            raise KeyError(".".join(rest))
+        stage, block, leaf_key = m.groups()
+        prefix = [f"layer{stage}_{block}"]
+        lp = leaf_key.split(".")
+        if lp[0].startswith("conv"):
+            put_conv(prefix + [lp[0]])
+        elif lp[0].startswith("bn"):
+            put_bn(prefix + [lp[0]], lp[1])
+        elif lp[0] == "downsample":
+            # Sequential("-1" avgpool, "0" conv, "1" bn) (`modified_resnet.py:36-41`)
+            if lp[1] == "0":
+                put_conv(prefix + ["downsample_conv"])
+            else:
+                put_bn(prefix + ["downsample_bn"], lp[2])
+        else:
+            raise KeyError(".".join(rest))
+
+
+def convert_clip_variables(state_dict: Mapping[str, Any], strict: bool = True) -> Dict[str, Any]:
+    """Convert to a full flax variables dict {'params': ..., 'batch_stats'?}."""
+    params, batch_stats = _convert(state_dict, strict)
+    out: Dict[str, Any] = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
 def convert_clip_state_dict(state_dict: Mapping[str, Any], strict: bool = True) -> Dict[str, Any]:
-    """Convert a reference state dict to our flax param tree.
+    """Convert a reference state dict to our flax param tree (ViT/text towers;
+    for ResNet towers use `convert_clip_variables` to also get batch_stats).
 
     Handles the shared-namespace `CLIP` layout (text keys at root,
     `model.py:313-322`), the `CustomTextCLIP` layout (`text.` prefix), and
     CoCa's extra `text_decoder.` keys.
     """
+    params, _ = _convert(state_dict, strict)
+    return params
+
+
+def _convert(state_dict: Mapping[str, Any], strict: bool = True):
     sd = normalize_state_dict_keys(state_dict)
     params: Dict[str, Any] = {}
+    batch_stats: Dict[str, Any] = {}
     unhandled = []
 
+    is_resnet = any(k.startswith("visual.layer1.") for k in sd)
     block_re = re.compile(r"^(resblocks|cross_attn)\.(\d+)\.(.+)$")
 
     for key, tensor in sd.items():
@@ -150,7 +217,9 @@ def convert_clip_state_dict(state_dict: Mapping[str, Any], strict: bool = True) 
             rest_key = ".".join(rest)
 
             if tower == "visual":
-                if rest[0] == "conv1":
+                if is_resnet:
+                    _convert_resnet_leaf(rest, tensor, params, batch_stats)
+                elif rest[0] == "conv1":
                     _set(params, ["visual", "conv1", "kernel"], _np(tensor).transpose(2, 3, 1, 0))
                 elif rest[0] in ("class_embedding", "positional_embedding", "proj"):
                     _set(params, ["visual", rest[0]], _np(tensor))
@@ -218,7 +287,7 @@ def convert_clip_state_dict(state_dict: Mapping[str, Any], strict: bool = True) 
 
     if unhandled and strict:
         raise ValueError(f"unconverted checkpoint keys: {unhandled[:20]}{'...' if len(unhandled) > 20 else ''}")
-    return params
+    return params, batch_stats
 
 
 def flax_params_to_torch_state_dict(params: Dict[str, Any], shared_text_namespace: bool = True) -> Dict[str, Any]:

@@ -166,18 +166,27 @@ def _merge_params(init_params, loaded, path=""):
 def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True):
     """Load a checkpoint (torch reference format or ours) into `variables`
     (reference `factory.py:218-277`)."""
+    from .convert import convert_clip_variables
+
     state_dict = load_state_dict(checkpoint_path)
     if any(k.startswith(("visual.", "text.")) or k == "logit_scale" for k in state_dict):
-        loaded = convert_clip_state_dict(state_dict, strict=strict)
+        loaded = convert_clip_variables(state_dict, strict=strict)
     else:
         raise ValueError(f"unrecognized checkpoint layout in {checkpoint_path}")
-    params, missing, unexpected = _merge_params(variables["params"], loaded)
+    params, missing, unexpected = _merge_params(variables["params"], loaded["params"])
     if strict and (missing or unexpected):
         raise ValueError(
             f"checkpoint mismatch: missing={missing[:10]} unexpected={unexpected[:10]}"
         )
     new_vars = dict(variables)
     new_vars["params"] = params
+    if "batch_stats" in loaded and "batch_stats" in variables:
+        bs, bs_missing, bs_unexpected = _merge_params(
+            variables["batch_stats"], loaded["batch_stats"]
+        )
+        new_vars["batch_stats"] = bs
+        missing += bs_missing
+        unexpected += bs_unexpected
     return new_vars, (missing, unexpected)
 
 

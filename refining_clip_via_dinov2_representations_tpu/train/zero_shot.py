@@ -1,0 +1,86 @@
+"""ImageNet zero-shot evaluation (`src/open_clip_train/zero_shot.py`).
+
+Builds the 80-template prompt-ensemble classifier once per eval, then scores
+`100 · image_features @ classifier` per batch with a jitted forward.
+Frequency-gated like the reference (`zero_shot.py:45-52`).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval._imagenet_metadata import (
+    IMAGENET_CLASSNAMES,
+    OPENAI_IMAGENET_TEMPLATES,
+)
+from ..eval.zero_shot_classifier import build_zero_shot_classifier
+
+
+def accuracy(logits: np.ndarray, target: np.ndarray, topk=(1,)):
+    """Top-k correct counts (`zero_shot.py:11-14`)."""
+    order = np.argsort(-logits, axis=1)
+    out = []
+    for k in topk:
+        hit = (order[:, :k] == target[:, None]).any(axis=1)
+        out.append(float(hit.sum()))
+    return out
+
+
+def run(model, variables, classifier, dataloader, args):
+    @jax.jit
+    def score(images):
+        feats = model.apply(variables, images, method="encode_image", normalize=True)
+        return 100.0 * feats @ classifier
+
+    top1 = top5 = n = 0.0
+    for batch in dataloader:
+        images = jnp.asarray(batch["images"])
+        target = np.asarray(batch["labels"])
+        logits = np.asarray(score(images))
+        acc1, acc5 = accuracy(logits, target, topk=(1, 5))
+        top1 += acc1
+        top5 += acc5
+        n += images.shape[0]
+    return top1 / n, top5 / n
+
+
+def zero_shot_eval(model, variables, data, epoch, args, tokenizer=None) -> Dict[str, float]:
+    if "imagenet-val" not in data and "imagenet-v2" not in data:
+        return {}
+    if args.zeroshot_frequency == 0:
+        return {}
+    if (epoch % args.zeroshot_frequency) != 0 and epoch != args.epochs:
+        return {}
+
+    logging.info("Starting zero-shot imagenet.")
+    if tokenizer is None:
+        from ..models import get_tokenizer
+
+        tokenizer = get_tokenizer(args.model)
+
+    logging.info("Building zero-shot classifier")
+    classifier = build_zero_shot_classifier(
+        model,
+        variables,
+        tokenizer=tokenizer,
+        classnames=IMAGENET_CLASSNAMES,
+        templates=OPENAI_IMAGENET_TEMPLATES,
+        num_classes_per_batch=10,
+    )
+
+    results = {}
+    if "imagenet-val" in data:
+        top1, top5 = run(model, variables, classifier, data["imagenet-val"].dataloader, args)
+        results["imagenet-zeroshot-val-top1"] = top1
+        results["imagenet-zeroshot-val-top5"] = top5
+    if "imagenet-v2" in data:
+        top1, top5 = run(model, variables, classifier, data["imagenet-v2"].dataloader, args)
+        results["imagenetv2-zeroshot-val-top1"] = top1
+        results["imagenetv2-zeroshot-val-top5"] = top5
+    logging.info("Finished zero-shot imagenet.")
+    return results

@@ -36,6 +36,40 @@ def _install_stubs():
 
             stub.fix_text = lambda s: unicodedata.normalize("NFC", s)
 
+    if "braceexpand" not in sys.modules:
+        try:
+            import braceexpand  # noqa: F401
+        except ImportError:
+            stub = _stub_module("braceexpand")
+            stub.braceexpand = lambda s: iter([s])
+
+    if "webdataset" not in sys.modules:
+        try:
+            import webdataset  # noqa: F401
+        except ImportError:
+            wds = _stub_module("webdataset")
+            filters = _stub_module("webdataset.filters")
+            shardlists = _stub_module("webdataset.shardlists")
+            utils = _stub_module("webdataset.utils")
+
+            class PipelineStage:  # minimal base for detshuffle2 et al.
+                pass
+
+            wds.PipelineStage = PipelineStage
+            wds.utils = utils
+            wds.shardlists = shardlists
+            filters._shuffle = lambda *a, **k: None
+            utils.pytorch_worker_seed = lambda: 0
+            shardlists.expand_urls = lambda urls: [urls]
+            wds.filters = filters
+            wds.__path__ = []
+            tariterators = _stub_module("webdataset.tariterators")
+            tariterators.base_plus_ext = lambda p: (p, "")
+            tariterators.url_opener = lambda *a, **k: iter(())
+            tariterators.tar_file_expander = lambda *a, **k: iter(())
+            tariterators.valid_sample = lambda s: True
+            wds.tariterators = tariterators
+
     if "torchvision" not in sys.modules:
         try:
             import torchvision  # noqa: F401
@@ -54,6 +88,10 @@ def _install_stubs():
             misc.FrozenBatchNorm2d = FrozenBatchNorm2d
             ops.misc = misc
             tv.ops = ops
+            tv.__path__ = []  # mark as package so submodule imports resolve
+            datasets = _stub_module("torchvision.datasets")
+            datasets.ImageFolder = object
+            tv.datasets = datasets
 
 
 def _ensure_pkg():
@@ -69,6 +107,28 @@ def _ensure_pkg():
     train_pkg = importlib.util.module_from_spec(train_spec)
     train_pkg.__path__ = [REF_SRC + "/open_clip_train"]
     sys.modules["ref_open_clip_train"] = train_pkg
+
+    # some reference modules use absolute imports (`from open_clip_train import
+    # ...`); alias the canonical names to the same synthetic packages
+    sys.modules.setdefault("open_clip", pkg)
+    sys.modules.setdefault("open_clip_train", train_pkg)
+
+    # lazy attribute resolution for `from open_clip import X` without running
+    # the reference package __init__ (which needs torchvision)
+    def _pkg_getattr(name):
+        for mod_name in ("model", "tokenizer", "zero_shot_classifier",
+                         "zero_shot_metadata", "loss"):
+            mod = importlib.import_module(f"ref_open_clip.{mod_name}")
+            if hasattr(mod, name):
+                return getattr(mod, name)
+        if name in ("get_tokenizer", "create_model_and_transforms", "create_model"):
+            def _unavailable(*a, **k):
+                raise RuntimeError(f"reference factory.{name} not loadable in tests")
+
+            return _unavailable
+        raise AttributeError(name)
+
+    pkg.__getattr__ = _pkg_getattr
 
 
 def load_ref(module: str):
