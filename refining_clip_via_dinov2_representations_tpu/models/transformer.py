@@ -351,17 +351,23 @@ class TextTransformer(nn.Module):
         return self.context_length + (1 if self.embed_cls else 0)
 
     def _cls_mask(self, text: jnp.ndarray) -> jnp.ndarray:
-        """Mask padding for the appended CLS token (`transformer.py:1061-1070`).
+        """Pad mask for the appended CLS token (`transformer.py:1061-1070`).
 
-        Returns an additive [B, 1, L+1, L+1] mask blocking attention *to* pad
-        positions; the extra final column (the CLS slot itself) is open.
+        Exact reproduction of the reference's `build_cls_mask` F.pad
+        semantics, quirks included: only the LAST query row (the CLS
+        position) is masked, and the validity columns are shifted by one —
+        column 0 is always open and column k gates on token k-1. (Upstream
+        open_clip behaviour; required for checkpoint parity.)
         """
+        b, l = text.shape
         valid = text != self.pad_id  # [B, L]
-        valid = jnp.concatenate(
-            [valid, jnp.ones((text.shape[0], 1), bool)], axis=1
-        )  # [B, L+1] — CLS always attendable
-        add = jnp.where(valid[:, None, :], 0.0, -jnp.inf).astype(jnp.float32)
-        return add[:, None, None, :]  # broadcast over heads and query positions
+        # row for the CLS query: [True, valid[0], ..., valid[L-1]]
+        cls_row = jnp.concatenate([jnp.ones((b, 1), bool), valid], axis=1)  # [B, L+1]
+        # all other query rows are fully open
+        open_rows = jnp.ones((b, l, l + 1), bool)
+        mask_bool = jnp.concatenate([open_rows, cls_row[:, None, :]], axis=1)
+        add = jnp.where(mask_bool, 0.0, -jnp.inf).astype(jnp.float32)
+        return add[:, None, :, :]  # [B, 1, L+1, L+1]
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, deterministic: bool = True):
