@@ -49,7 +49,9 @@ def _flash_fwd_kernel(
     block_q = q_ref.shape[0]
     head_dim = q_ref.shape[1]
 
-    q = q_ref[:, :].astype(jnp.float32) * scale
+    # keep the MXU dots in the input dtype (bf16 2x faster than fp32);
+    # accumulate and renormalize in fp32
+    q = q_ref[:, :] * jnp.asarray(scale, q_ref.dtype)
 
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)       # running max
     l = jnp.zeros((block_q, 1), jnp.float32)               # running sum
@@ -66,13 +68,13 @@ def _flash_fwd_kernel(
 
     def body(ki, carry):
         m, l, acc = carry
-        k_tile = k_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
-        v_tile = v_ref[pl.ds(ki * block_k, block_k), :].astype(jnp.float32)
+        k_tile = k_ref[pl.ds(ki * block_k, block_k), :]
+        v_tile = v_ref[pl.ds(ki * block_k, block_k), :]
 
         s = jax.lax.dot_general(
             q, k_tile, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [bq, bk]
+        )  # [bq, bk] fp32 accumulation
 
         # mask padded keys (and causal future keys)
         key_idx = ki * block_k + jax.lax.broadcasted_iota(
@@ -91,7 +93,7 @@ def _flash_fwd_kernel(
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot_general(
-            p, v_tile, (((1,), (0,)), ((), ())),
+            p.astype(v_tile.dtype), v_tile, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc_new
@@ -172,13 +174,18 @@ _flash_attention.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 def flash_attention_compatible(q, k, v, mask) -> bool:
     """Kernel applicability: TPU backend, self/cross attention without a
-    dense mask (causal handled in-kernel), head_dim MXU-friendly."""
+    dense mask (causal handled in-kernel), head_dim MXU-friendly.
+
+    Length threshold is empirical: at the short sequences of this framework's
+    towers (77-257 tokens) XLA's fused attention beats this kernel (measured
+    ViT-B/16 fwd: XLA 132 ms vs kernel 226 ms at batch 256); the O(L²)
+    memory win only matters from ~512 tokens."""
     if not _HAS_PLTPU or jax.default_backend() != "tpu":
         return False
     if mask is not None:
         return False
     head_dim = q.shape[-1]
-    return head_dim <= 256 and q.shape[-2] >= 64
+    return head_dim <= 256 and q.shape[-2] >= 512
 
 
 def flash_mha(

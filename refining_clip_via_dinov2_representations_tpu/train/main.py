@@ -308,8 +308,21 @@ def main(args=None):
     # ---- final artifacts (`main.py:977-1098`) ----
     with open(os.path.join(log_base, "loss_steps.json"), "w") as f:
         json.dump(loss_steps, f)
+    _plot_loss_curves(loss_steps, log_base)
     with open(os.path.join(log_base, "final_itm_results.json"), "w") as f:
         json.dump(all_results, f, default=float)
+    if all_results and any(e["results"] for e in all_results):
+        try:
+            from ..eval.my_metrics import extract_and_plot_itm_scores
+
+            extract_and_plot_itm_scores(
+                os.path.join(log_base, "final_itm_results.json"),
+                os.path.join(log_base, "itm_recall_plot.png"),
+                os.path.join(log_base, "itm_similarity_plot.png"),
+                save_csv_path=os.path.join(log_base, "itm_scores.csv"),
+            )
+        except Exception as e:  # plots must never fail the run (main.py:1050-1053)
+            logging.warning("ITM plotting failed: %r", e)
     if best["epoch"] >= 0:
         with open(os.path.join(log_base, "best_metrics.json"), "w") as f:
             json.dump(best, f, default=float)
@@ -324,7 +337,57 @@ def main(args=None):
             )
         except ImportError:
             logging.info("torch unavailable; skipping interop export")
+
+    # ---- CLIP-blind post-training check (`main.py:1100-1149`) ----
+    if args.run_clip_blind and args.use_dino_general and dino_store is not None:
+        from ..eval.clip_blind import run_clip_blind_on_split
+
+        variables_final = {"params": state.params["model"]} if state else {
+            "params": variables["params"]
+        }
+        blind_dir = os.path.join(log_base, "clip_blind")
+        index_obj = {"path_to_index": dino_index_map or {}}
+        run_clip_blind_on_split(
+            "val", data, model, variables_final,
+            np.asarray(dino_store.features), index_obj, blind_dir,
+            max_images=args.clip_blind_max_images,
+        )
+        try:  # train-split failure is non-fatal (`main.py:1148-1149`)
+            run_clip_blind_on_split(
+                "train", data, model, variables_final,
+                np.asarray(dino_store.features), index_obj, blind_dir,
+                max_images=args.clip_blind_max_images,
+            )
+        except Exception as e:
+            logging.warning("[clip-blind] train-split check failed: %r", e)
     return best
+
+
+def _plot_loss_curves(loss_steps, log_base):
+    """Loss-vs-step PNG (`main.py:1001-1035`); never fails the run."""
+    if not loss_steps:
+        return
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        steps = [r["step"] for r in loss_steps]
+        plt.figure()
+        for key in ("total_loss", "classic_loss", "soft_loss", "weighted_loss",
+                    "contrastive_loss"):
+            vals = [r.get(key) for r in loss_steps]
+            if any(v is not None for v in vals):
+                plt.plot(steps, [v if v is not None else float("nan") for v in vals],
+                         label=key)
+        plt.xlabel("Step"); plt.ylabel("Loss")
+        plt.title("Training loss")
+        plt.legend(); plt.grid(True)
+        plt.savefig(os.path.join(log_base, "loss_curves.png"))
+        plt.close()
+    except Exception as e:
+        logging.warning("loss plotting failed: %r", e)
 
 
 def train_one_epoch(train_step, state, train_data, mesh, args, epoch):
