@@ -1,0 +1,89 @@
+"""Native (C++) host-side accelerators.
+
+Build on demand with g++ (no pybind11 — plain C ABI + ctypes). The first
+import attempts a cached build; failures degrade silently to the pure-Python
+implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_DIR, "_native.so")
+_SRC = os.path.join(_DIR, "bpe_tokenizer.cpp")
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO_PATH],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        logging.debug("native build failed: %r", e)
+        return False
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def load_native() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.bpe_create.restype = ctypes.c_void_p
+        lib.bpe_create.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+        lib.bpe_encode_word.restype = ctypes.c_int
+        lib.bpe_encode_word.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.bpe_destroy.argtypes = [ctypes.c_void_p]
+        _lib = lib
+        return lib
+    except OSError as e:
+        logging.debug("native load failed: %r", e)
+        return None
+
+
+class NativeBPE:
+    """ctypes wrapper over the C++ BPE core."""
+
+    MAX_IDS = 1024
+
+    def __init__(self, merges, vocab_tokens):
+        lib = load_native()
+        if lib is None:
+            raise RuntimeError("native BPE unavailable")
+        self._lib = lib
+        merges_blob = "\n".join(" ".join(m) for m in merges).encode("utf-8")
+        vocab_blob = "\n".join(vocab_tokens).encode("utf-8")
+        self._handle = lib.bpe_create(merges_blob, vocab_blob)
+        self._buf = (ctypes.c_int32 * self.MAX_IDS)()
+
+    def encode_word(self, mapped_word: str):
+        n = self._lib.bpe_encode_word(
+            self._handle, mapped_word.encode("utf-8"), self._buf, self.MAX_IDS
+        )
+        if n < 0:
+            raise ValueError("word produced too many tokens")
+        return list(self._buf[:n])
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.bpe_destroy(self._handle)
+        except Exception:
+            pass

@@ -166,6 +166,17 @@ class SimpleTokenizer:
         self.decoder = {i: tok for tok, i in self.encoder.items()}
         self.bpe_ranks = {m: i for i, m in enumerate(merges)}
         self._cache = {t: t for t in special_tokens}
+        self._special_tokens = set(special_tokens)
+
+        # optional native (C++) BPE core; silently falls back to Python
+        self._native = None
+        self._id_cache = {}
+        try:
+            from .native import NativeBPE
+
+            self._native = NativeBPE(merges, vocab)
+        except Exception:
+            pass
         special_alt = "|".join(special_tokens)
         self.pat = re.compile(
             special_alt + r"""|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+""",
@@ -221,6 +232,23 @@ class SimpleTokenizer:
     def encode(self, text: str) -> List[int]:
         ids: List[int] = []
         text = self.clean_fn(text)
+        if self._native is not None:
+            memo = self._id_cache
+            for token in re.findall(self.pat, text):
+                hit = memo.get(token)
+                if hit is not None:
+                    ids.extend(hit)
+                    continue
+                if token in self._special_tokens:
+                    word_ids = [self.encoder[token]]  # specials bypass BPE
+                else:
+                    mapped = "".join(
+                        self.byte_encoder[b] for b in token.encode("utf-8")
+                    )
+                    word_ids = self._native.encode_word(mapped)
+                memo[token] = word_ids
+                ids.extend(word_ids)
+            return ids
         for token in re.findall(self.pat, text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
             ids.extend(self.encoder[t] for t in self.bpe(token).split(" "))

@@ -1,0 +1,82 @@
+"""Experiment tracking: TensorBoard + MLflow.
+
+Reference behaviour (`src/open_clip_train/train.py:455-533`,
+`main.py:123-189,457-466`): TensorBoard scalars under train/* and val/*
+every `--log-every-n-steps`; MLflow is env-gated (MLFLOW_ENABLE /
+MLFLOW_TRACKING_URI / MLFLOW_EXPERIMENT) and receives params, per-epoch
+metrics (names sanitized — '@' is illegal), and artifacts.
+
+Both backends are optional: TensorBoard writes through tf.summary when
+tensorflow is importable, MLflow when mlflow is importable; otherwise the
+tracker degrades to a no-op with one warning.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+from .helpers import sanitize_metric_name
+
+
+class Tracker:
+    """Facade over TensorBoard + MLflow with the reference's key names."""
+
+    def __init__(self, log_dir: str, args=None, enable_tb: bool = True):
+        self._tb = None
+        self._mlflow = None
+
+        if enable_tb:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(log_dir, "tensorboard")
+                )
+            except ImportError:
+                logging.warning("tensorboard logging unavailable (no tensorflow)")
+
+        if os.environ.get("MLFLOW_ENABLE"):
+            try:
+                import mlflow
+
+                uri = os.environ.get("MLFLOW_TRACKING_URI")
+                if uri:
+                    mlflow.set_tracking_uri(uri)
+                mlflow.set_experiment(os.environ.get("MLFLOW_EXPERIMENT", "open_clip_tpu"))
+                mlflow.start_run(run_name=getattr(args, "name", None))
+                self._mlflow = mlflow
+                if args is not None:
+                    params = {
+                        k: str(v)[:500] for k, v in sorted(vars(args).items())
+                    }
+                    # mlflow caps batch size; chunk
+                    items = list(params.items())
+                    for i in range(0, len(items), 90):
+                        mlflow.log_params(dict(items[i : i + 90]))
+            except ImportError:
+                logging.warning("MLFLOW_ENABLE set but mlflow not importable")
+
+    def log_scalars(self, metrics: Dict[str, float], step: int, prefix: str = "train"):
+        named = {f"{prefix}/{k}": float(v) for k, v in metrics.items()}
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in named.items():
+                    tf.summary.scalar(k, v, step=step)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {sanitize_metric_name(k): v for k, v in named.items()}, step=step
+            )
+
+    def log_artifact(self, path: str):
+        if self._mlflow is not None and os.path.exists(path):
+            self._mlflow.log_artifact(path)
+
+    def finish(self):
+        if self._tb is not None:
+            self._tb.close()
+        if self._mlflow is not None:
+            self._mlflow.end_run()

@@ -104,6 +104,12 @@ def main(args=None):
     mesh = create_mesh(model=args.mesh_model_axis)
     log_mesh(mesh)
 
+    from .loggers import Tracker
+
+    tracker = Tracker(
+        log_base, args, enable_tb="tensorboard" in (args.report_to or "")
+    )
+
     # ---- model + transforms ----
     model, variables, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model,
@@ -270,7 +276,7 @@ def main(args=None):
     for epoch in range(start_epoch, args.epochs):
         logging.info("Start epoch %d", epoch)
         state, epoch_records = train_one_epoch(
-            train_step, state, data["train"], mesh, args, epoch
+            train_step, state, data["train"], mesh, args, epoch, tracker=tracker
         )
         loss_steps.extend(epoch_records)
         completed_epoch = epoch + 1
@@ -283,6 +289,10 @@ def main(args=None):
             )
             if m:
                 epoch_results.append({"val_name": key, "metrics": m})
+                tracker.log_scalars(
+                    {k: v for k, v in m.items() if isinstance(v, (int, float))},
+                    step=completed_epoch, prefix=f"val/{key}",
+                )
         all_results.append({"epoch": completed_epoch, "results": epoch_results})
 
         score, tie = epoch_retrieval_score(epoch_results)
@@ -329,6 +339,14 @@ def main(args=None):
         logging.info(
             "Best epoch %d with retrieval score %.4f", best["epoch"], best["score"]
         )
+        tracker.log_scalars(
+            {"retrieval_score": best["score"], "epoch": best["epoch"]},
+            step=args.epochs, prefix="best",
+        )
+    for artifact in ("loss_steps.json", "final_itm_results.json", "best_metrics.json",
+                     "loss_curves.png", "itm_recall_plot.png", "itm_scores.csv"):
+        tracker.log_artifact(os.path.join(log_base, artifact))
+    tracker.finish()
     if state is not None:
         try:
             export_torch_checkpoint(
@@ -390,7 +408,7 @@ def _plot_loss_curves(loss_steps, log_base):
         logging.warning("loss plotting failed: %r", e)
 
 
-def train_one_epoch(train_step, state, train_data, mesh, args, epoch):
+def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=None):
     """One epoch of the hot loop (`train.py:145-584`): iterate, shard, step,
     meter samples/s, log every `--log-every-n-steps`."""
     import jax
@@ -445,6 +463,8 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch):
                 m.get("logit_scale", float("nan")), ips, data_time,
             )
             records.append({"step": step, "epoch": epoch, **m})
+            if tracker is not None:
+                tracker.log_scalars({**m, "samples_per_s": ips}, step=step)
     return state, records
 
 
