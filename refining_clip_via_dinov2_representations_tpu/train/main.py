@@ -260,6 +260,9 @@ def main(args=None):
         for name in sorted(vars(args)):
             f.write(f"{name}: {getattr(args, name)}\n")
 
+    if args.copy_codebase:
+        _copy_codebase(log_base)
+
     # eval-only path (`main.py:808-822`)
     eval_keys = [k for k in ("val", "flickr30k-val", "mscoco-val") if k in data]
     if "train" not in data:
@@ -381,6 +384,22 @@ def main(args=None):
     return best
 
 
+def _copy_codebase(log_base):
+    """Snapshot the framework source into the run dir (`main.py:1170-1187`)."""
+    import shutil
+
+    src = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    dst = os.path.join(log_base, "code", os.path.basename(src))
+    if os.path.exists(dst):
+        logging.info("codebase copy exists at %s; skipping", dst)
+        return
+    shutil.copytree(
+        src, dst,
+        ignore=shutil.ignore_patterns("__pycache__", "*.so", "assets"),
+    )
+    logging.info("copied codebase to %s", dst)
+
+
 def _plot_loss_curves(loss_steps, log_base):
     """Loss-vs-step PNG (`main.py:1001-1035`); never fails the run."""
     if not loss_steps:
@@ -423,6 +442,14 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
     accum = max(1, args.accum_freq)
     micro = []
 
+    profiling = bool(getattr(args, "profile", False)) and epoch == 0
+    if profiling:
+        import jax.profiler
+
+        trace_dir = os.path.join(args.logs, args.name, "profile")
+        jax.profiler.start_trace(trace_dir)
+        logging.info("jax.profiler trace -> %s", trace_dir)
+
     num_batches = getattr(loader, "num_batches", None)
     for i, batch in enumerate(loader):
         batch = {
@@ -448,6 +475,11 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
             state, metrics = train_step(state, sharded)
 
         step = int(state.step)
+        if profiling and step >= getattr(args, "profile_steps", 5):
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            profiling = False
         bsz = batch["images"].shape[-4] * accum
         samples += bsz
         batch_time = time.time() - t_end
@@ -465,6 +497,10 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
             records.append({"step": step, "epoch": epoch, **m})
             if tracker is not None:
                 tracker.log_scalars({**m, "samples_per_s": ips}, step=step)
+    if profiling:
+        import jax.profiler
+
+        jax.profiler.stop_trace()
     return state, records
 
 

@@ -180,6 +180,9 @@ def parse_args(args=None):
     parser.add_argument("--wandb-notes", type=str, default="")
     parser.add_argument("--wandb-project-name", type=str, default="open-clip")
     parser.add_argument("--copy-codebase", default=False, action="store_true")
+    parser.add_argument("--profile", default=False, action="store_true",
+                        help="[tpu] capture a jax.profiler trace of early train steps")
+    parser.add_argument("--profile-steps", type=int, default=5)
     parser.add_argument("--debug", default=False, action="store_true")
     parser.add_argument("--run_clip_blind", default=False, action="store_true")
     parser.add_argument("--clip_blind_max_images", type=int, default=2000)
