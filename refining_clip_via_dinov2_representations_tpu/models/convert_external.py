@@ -1,0 +1,160 @@
+"""External checkpoint-format converters (`src/open_clip/convert.py`).
+
+* big_vision SigLIP `.npz` → our flax text tower. big_vision is itself JAX,
+  so unlike the reference (which transposes everything into torch layouts,
+  `convert.py:13-156`) the kernels map 1:1; only the per-head attention
+  tensors need fusing into our `(D, 3D)` fused-QKV layout. The SigLIP image
+  side targets timm towers in the reference; a native SigLIP vision port is
+  tracked for the next round — `load_big_vision_weights` converts the text
+  tower and logit scale/bias and reports what it skipped.
+
+* MobileCLIP text encoder → open_clip key layout (`convert.py:158-197`).
+  The text-side renames are mechanical and implemented here; the image side
+  requires timm's FastViT checkpoint filter and raises with guidance.
+
+* `convert_state_dict` — detection/dispatch mirroring `convert.py:199-206`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def _fuse_qkv(q_k, k_k, v_k, q_b, k_b, v_b) -> Tuple[np.ndarray, np.ndarray]:
+    """big_vision attention params [D, H, Dh] (+bias [H, Dh]) → fused
+    (D, 3D) kernel + (3D,) bias."""
+    d = q_k.shape[0]
+    kernel = np.concatenate(
+        [t.reshape(d, -1) for t in (q_k, k_k, v_k)], axis=1
+    ).astype(np.float32)
+    bias = np.concatenate([t.reshape(-1) for t in (q_b, k_b, v_b)]).astype(np.float32)
+    return kernel, bias
+
+
+def load_big_vision_text_params(npz: Mapping[str, np.ndarray], prefix: str = "params/txt/") -> Dict[str, Any]:
+    """Map the `txt/` side of a big_vision SigLIP checkpoint onto our
+    TextTransformer param tree (no_causal_mask, pool 'last', Dense
+    text_projection — the SigLIP text config)."""
+    def g(key):
+        for cand in (prefix + key, "txt/" + key, key):
+            if cand in npz:
+                return np.asarray(npz[cand], np.float32)
+        raise KeyError(prefix + key)
+
+    params: Dict[str, Any] = {
+        "token_embedding": {"embedding": g("Embed_0/embedding")},
+        "positional_embedding": g("pos_embedding").reshape(-1, g("Embed_0/embedding").shape[1]),
+        "ln_final": {"scale": g("Encoder_0/encoder_norm/scale"),
+                     "bias": g("Encoder_0/encoder_norm/bias")},
+        "text_projection": {"kernel": g("head/kernel"), "bias": g("head/bias")},
+        "transformer": {},
+    }
+
+    i = 0
+    while True:
+        bp = f"Encoder_0/encoderblock_{i}/"
+        try:
+            ln1s = g(bp + "LayerNorm_0/scale")
+        except KeyError:
+            break
+        mha = bp + "MultiHeadDotProductAttention_0/"
+        kernel, bias = _fuse_qkv(
+            g(mha + "query/kernel"), g(mha + "key/kernel"), g(mha + "value/kernel"),
+            g(mha + "query/bias"), g(mha + "key/bias"), g(mha + "value/bias"),
+        )
+        d = kernel.shape[0]
+        out_k = g(mha + "out/kernel").reshape(d, d)
+        params["transformer"][f"resblocks_{i}"] = {
+            "ln_1": {"scale": ln1s, "bias": g(bp + "LayerNorm_0/bias")},
+            "attn": {
+                "in_proj_kernel": kernel,
+                "in_proj_bias": bias,
+                "out_proj": {"kernel": out_k, "bias": g(mha + "out/bias")},
+            },
+            "ln_2": {"scale": g(bp + "LayerNorm_1/scale"),
+                     "bias": g(bp + "LayerNorm_1/bias")},
+            "mlp": {
+                "c_fc": {"kernel": g(bp + "MlpBlock_0/Dense_0/kernel"),
+                         "bias": g(bp + "MlpBlock_0/Dense_0/bias")},
+                "c_proj": {"kernel": g(bp + "MlpBlock_0/Dense_1/kernel"),
+                           "bias": g(bp + "MlpBlock_0/Dense_1/bias")},
+            },
+        }
+        i += 1
+    return params
+
+
+def load_big_vision_weights(checkpoint_path: str) -> Dict[str, Any]:
+    """Partial big_vision SigLIP load: text tower + logit scale/bias
+    (`convert.py:13-156`). Returns a flax param fragment
+    {'text': ..., 'logit_scale': ..., 'logit_bias': ...}; the timm-style
+    image tower is not yet ported natively."""
+    npz = np.load(checkpoint_path)
+    keys = set(npz.keys())
+    prefix = "params/" if any(k.startswith("params/") for k in keys) else ""
+    out: Dict[str, Any] = {"text": load_big_vision_text_params(npz, prefix + "txt/")}
+    for name, key in (("logit_scale", "t"), ("logit_bias", "b")):
+        for cand in (prefix + key, key):
+            if cand in keys:
+                out[name] = np.asarray(npz[cand], np.float32).reshape(())
+    skipped = sorted(k for k in keys if "/img/" in f"/{k}" or k.startswith(prefix + "img/"))
+    if skipped:
+        import logging
+
+        logging.warning(
+            "big_vision image tower (%d tensors) not converted — native SigLIP "
+            "vision tower pending; text tower + logit scale loaded.", len(skipped),
+        )
+    return out
+
+
+def convert_mobileclip_text_state_dict(
+    state_dict: Mapping[str, Any], prefix: str = "text_encoder."
+) -> Dict[str, Any]:
+    """MobileCLIP text-encoder keys → open_clip layout (`convert.py:169-190`),
+    consumable by `convert_clip_state_dict`."""
+    text_dict: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        k = k.replace("projection_layer", "text_projection")
+        k = k.replace("embedding_layer", "token_embedding")
+        if k.startswith("positional_embedding.pos_embed.pos_embed"):
+            k = k.replace("positional_embedding.pos_embed.pos_embed", "positional_embedding")
+            v = np.asarray(v).squeeze()
+        k = k.replace("final_layer_norm", "ln_final")
+        k = k.replace("pre_norm_mha.0", "ln_1")
+        k = k.replace("pre_norm_mha.1", "attn")
+        k = k.replace("pre_norm_ffn.0", "ln_2")
+        k = k.replace("pre_norm_ffn.1", "mlp.c_fc")
+        k = k.replace("pre_norm_ffn.4", "mlp.c_proj")
+        k = k.replace("qkv_proj.weight", "in_proj_weight")
+        k = k.replace("qkv_proj.bias", "in_proj_bias")
+        k = k.replace("transformer.", "transformer.resblocks.")
+        text_dict["text." + k] = v
+    return text_dict
+
+
+_MOBILECLIP_S_KEY = "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight"
+_MOBILECLIP_B_KEY = "image_encoder.model.patch_emb.0.block.conv.weight"
+
+
+def convert_state_dict(model_cfg, state_dict: Mapping[str, Any]) -> Mapping[str, Any]:
+    """Auto-detect external layouts (`convert.py:199-206`)."""
+    if _MOBILECLIP_S_KEY in state_dict or _MOBILECLIP_B_KEY in state_dict:
+        text = convert_mobileclip_text_state_dict(state_dict)
+        if not text:
+            raise ValueError("MobileCLIP checkpoint detected but no text_encoder keys found")
+        if "logit_scale" in state_dict:
+            text["logit_scale"] = state_dict["logit_scale"]
+        import logging
+
+        logging.warning(
+            "MobileCLIP image tower (FastViT) has no native port yet; converted "
+            "the text encoder + logit_scale only."
+        )
+        return text
+    return state_dict
