@@ -60,6 +60,10 @@ def main(args=None):
 
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.debug:
+        # numerical sanity monitor (SURVEY §5 "race detection" analogue):
+        # raise on the first NaN-producing op instead of training through it
+        jax.config.update("jax_debug_nans", True)
 
     import jax.numpy as jnp
 
@@ -103,6 +107,12 @@ def main(args=None):
 
     mesh = create_mesh(model=args.mesh_model_axis)
     log_mesh(mesh)
+    data_axis = mesh.shape["data"]
+    if args.batch_size % data_axis != 0:
+        raise ValueError(
+            f"--batch-size {args.batch_size} must be divisible by the data-axis "
+            f"size {data_axis} (global batch is sharded across the mesh)"
+        )
 
     from .loggers import Tracker
 

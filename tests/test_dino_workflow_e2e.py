@@ -1,0 +1,99 @@
+"""Full thesis workflow end-to-end: precompute DINO features from a CSV →
+train with --use_dino_general consuming them → CLIP-blind artifacts."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from refining_clip_via_dinov2_representations_tpu.models import register_model_config
+
+torch = pytest.importorskip("torch")
+
+TINY = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 28, "patch_size": 14, "width": 32, "layers": 2,
+                   "head_width": 16},
+    "text_cfg": {"context_length": 12, "vocab_size": 49408, "width": 32, "heads": 4,
+                 "layers": 2},
+}
+register_model_config("tiny-dino-flow", TINY)
+
+
+@pytest.fixture()
+def tiny_teacher(monkeypatch):
+    from transformers import Dinov2Config, Dinov2Model
+
+    from refining_clip_via_dinov2_representations_tpu.models import dinov2 as dv
+
+    torch.manual_seed(0)
+    hf = Dinov2Model(Dinov2Config(hidden_size=32, num_hidden_layers=2,
+                                  num_attention_heads=4, mlp_ratio=2,
+                                  patch_size=14, image_size=28))
+    model = dv.Dinov2(cfg=dv.Dinov2Cfg(hidden_size=32, layers=2, heads=4,
+                                       mlp_ratio=2, native_image_size=28))
+    variables = {"params": dv.convert_dinov2_state_dict(hf.state_dict())}
+
+    def fake_load(name, dtype=None, cache_dir=None):
+        return model, variables
+
+    monkeypatch.setattr(dv, "load_dinov2_model", fake_load)
+    from refining_clip_via_dinov2_representations_tpu.eval import extract_dino_features
+
+    # the CLI imports the symbol from models.dinov2 at call time via module
+    return model, variables
+
+
+def test_dino_precompute_then_train(tmp_path, tiny_teacher):
+    import pandas as pd
+
+    # dataset: 8 images x 1 caption
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(8):
+        p = tmp_path / f"img_{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (30, 30, 3), dtype=np.uint8)).save(p)
+        rows.append({"filepath": str(p), "title": f"a photo number {i}"})
+    csv = tmp_path / "train.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    # 1) precompute teacher features + index map
+    from refining_clip_via_dinov2_representations_tpu.eval.extract_dino_features import (
+        main as extract_main,
+    )
+
+    feats_path = tmp_path / "dino_feats.npy"
+    map_path = tmp_path / "dino_map.json"
+    extract_main([
+        "--csv", str(csv), "--out-feats", str(feats_path), "--out-map", str(map_path),
+        "--image-size", "28", "--batch-size", "4",
+    ])
+    feats = np.load(feats_path)
+    assert feats.shape == (8, 32)
+    index_map = json.loads(map_path.read_text())["path_to_index"]
+    assert len(index_map) == 8
+
+    # 2) train consuming the artifacts (csv mode + use_dino_general)
+    from refining_clip_via_dinov2_representations_tpu.train.main import main as train_main
+
+    train_main([
+        "--model", "tiny-dino-flow",
+        "--train-data", str(csv), "--val-data", str(csv),
+        "--dataset-type", "csv",
+        "--csv-img-key", "filepath", "--csv-caption-key", "title",
+        "--batch-size", "8", "--epochs", "1", "--warmup", "1",
+        "--precision", "fp32",
+        "--use_dino_general", "--soft_mode", "kl_teacher", "--lambda_soft", "0.5",
+        "--dino_fts_path", str(feats_path),
+        "--dino_index_map_path", str(map_path),
+        "--logs", str(tmp_path / "logs"), "--name", "flow",
+        "--log-every-n-steps", "1", "--workers", "2",
+        "--zeroshot-frequency", "0",
+    ])
+    steps = json.loads((tmp_path / "logs" / "flow" / "loss_steps.json").read_text())
+    assert steps and any(s.get("soft_loss", 0) > 0 for s in steps), (
+        "DINO soft loss never engaged — features/map not consumed"
+    )
