@@ -44,9 +44,33 @@ def _build_vision_tower(
     name: str = "visual",
 ) -> nn.Module:
     if cfg.timm_model_name is not None:
+        from .siglip import SiglipVisionCfg, SiglipVisionTower, parse_siglip_timm_name
+
+        dims = parse_siglip_timm_name(cfg.timm_model_name)
+        if dims is not None:
+            if dims["width"] != embed_dim and (cfg.timm_proj in (None, "none")):
+                raise NotImplementedError(
+                    f"SigLIP tower {cfg.timm_model_name!r} width {dims['width']} != "
+                    f"embed_dim {embed_dim} without a projection"
+                )
+            # honor the config's image_size override (e.g. -378 variants)
+            img = to_2tuple(cfg.image_size)[0]
+            return SiglipVisionTower(
+                cfg=SiglipVisionCfg(
+                    width=dims["width"], layers=dims["layers"], heads=dims["heads"],
+                    mlp_dim=dims["mlp_dim"], patch_size=dims["patch_size"],
+                    image_size=img,
+                ),
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
         raise NotImplementedError(
             f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port yet; "
-            "use a ViT/ResNet config (reference: src/open_clip/timm_model.py)"
+            "native ports exist for vit_*_siglip_* names "
+            "(reference: src/open_clip/timm_model.py)"
         )
     if cfg.is_resnet:
         from .resnet import ModifiedResNet

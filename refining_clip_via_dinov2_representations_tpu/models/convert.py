@@ -197,6 +197,14 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
     unhandled = []
 
     is_resnet = any(k.startswith("visual.layer1.") for k in sd)
+    is_timm_trunk = any(k.startswith("visual.trunk.") for k in sd)
+    if is_timm_trunk:
+        # SigLIP-style hub checkpoint: timm vision trunk + custom text tower
+        from .siglip import convert_timm_siglip_vision_state_dict
+
+        params["visual"] = convert_timm_siglip_vision_state_dict(sd)
+        sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
+
     block_re = re.compile(r"^(resblocks|cross_attn)\.(\d+)\.(.+)$")
 
     for key, tensor in sd.items():
