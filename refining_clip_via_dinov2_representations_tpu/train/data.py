@@ -508,17 +508,50 @@ def get_synthetic_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, d
     return DataInfo(loader)
 
 
+class _SubsetDataset:
+    def __init__(self, dataset, indices):
+        self.dataset = dataset
+        self.indices = list(indices)
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, i):
+        return self.dataset[self.indices[i]]
+
+
 def get_imagenet(args, preprocess_fns, split: str):
-    """(`data.py:266-310`) — ImageNet val/v2 folders; v2 uses the same folder
-    reader pointed at the imagenet-v2 directory."""
-    _, preprocess_val = preprocess_fns
-    root = args.imagenet_val if split == "val" else args.imagenet_v2
-    dataset = ImageFolderDataset(root, transform=preprocess_val)
+    """(`data.py:266-310`) — ImageNet train/val/v2 folders. 'train' draws the
+    reference's 50-shot-per-class random subset; 'v2' points the same folder
+    reader at the imagenet-v2 directory."""
+    assert split in ("train", "val", "v2")
+    preprocess_train, preprocess_val = preprocess_fns
+    is_train = split == "train"
+    root = {
+        "train": getattr(args, "imagenet_train", None),
+        "val": args.imagenet_val,
+        "v2": args.imagenet_v2,
+    }[split]
+    assert root, f"no path configured for imagenet split {split}"
+    dataset = ImageFolderDataset(
+        root, transform=preprocess_train if is_train else preprocess_val
+    )
+    if is_train:
+        # k-shot subsample: 50 random images per class (`data.py:286-299`)
+        k = 50
+        targets = np.asarray([lbl for _, lbl in dataset.samples])
+        rng = np.random.default_rng(getattr(args, "seed", 0))
+        keep = []
+        for c in np.unique(targets):
+            idxs = np.where(targets == c)[0]
+            rng.shuffle(idxs)
+            keep.extend(idxs[:k].tolist())
+        dataset = _SubsetDataset(dataset, sorted(keep))
     loader = Loader(
         dataset,
         batch_size=args.batch_size,
         num_workers=getattr(args, "workers", 8),
-        shuffle=False,
+        shuffle=is_train,
     )
     loader.num_samples = len(dataset)
     loader.num_batches = len(loader)

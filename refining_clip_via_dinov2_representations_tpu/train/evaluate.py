@@ -29,9 +29,21 @@ def _encode_fn(model):
     @jax.jit
     def encode(variables, images, texts):
         out = model.apply(variables, images, texts)
-        return out["image_features"], out["text_features"], out["logit_scale"]
+        gen_loss = maybe_compute_generative_loss(out)
+        return out["image_features"], out["text_features"], out["logit_scale"], gen_loss
 
     return encode
+
+
+def maybe_compute_generative_loss(model_out):
+    """CoCa caption CE when logits/labels present (`train.py:869-873`)."""
+    if "logits" in model_out and "labels" in model_out:
+        logits = model_out["logits"].astype(jnp.float32)
+        labels = model_out["labels"]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        return -jnp.mean(picked)
+    return jnp.zeros(())
 
 
 def evaluate(
@@ -64,14 +76,16 @@ def evaluate(
     all_img, all_txt, all_ids = [], [], []
     path2id: Dict[str, int] = {}
     cumulative_loss = 0.0
+    cumulative_gen_loss = 0.0
     num_samples = 0
     logit_scale = 1.0
 
     for i, batch in enumerate(loader):
         images = jnp.asarray(batch["images"])
         texts = jnp.asarray(batch["texts"])
-        img_f, txt_f, scale = encode(variables, images, texts)
+        img_f, txt_f, scale, gen_loss = encode(variables, images, texts)
         logit_scale = float(scale)
+        cumulative_gen_loss += float(gen_loss) * images.shape[0]
 
         all_img.append(np.asarray(img_f, np.float32))
         all_txt.append(np.asarray(txt_f, np.float32))
@@ -109,6 +123,8 @@ def evaluate(
             "num_samples": num_samples,
         }
     )
+    if cumulative_gen_loss != 0.0 and num_samples > 0:
+        metrics["val_generative_loss"] = cumulative_gen_loss / num_samples
     logging.info(
         "Eval Epoch: %d %s",
         epoch,

@@ -55,6 +55,7 @@ def parse_args(args=None):
     parser.add_argument("--csv-caption-key", type=str, default="title")
     parser.add_argument("--imagenet-val", type=str, default=None)
     parser.add_argument("--imagenet-v2", type=str, default=None)
+    parser.add_argument("--imagenet-train", type=str, default=None)
     parser.add_argument("--cache-dir", type=str, default=None)
     parser.add_argument("--workers", type=int, default=8)
     parser.add_argument("--batch-size", type=int, default=64)

@@ -137,6 +137,12 @@ def load_ref(module: str):
     return importlib.import_module(f"ref_open_clip.{module}")
 
 
+def load_ref_train(module: str):
+    """Import e.g. load_ref_train('scheduler') -> src/open_clip_train/scheduler.py."""
+    _ensure_pkg()
+    return importlib.import_module(f"ref_open_clip_train.{module}")
+
+
 def reference_available() -> bool:
     import os
 
