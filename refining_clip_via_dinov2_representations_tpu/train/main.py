@@ -248,6 +248,7 @@ def main(args=None):
             lambda_cyc_crossmodal=args.lambda_cyc_crossmodal,
             use_patch_dropout=bool(args.force_patch_dropout),
             log_grad_norm=bool(args.grad_clip_norm) or args.debug,
+            siglip_dist_impl=args.loss_dist_impl or "gather",
         )
         train_step = make_train_step(
             model, tx, step_cfg,

@@ -234,3 +234,88 @@ def _lookup_label(labels, path):
         key = p.key if hasattr(p, "key") else str(p)
         node = node[key]
     return node
+
+
+# ---------------------------------------------------------------------------
+# Fused per-group AdamW: flatten each group's leaves into one vector so the
+# optimizer runs a handful of large elementwise kernels instead of thousands
+# of per-tensor ops (constant per-step overhead matters at small batch).
+# Numerics are identical to the unfused path for equal group hyperparams.
+# ---------------------------------------------------------------------------
+
+def build_fused_optimizer(
+    params: Dict[str, Any],
+    cfg: OptimCfg,
+    schedule: Schedule,
+    base_lr: Optional[float] = None,
+) -> Tuple[optax.GradientTransformation, Dict[str, Any]]:
+    import numpy as np
+
+    base_lr = base_lr if base_lr is not None else (cfg.lr if cfg.lr is not None else 5e-5)
+    labels = label_params(params, cfg)
+
+    leaves_with_path = jax.tree_util.tree_leaves_with_path(params)
+    treedef = jax.tree_util.tree_structure(params)
+    leaf_labels = [_lookup_label(labels, p) for p, _ in leaves_with_path]
+    groups = sorted({l for l in leaf_labels if l != "frozen"})
+    group_slots = {g: [i for i, l in enumerate(leaf_labels) if l == g] for g in groups}
+    leaf_sizes = [int(np.prod(v.shape)) for _, v in leaves_with_path]
+    lrs = group_base_lrs(cfg)
+
+    def _flatten_group(leaves, slots):
+        return jnp.concatenate([leaves[i].ravel().astype(jnp.float32) for i in slots])
+
+    def init_fn(params):
+        leaves = jax.tree_util.tree_leaves(params)
+        return {
+            g: {
+                "m": jnp.zeros(sum(leaf_sizes[i] for i in group_slots[g]), jnp.float32),
+                "v": jnp.zeros(sum(leaf_sizes[i] for i in group_slots[g]), jnp.float32),
+            }
+            for g in groups
+        } | {"count": jnp.zeros((), jnp.int32)}
+
+    def update_fn(grads, state, params):
+        assert params is not None, "fused adamw requires params (weight decay)"
+        g_leaves = jax.tree_util.tree_leaves(grads)
+        p_leaves = jax.tree_util.tree_leaves(params)
+        count = state["count"] + 1
+        count_f = count.astype(jnp.float32)
+        new_state = {"count": count}
+        updates_flat: Dict[int, jnp.ndarray] = {}
+
+        for g in groups:
+            slots = group_slots[g]
+            gv = _flatten_group(g_leaves, slots)
+            pv = _flatten_group(p_leaves, slots)
+            m = state[g]["m"] * cfg.beta1 + gv * (1 - cfg.beta1)
+            v = state[g]["v"] * cfg.beta2 + jnp.square(gv) * (1 - cfg.beta2)
+            mhat = m / (1 - cfg.beta1 ** count_f)
+            vhat = v / (1 - cfg.beta2 ** count_f)
+            if cfg.flatten_group_lrs:
+                lr = schedule(count - 1)
+            else:
+                lr = schedule(count - 1) * (lrs[g] / base_lr if base_lr > 0 else 1.0)
+            wd = GROUP_WD[g] if GROUP_WD[g] is not None else cfg.wd
+            upd = -lr * (mhat / (jnp.sqrt(vhat) + cfg.eps) + wd * pv)
+            new_state[g] = {"m": m, "v": v}
+            off = 0
+            for i in slots:
+                updates_flat[i] = upd[off : off + leaf_sizes[i]]
+                off += leaf_sizes[i]
+
+        out_leaves = []
+        for i, (path, leaf) in enumerate(leaves_with_path):
+            if i in updates_flat:
+                out_leaves.append(
+                    updates_flat[i].reshape(leaf.shape).astype(leaf.dtype)
+                )
+            else:  # frozen
+                out_leaves.append(jnp.zeros_like(leaf))
+        updates = jax.tree_util.tree_unflatten(treedef, out_leaves)
+        return updates, new_state
+
+    tx = optax.GradientTransformation(init_fn, update_fn)
+    if cfg.grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), tx)
+    return tx, labels
