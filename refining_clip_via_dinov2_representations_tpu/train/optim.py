@@ -239,8 +239,14 @@ def _lookup_label(labels, path):
 # ---------------------------------------------------------------------------
 # Fused per-group AdamW: flatten each group's leaves into one vector so the
 # optimizer runs a handful of large elementwise kernels instead of thousands
-# of per-tensor ops (constant per-step overhead matters at small batch).
-# Numerics are identical to the unfused path for equal group hyperparams.
+# of per-tensor ops. Numerics are identical to the unfused path for equal
+# group hyperparams.
+#
+# MEASURED (v5e, ViT-B/16 @ batch 96): 134.5 ms/step fused vs 121.7 ms with
+# the multi_transform path — on TPU the per-tensor ops live inside one XLA
+# program, so there is no per-kernel launch cost to save and the gather/
+# scatter copies dominate. Kept as an option for models whose param count
+# dwarfs their activation traffic; NOT the default.
 # ---------------------------------------------------------------------------
 
 def build_fused_optimizer(

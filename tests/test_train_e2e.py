@@ -234,3 +234,29 @@ def test_checkpoint_save_restore(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored.params["model"]["w"]), np.ones((4, 4))
     )
+
+
+def test_loader_multihost_sharding():
+    """Hosts get disjoint equal shards and identical batch counts."""
+    from refining_clip_via_dinov2_representations_tpu.train.data import (
+        Loader,
+        SyntheticDataset,
+    )
+
+    class IdxDataset:
+        def __len__(self):
+            return 37
+
+        def __getitem__(self, i):
+            return {"idx": np.int64(i)}
+
+    seen = []
+    lens = []
+    for rank in range(3):
+        loader = Loader(IdxDataset(), batch_size=4, shuffle=True, drop_last=True,
+                        seed=7, num_workers=1, process_index=rank, process_count=3)
+        idxs = [int(i) for b in loader for i in b["idx"]]
+        seen.append(set(idxs))
+        lens.append(len(idxs))
+    assert len(set(lens)) == 1  # lockstep
+    assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
