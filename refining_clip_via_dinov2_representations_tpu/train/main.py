@@ -131,6 +131,7 @@ def main(args=None):
         grad_checkpointing=args.grad_checkpointing,
         cache_dir=args.cache_dir,
         aug_cfg=args.aug_cfg,
+        attn_impl=args.attn_impl,
         rng=jax.random.PRNGKey(args.seed),
     )
     tokenizer = get_tokenizer(args.model, cache_dir=args.cache_dir)

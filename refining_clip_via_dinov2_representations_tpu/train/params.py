@@ -198,6 +198,9 @@ def parse_args(args=None):
                         help="[tpu] run on host CPU devices (tests/smoke)")
     parser.add_argument("--mesh-model-axis", type=int, default=1,
                         help="[tpu] model-parallel axis size of the (data,model) mesh")
+    parser.add_argument("--attn-impl", type=str, default="auto",
+                        choices=["auto", "xla", "flash"],
+                        help="[tpu] attention kernel selection")
     parser.add_argument("--dist-url", type=str, default=None)
     parser.add_argument("--dist-backend", type=str, default=None)
     parser.add_argument("--horovod", default=False, action="store_true")
