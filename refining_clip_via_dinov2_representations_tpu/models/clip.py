@@ -67,9 +67,23 @@ def _build_vision_tower(
                 remat=remat,
                 name=name,
             )
+        from .convnext import CONVNEXT_DIMS, ConvNextCfg, ConvNextTower
+
+        if cfg.timm_model_name in CONVNEXT_DIMS:
+            depths, dims = CONVNEXT_DIMS[cfg.timm_model_name]
+            return ConvNextTower(
+                cfg=ConvNextCfg(depths=depths, dims=dims),
+                output_dim=embed_dim,
+                proj_type=cfg.timm_proj or "linear",
+                proj_bias=cfg.timm_proj_bias,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                remat=remat,
+                name=name,
+            )
         raise NotImplementedError(
             f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port yet; "
-            "native ports exist for vit_*_siglip_* names "
+            "native ports exist for vit_*_siglip_* and convnext_* names "
             "(reference: src/open_clip/timm_model.py)"
         )
     if cfg.is_resnet:
