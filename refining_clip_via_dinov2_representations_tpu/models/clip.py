@@ -67,6 +67,31 @@ def _build_vision_tower(
                 remat=remat,
                 name=name,
             )
+        from .eva import EVA01_DIMS
+
+        if cfg.timm_model_name in EVA01_DIMS:
+            width, layers, heads, mlp_ratio, patch = EVA01_DIMS[cfg.timm_model_name]
+            return VisionTransformer(
+                image_size=to_2tuple(cfg.image_size),
+                patch_size=to_2tuple(patch),
+                width=width,
+                layers=layers,
+                heads=heads,
+                mlp_ratio=mlp_ratio,
+                output_dim=embed_dim,
+                no_ln_pre=True,
+                pool_type="tok",
+                proj_bias=True,
+                patch_embed_bias=True,
+                act=get_act_fn("gelu"),
+                norm_eps=1e-6,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
+
         from .convnext import CONVNEXT_DIMS, ConvNextCfg, ConvNextTower
 
         if cfg.timm_model_name in CONVNEXT_DIMS:

@@ -177,6 +177,8 @@ class VisionTransformer(nn.Module):
     act: Callable[[jnp.ndarray], jnp.ndarray] = gelu
     norm_eps: float = 1e-5
     output_tokens: bool = False
+    proj_bias: bool = False        # EVA-style head: Dense projection with bias
+    patch_embed_bias: bool = False  # EVA patchify conv carries a bias
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
@@ -195,7 +197,7 @@ class VisionTransformer(nn.Module):
             features=self.width,
             kernel_size=self.patch_size,
             strides=self.patch_size,
-            use_bias=False,
+            use_bias=self.patch_embed_bias,
             padding="VALID",
             dtype=self.dtype,
             name="conv1",
@@ -311,13 +313,16 @@ class VisionTransformer(nn.Module):
             x = ln_post(x)
             pooled, tokens = self._global_pool(x)
 
-        proj = self.param(
-            "proj",
-            nn.initializers.normal(stddev=self.width ** -0.5),
-            (pooled.shape[-1], self.output_dim),
-            jnp.float32,
-        )
-        pooled = pooled @ proj.astype(pooled.dtype)
+        if self.proj_bias:
+            pooled = nn.Dense(self.output_dim, dtype=self.dtype, name="proj")(pooled)
+        else:
+            proj = self.param(
+                "proj",
+                nn.initializers.normal(stddev=self.width ** -0.5),
+                (pooled.shape[-1], self.output_dim),
+                jnp.float32,
+            )
+            pooled = pooled @ proj.astype(pooled.dtype)
 
         if self.output_tokens:
             return pooled, tokens
