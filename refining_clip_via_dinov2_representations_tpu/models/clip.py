@@ -166,10 +166,23 @@ def _build_text_tower(
     name: str = "text",
 ) -> nn.Module:
     if cfg.hf_model_name is not None:
-        raise NotImplementedError(
-            f"HF text tower {cfg.hf_model_name!r} has no TPU-native port yet "
-            "(reference: src/open_clip/hf_model.py)"
-        )
+        from .hf_model import build_hf_text_tower
+
+        try:
+            tower, _ = build_hf_text_tower(
+                cfg.hf_model_name,
+                output_dim=embed_dim,
+                proj_type=cfg.hf_proj_type,
+                pooler_type=cfg.hf_pooler_type if cfg.hf_pooler_type else None,
+                pretrained=cfg.hf_model_pretrained,
+                dtype=dtype,
+            )
+        except OSError as e:
+            raise RuntimeError(
+                f"HF text tower {cfg.hf_model_name!r} needs hub-cached files "
+                f"(zero-egress environments must pre-download): {e}"
+            ) from e
+        return tower
     act = get_act_fn("quick_gelu" if quick_gelu else "gelu")
     if cfg.act_kwargs and cfg.act_kwargs.get("approximate") == "tanh":
         act = get_act_fn("gelu_tanh")

@@ -264,6 +264,10 @@ def main(args=None):
         )
         if resume_path:
             state, start_epoch = restore_checkpoint(resume_path, state)
+            # restored arrays live on one device; re-replicate over the mesh
+            from ..parallel.mesh import replicated
+
+            state = jax.device_put(state, replicated(mesh))
             logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)
         else:
             logging.info("=> no checkpoint found at %s", args.resume)

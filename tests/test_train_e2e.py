@@ -260,3 +260,32 @@ def test_loader_multihost_sharding():
         lens.append(len(idxs))
     assert len(set(lens)) == 1  # lockstep
     assert not (seen[0] & seen[1]) and not (seen[1] & seen[2])
+
+
+def test_cli_resume_latest(tmp_path):
+    """Train 1 epoch, then resume latest and continue to epoch 2."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    common = [
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "8",
+        "--warmup", "1",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--name", "resume-run",
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+        "--save-most-recent",
+    ]
+    main(common + ["--epochs", "1"])
+    ckpts = tmp_path / "resume-run" / "checkpoints"
+    assert (ckpts / "epoch_1").exists()
+
+    main(common + ["--epochs", "2", "--resume", "latest"])
+    assert (ckpts / "epoch_2").exists()
+    steps = json.loads((tmp_path / "resume-run" / "loss_steps.json").read_text())
+    # second run starts from step 3 (2 steps/epoch done before resume)
+    assert steps and steps[0]["step"] >= 3
