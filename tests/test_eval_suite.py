@@ -117,3 +117,45 @@ def test_zero_shot_classifier_shapes():
     assert weights.shape == (32, 3)
     norms = np.linalg.norm(np.asarray(weights), axis=0)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_clip_blinds_cli(tmp_path):
+    """Standalone blind-pair CLI end-to-end on tiny data."""
+    import pandas as pd
+    from PIL import Image
+
+    from refining_clip_via_dinov2_representations_tpu.eval.clip_blinds_cli import main
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        register_model_config,
+    )
+
+    register_model_config("tiny-blind-model", {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 16, "patch_size": 8, "width": 32, "layers": 2,
+                       "head_width": 16},
+        "text_cfg": {"context_length": 12, "vocab_size": 49408, "width": 32,
+                     "heads": 4, "layers": 2},
+    })
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        p = tmp_path / f"b{i}.jpg"
+        Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8)).save(p)
+        rows.append({"filepath": str(p)})
+    csv = tmp_path / "imgs.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    dino = rng.normal(size=(6, 8)).astype(np.float32)
+    np.save(tmp_path / "dino.npy", dino)
+
+    stats = main([
+        "--csv", str(csv), "--model", "tiny-blind-model",
+        "--dino-feats", str(tmp_path / "dino.npy"),
+        "--out-dir", str(tmp_path / "out"),
+        "--batch-size", "4", "--clip-thr", "0.0", "--dino-thr", "1.0",
+        "--save-pairs",
+    ])
+    assert (tmp_path / "out" / "summary.txt").exists()
+    assert (tmp_path / "out" / "pairs.csv").exists()
+    key = "clip≥0.0_dino≤1.0"
+    # with trivial thresholds every pair is blind: 6C2 = 15
+    assert stats["results"][key]["count"] == 15
