@@ -28,10 +28,15 @@ import numpy as np
 
 
 def _np(t) -> np.ndarray:
-    """torch tensor / np array → fp32 numpy (params are fp32 in flax)."""
+    """torch tensor / np array → fp32 numpy COPY.
+
+    Must copy: `.numpy()` on a float32 CPU tensor shares memory with torch,
+    and JAX's CPU backend can zero-copy numpy inputs — without the copy,
+    converted params would silently track subsequent in-place torch updates
+    (caught by tests/test_training_dynamics_parity.py)."""
     if hasattr(t, "detach"):
         t = t.detach().cpu().float().numpy()
-    return np.asarray(t, dtype=np.float32)
+    return np.array(t, dtype=np.float32, copy=True)
 
 
 def _set(tree: Dict[str, Any], path, value):

@@ -1,0 +1,103 @@
+"""Training-dynamics parity: 3 AdamW steps of our stack vs torch on identical
+weights/batches — validates model backward + optimizer together (optax.adamw
+and torch.optim.AdamW share decoupled-wd semantics)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from refining_clip_via_dinov2_representations_tpu.losses import clip_loss
+from refining_clip_via_dinov2_representations_tpu.models import (
+    build_model,
+    convert_clip_state_dict,
+    parse_model_cfg,
+)
+from tests.ref_loader import load_ref, reference_available
+
+torch = pytest.importorskip("torch")
+if not reference_available():
+    pytest.skip("reference repo not mounted", allow_module_level=True)
+
+TINY = dict(
+    embed_dim=32,
+    vision_cfg=dict(image_size=16, patch_size=8, width=32, layers=2, head_width=16),
+    text_cfg=dict(context_length=12, vocab_size=64, width=32, heads=4, layers=2),
+)
+
+
+def test_three_step_adamw_parity():
+    ref_model_mod = load_ref("model")
+    ref_loss_mod = load_ref("loss")
+    torch.manual_seed(1)
+    ref = ref_model_mod.CLIP(
+        embed_dim=32,
+        vision_cfg=ref_model_mod.CLIPVisionCfg(**TINY["vision_cfg"]),
+        text_cfg=ref_model_mod.CLIPTextCfg(**TINY["text_cfg"]),
+    )
+    ref.train()
+
+    model = build_model(parse_model_cfg(TINY))
+    params = jax.tree.map(jnp.asarray, convert_clip_state_dict(ref.state_dict()))
+
+    lr, wd, b1, b2, eps = 1e-3, 0.1, 0.9, 0.98, 1e-6
+    t_opt = torch.optim.AdamW(ref.parameters(), lr=lr, betas=(b1, b2), eps=eps,
+                              weight_decay=wd)
+    tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    opt_state = tx.init(params)
+    t_loss_fn = ref_loss_mod.ClipLoss()
+
+    rng = np.random.default_rng(0)
+    for step in range(3):
+        images = rng.normal(size=(6, 3, 16, 16)).astype(np.float32)
+        texts = rng.integers(1, 63, size=(6, 12)).astype(np.int64)
+
+        # torch step
+        t_opt.zero_grad()
+        img_f, txt_f, scale = ref(torch.from_numpy(images), torch.from_numpy(texts))
+        t_loss = t_loss_fn(img_f, txt_f, scale)
+        t_loss.backward()
+        t_opt.step()
+
+        # our step
+        def loss_fn(p):
+            o = model.apply({"params": p}, jnp.asarray(images),
+                            jnp.asarray(texts.astype(np.int32)))
+            return clip_loss(o["image_features"], o["text_features"], o["logit_scale"])
+
+        j_loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        assert abs(float(j_loss) - float(t_loss)) < 5e-5, step
+
+    # parameter drift comparison after 3 steps
+    ours_sd_params = convert_clip_state_dict(ref.state_dict())
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
+        params, ours_sd_params,
+    )
+    worst = max(jax.tree.leaves(diffs))
+    # early Adam steps divide ~equal fp32 grad noise (~2e-5) by sqrt(v)+eps
+    # with tiny v, amplifying it; observed drift ~8e-5 after 3 steps.
+    assert worst < 3e-4, f"parameter drift after 3 steps: {worst}"
+
+
+def test_bf16_embedding_drift_bounded():
+    """bf16 compute keeps converted-embedding cosine > 0.995 vs fp32."""
+    model32 = build_model(parse_model_cfg(TINY))
+    model16 = build_model(parse_model_cfg(TINY), dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(4, 16, 16, 3)), jnp.float32)
+    texts = jnp.asarray(rng.integers(1, 63, size=(4, 12)), jnp.int32)
+    variables = model32.init(jax.random.PRNGKey(0), images, texts)
+
+    o32 = model32.apply(variables, images, texts)
+    o16 = model16.apply(variables, images, texts)
+    for key in ("image_features", "text_features"):
+        a = np.asarray(o32[key], np.float32)
+        b = np.asarray(o16[key], np.float32)
+        cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
+        assert cos.min() > 0.995, (key, cos.min())
