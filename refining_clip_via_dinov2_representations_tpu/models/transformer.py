@@ -42,6 +42,27 @@ from .layers import (
 Dtype = Any
 
 
+def _resolve_remat_policy(name):
+    """Named jax.checkpoint policies for selective rematerialization."""
+    if not name or name == "full":
+        return None  # save nothing (default remat)
+    import jax
+
+    return {
+        "dots_saveable": jax.checkpoint_policies.dots_saveable,
+        "dots_with_no_batch_dims_saveable":
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }[name]
+
+
+def _remat(block_cls, policy_name, static_argnums=(4,)):
+    policy = _resolve_remat_policy(policy_name)
+    kwargs = {"static_argnums": static_argnums}
+    if policy is not None:
+        kwargs["policy"] = policy
+    return nn.remat(block_cls, **kwargs)
+
+
 class ResidualAttentionBlock(nn.Module):
     n_head: int
     mlp_ratio: float = 4.0
@@ -93,6 +114,7 @@ class Transformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -103,7 +125,7 @@ class Transformer(nn.Module):
     ) -> jnp.ndarray:
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(4,))
+            block_cls = _remat(ResidualAttentionBlock, self.remat_policy)
         for i in range(self.layers):
             blk = block_cls(
                 n_head=self.heads,
@@ -182,6 +204,7 @@ class VisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @property
     def grid_size(self) -> Tuple[int, int]:
@@ -271,6 +294,7 @@ class VisionTransformer(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             name="transformer",
         )(x)
 
@@ -350,6 +374,7 @@ class TextTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @property
     def num_pos(self) -> int:
@@ -422,6 +447,7 @@ class TextTransformer(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             remat=self.remat,
+            remat_policy=self.remat_policy,
             name="transformer",
         )(x, mask=mask, causal=causal)
 
@@ -485,7 +511,7 @@ class MultimodalTransformer(nn.Module):
         )
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = nn.remat(ResidualAttentionBlock, static_argnums=(4,))
+            block_cls = _remat(ResidualAttentionBlock, "full")
         x = text_embs
         for i in range(self.layers):
             x = block_cls(name=f"resblocks_{i}", **block_kwargs)(x, None, None, True)
