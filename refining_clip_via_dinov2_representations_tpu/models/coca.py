@@ -208,6 +208,8 @@ def generate(
             step_logits,
         )
 
+        if generation_type == "beam_search":
+            raise ValueError("use generate_beam() for beam search")
         if generation_type == "top_k":
             kth = jax.lax.top_k(step_logits, top_k)[0][:, -1:]
             step_logits = jnp.where(step_logits < kth, -jnp.inf, step_logits)
@@ -240,3 +242,91 @@ def generate(
         body, (tokens0, finished0, rng), jnp.arange(1, seq_len)
     )
     return tokens
+
+
+def generate_beam(
+    model: CoCa,
+    variables,
+    image: jnp.ndarray,
+    num_beams: int = 6,
+    seq_len: int = 30,
+    sot_token_id: int = 49406,
+    eot_token_id: int = 49407,
+    pad_token_id: int = 0,
+    min_seq_len: int = 5,
+) -> jnp.ndarray:
+    """Fixed-width beam search as a `lax.scan` (the reference drives HF's
+    BeamSearchScorer, `coca_model.py:287+`; this is the static-shape TPU
+    formulation — sum-logprob scoring, no length penalty).
+
+    Returns the best beam per image, [B, seq_len].
+    """
+    b = image.shape[0]
+    w = num_beams
+
+    _, image_embs = model.apply(
+        variables, image, method=lambda m, im: m._encode_image(im)
+    )
+    d = image_embs.shape[-1]
+    # replicate image tokens per beam: [B*W, T, D]
+    image_embs_rep = jnp.repeat(image_embs, w, axis=0)
+
+    def decode_step(tokens_flat):
+        _, token_embs = model.apply(
+            variables, tokens_flat, method=lambda m, t: m._encode_text(t)
+        )
+        return model.apply(
+            variables, image_embs_rep, token_embs,
+            method=lambda m, ie, te: m.text_decoder(ie, te),
+        )
+
+    tokens0 = jnp.full((b, w, seq_len), pad_token_id, jnp.int32)
+    tokens0 = tokens0.at[:, :, 0].set(sot_token_id)
+    # only beam 0 is live at t=0 so identical beams don't crowd the top-k
+    scores0 = jnp.where(
+        jnp.arange(w)[None, :] == 0, 0.0, -jnp.inf
+    ).astype(jnp.float32) * jnp.ones((b, 1))
+    finished0 = jnp.zeros((b, w), bool)
+
+    neg_inf = jnp.float32(-1e30)
+
+    def body(carry, t):
+        tokens, scores, finished = carry
+        logits = decode_step(tokens.reshape(b * w, seq_len))
+        pos = jnp.minimum(t - 1, logits.shape[1] - 1)
+        step = jax.nn.log_softmax(
+            logits[:, pos, :].astype(jnp.float32), axis=-1
+        ).reshape(b, w, -1)
+        v = step.shape[-1]
+
+        # min length: suppress EOT early
+        step = jnp.where(
+            (t < min_seq_len)
+            & (jnp.arange(v)[None, None, :] == eot_token_id),
+            neg_inf, step,
+        )
+        # finished beams: only 'pad' continuation at no cost
+        pad_only = jnp.where(
+            jnp.arange(v)[None, None, :] == pad_token_id, 0.0, neg_inf
+        )
+        step = jnp.where(finished[:, :, None], pad_only, step)
+
+        cand = scores[:, :, None] + step            # [B, W, V]
+        flat = cand.reshape(b, w * v)
+        top_scores, top_idx = jax.lax.top_k(flat, w)  # [B, W]
+        beam_idx = top_idx // v
+        tok_idx = (top_idx % v).astype(jnp.int32)
+
+        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
+        tokens = tokens.at[:, :, t].set(
+            jnp.where(finished, pad_token_id, tok_idx)
+        )
+        finished = finished | (tok_idx == eot_token_id)
+        return (tokens, top_scores, finished), None
+
+    (tokens, scores, _), _ = jax.lax.scan(
+        body, (tokens0, scores0, finished0), jnp.arange(1, seq_len)
+    )
+    best = jnp.argmax(scores, axis=1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]

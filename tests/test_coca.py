@@ -124,3 +124,21 @@ def test_coca_generate(gen_type, kw):
         eots = np.where(row == 63)[0]
         if eots.size:  # everything after first EOT is pad
             assert (row[eots[0] + 1 :] == 0).all()
+
+
+def test_coca_generate_beam():
+    from refining_clip_via_dinov2_representations_tpu.models.coca import generate_beam
+
+    _, model, variables = _build_pair()
+    images, _ = _batch()
+    tokens = generate_beam(
+        model, variables, jnp.asarray(images), num_beams=3, seq_len=8,
+        sot_token_id=62, eot_token_id=63, min_seq_len=2,
+    )
+    tokens = np.asarray(tokens)
+    assert tokens.shape == (2, 8)
+    assert (tokens[:, 0] == 62).all()
+    for row in tokens:
+        eots = np.where(row == 63)[0]
+        if eots.size:
+            assert (row[eots[0] + 1 :] == 0).all()
