@@ -70,3 +70,35 @@ def sanitize_metric_name(name: str) -> str:
     """MLflow-safe metric names (`helpers.py:459-463`)."""
     name = name.replace("@", "_at_")
     return re.sub(r"[^A-Za-z0-9 _\-.:/]", "_", name)
+
+
+class AverageMeter:
+    """Running average meter (`train.py:48-64`)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+        self.avg = self.sum / self.count
+
+
+def check_text_gradients(grads) -> float:
+    """Grad-flow sanity for the text tower (`helpers.py:39-47`): returns the
+    summed |grad| over text-tower leaves; 0.0 means the tower is not
+    learning (mis-locked or detached)."""
+    import jax
+    import jax.numpy as jnp
+
+    tree = grads.get("model", grads).get("text", {})
+    return float(
+        sum(jnp.sum(jnp.abs(g)) for g in jax.tree.leaves(tree)) if tree else 0.0
+    )
