@@ -111,6 +111,7 @@ class WdsLoader:
         process_index: int = 0,
         process_count: int = 1,
         caption_key: str = "txt",
+        num_workers: int = 8,
     ):
         self.shards = expand_urls(urls)
         assert self.shards, "no shards resolved"
@@ -124,6 +125,7 @@ class WdsLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.caption_key = caption_key
+        self.num_workers = max(1, num_workers)
         self.epoch = 0
         self.num_samples = num_samples
         # per-host batch count; mirror of the reference's worker-epoch sizing
@@ -142,7 +144,10 @@ class WdsLoader:
             rng.shuffle(shards)  # deterministic epoch-seeded (detshuffle2)
         return shards[self.process_index :: self.process_count] or shards[:1]
 
-    def _samples(self) -> Iterator[Dict[str, Any]]:
+    def _samples(self) -> Iterator[tuple]:
+        """Yield RAW (jpeg bytes, caption) pairs; decoding happens in the
+        thread pool at emit time (bytes are also ~50x smaller than decoded
+        tensors, so the shuffle buffer holds compressed data)."""
         for shard in self._epoch_shards():
             for raw in _group_tar_samples(shard):
                 try:
@@ -163,24 +168,59 @@ class WdsLoader:
                         caption = meta.get(self.caption_key) or meta.get("caption", "")
                     if caption is None:
                         continue
-                    with Image.open(io.BytesIO(img_bytes)) as img:
-                        image = self.preprocess_img(img.convert("RGB"))
-                    text = (
-                        self.tokenizer([caption])[0] if self.tokenizer else caption
-                    )
-                    yield {"images": image, "texts": text}
+                    yield (img_bytes, caption)
                 except Exception as e:  # never kill training on one bad sample
                     logging.warning("Skipping sample (%r)", e)
                     continue
+
+    def _decode(self, raw: tuple) -> Dict[str, Any]:
+        img_bytes, caption = raw
+        with Image.open(io.BytesIO(img_bytes)) as img:
+            image = self.preprocess_img(img.convert("RGB"))
+        text = self.tokenizer([caption])[0] if self.tokenizer else caption
+        return {"images": image, "texts": text}
 
     def __len__(self):
         return self.num_batches
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
         rng = random.Random(self.seed * 1000 + self.epoch)
-        buf: List[Dict[str, Any]] = []
+        buf: List[tuple] = []
         batch: List[Dict[str, Any]] = []
         emitted = 0
+        pool = ThreadPoolExecutor(self.num_workers)
+        pending: "collections.deque" = collections.deque()
+        window = max(self.batch_size * 2, 2 * self.num_workers)
+
+        def shuffled_raw():
+            """Raw stream with buffer shuffle + train-mode wraparound."""
+            nonlocal buf
+            samples = self._samples()
+            while True:
+                try:
+                    s = next(samples)
+                except StopIteration:
+                    if self.is_train:
+                        # wrap around so every host emits the same batch
+                        # count even with uneven shards
+                        self.epoch += 1000000  # new shard order for the wrap
+                        samples = self._samples()
+                        self.epoch -= 1000000
+                        continue
+                    break
+                if self.shuffle_buffer:
+                    buf.append(s)
+                    if len(buf) < self.shuffle_buffer:
+                        continue
+                    idx = rng.randrange(len(buf))
+                    buf[idx], s = s, buf[idx]
+                yield s
+            for s in buf:  # drain (eval / end of stream)
+                yield s
+            buf = []
 
         def emit_from(sample):
             nonlocal emitted
@@ -192,36 +232,30 @@ class WdsLoader:
                 return out
             return None
 
-        samples = self._samples()
-        while emitted < self.num_batches:
-            try:
-                s = next(samples)
-            except StopIteration:
-                if self.is_train:
-                    # wrap around within the epoch so every host emits the
-                    # same batch count even with uneven shards
-                    self.epoch += 1000000  # new shard order for the wrap
-                    samples = self._samples()
-                    self.epoch -= 1000000
+        raw_stream = shuffled_raw()
+        try:
+            exhausted = False
+            while emitted < self.num_batches:
+                while not exhausted and len(pending) < window:
+                    try:
+                        pending.append(pool.submit(self._decode, next(raw_stream)))
+                    except StopIteration:
+                        exhausted = True
+                if not pending:
+                    break
+                fut = pending.popleft()
+                try:
+                    sample = fut.result()
+                except Exception as e:  # decode failure: skip the sample
+                    logging.warning("Skipping sample (%r)", e)
                     continue
-                break
-            if self.shuffle_buffer:
-                buf.append(s)
-                if len(buf) < self.shuffle_buffer:
-                    continue
-                idx = rng.randrange(len(buf))
-                buf[idx], s = s, buf[idx]
-            out = emit_from(s)
-            if out is not None:
-                yield out
-        # drain shuffle buffer for eval / end of stream
-        if not self.is_train:
-            for s in buf:
-                out = emit_from(s)
+                out = emit_from(sample)
                 if out is not None:
                     yield out
-            if batch:
+            if not self.is_train and batch:
                 yield _collate(batch)
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 def get_wds_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_index_map=None):
@@ -247,5 +281,6 @@ def get_wds_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_in
         resampled=getattr(args, "dataset_resampled", False),
         process_index=jax.process_index(),
         process_count=jax.process_count(),
+        num_workers=getattr(args, "workers", 8),
     )
     return DataInfo(loader)
