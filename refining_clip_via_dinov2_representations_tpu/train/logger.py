@@ -18,8 +18,11 @@ def setup_logging(log_file, level, include_host: bool = False):
         )
 
     logging.root.setLevel(level)
-    for logger in [logging.getLogger(n) for n in logging.root.manager.loggerDict]:
-        logger.setLevel(level)
+    # scope to our own loggers (the reference sets EVERY registered logger,
+    # which makes third-party atexit logging emit into closed streams)
+    for name in logging.root.manager.loggerDict:
+        if name.startswith("refining_clip"):
+            logging.getLogger(name).setLevel(level)
 
     stream_handler = logging.StreamHandler()
     stream_handler.setFormatter(formatter)
