@@ -14,7 +14,6 @@ Layout convention is ``[batch, heads, seq, head_dim]`` throughout ("BHLD").
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -46,11 +45,6 @@ def dot_product_attention_xla(
         logits = logits + mask.astype(logits.dtype)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
-
-
-@functools.partial(jax.jit, static_argnames=("causal", "impl", "scale"))
-def _mha_jit(q, k, v, mask, causal, impl, scale):
-    return multi_head_attention(q, k, v, mask=mask, causal=causal, impl=impl, scale=scale)
 
 
 def multi_head_attention(

@@ -135,8 +135,8 @@ class WdsLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _epoch_shards(self) -> List[str]:
-        rng = random.Random(self.seed + self.epoch)
+    def _epoch_shards(self, epoch: Optional[int] = None) -> List[str]:
+        rng = random.Random(self.seed + (self.epoch if epoch is None else epoch))
         if self.resampled:
             return [rng.choice(self.shards) for _ in range(len(self.shards))]
         shards = list(self.shards)
@@ -144,11 +144,11 @@ class WdsLoader:
             rng.shuffle(shards)  # deterministic epoch-seeded (detshuffle2)
         return shards[self.process_index :: self.process_count] or shards[:1]
 
-    def _samples(self) -> Iterator[tuple]:
+    def _samples(self, epoch: Optional[int] = None) -> Iterator[tuple]:
         """Yield RAW (jpeg bytes, caption) pairs; decoding happens in the
         thread pool at emit time (bytes are also ~50x smaller than decoded
         tensors, so the shuffle buffer holds compressed data)."""
-        for shard in self._epoch_shards():
+        for shard in self._epoch_shards(epoch):
             for raw in _group_tar_samples(shard):
                 try:
                     img_bytes = next(
@@ -198,17 +198,17 @@ class WdsLoader:
         def shuffled_raw():
             """Raw stream with buffer shuffle + train-mode wraparound."""
             nonlocal buf
+            wrap = 0
             samples = self._samples()
             while True:
                 try:
                     s = next(samples)
                 except StopIteration:
                     if self.is_train:
-                        # wrap around so every host emits the same batch
-                        # count even with uneven shards
-                        self.epoch += 1000000  # new shard order for the wrap
-                        samples = self._samples()
-                        self.epoch -= 1000000
+                        # wrap around (fresh shard order) so every host emits
+                        # the same batch count even with uneven shards
+                        wrap += 1
+                        samples = self._samples(self.epoch + 1000000 * wrap)
                         continue
                     break
                 if self.shuffle_buffer:

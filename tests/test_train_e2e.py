@@ -289,3 +289,23 @@ def test_cli_resume_latest(tmp_path):
     steps = json.loads((tmp_path / "resume-run" / "loss_steps.json").read_text())
     # second run starts from step 3 (2 steps/epoch done before resume)
     assert steps and steps[0]["step"] >= 3
+
+
+def test_cli_eval_only(tmp_path):
+    """No train data: eval-only path runs retrieval on the val CSV."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    csv = _write_csv_dataset(tmp_path, n_images=4, caps_per_img=2)
+    main([
+        "--model", "tiny-e2e-model",
+        "--val-data", str(csv),
+        "--dataset-type", "csv",
+        "--csv-img-key", "filepath", "--csv-caption-key", "title",
+        "--batch-size", "8",
+        "--precision", "fp32",
+        "--logs", str(tmp_path), "--name", "eval-only",
+        "--workers", "2",
+        "--zeroshot-frequency", "0",
+    ])
+    log = (tmp_path / "eval-only" / "out.log").read_text()
+    assert "text_to_image_R@1" in log
