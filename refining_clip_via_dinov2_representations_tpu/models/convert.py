@@ -339,6 +339,11 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any], shared_text_namespac
                 sd[f"{torch_prefix}.{ls}.gamma"] = t(tree[ls]["gamma"])
 
     visual = params["visual"]
+    if "transformer" not in visual or isinstance(visual.get("proj"), dict):
+        raise NotImplementedError(
+            "torch-layout export currently covers the standard CLIP ViT tower; "
+            "SigLIP/ConvNeXt/EVA towers need their timm-layout exporters"
+        )
     sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
     sd["visual.class_embedding"] = t(visual["class_embedding"])
     sd["visual.positional_embedding"] = t(visual["positional_embedding"])

@@ -130,3 +130,39 @@ def test_pretrained_registry_surface():
     cfg = oc.get_pretrained_cfg("ViT-B-32", "openai")
     assert cfg.get("url") or cfg.get("hf_hub")
     assert ("ViT-B-32", "openai") in oc.list_pretrained()
+
+
+def test_checkpoint_interop_roundtrip(tmp_path):
+    """Our torch-layout export reloads through our own converter losslessly
+    (and is therefore readable by reference tooling)."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model,
+        parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models.convert import (
+        convert_clip_state_dict,
+        flax_params_to_torch_state_dict,
+    )
+
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16), jnp.int32)
+    )
+    sd = flax_params_to_torch_state_dict(
+        jax.tree.map(np.asarray, variables["params"])
+    )
+    pt = tmp_path / "export.pt"
+    torch.save({"epoch": 1, "state_dict": sd}, pt)
+
+    import torch as _t
+
+    loaded_sd = _t.load(pt, weights_only=False)["state_dict"]
+    params2 = convert_clip_state_dict(loaded_sd)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        variables["params"], params2,
+    )
+    assert max(jax.tree.leaves(diffs)) == 0.0
