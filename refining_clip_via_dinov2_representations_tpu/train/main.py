@@ -288,6 +288,15 @@ def main(args=None):
             evaluate(model, variables_eval, data, start_epoch, args, tokenizer, val_key=key)
         return
 
+    # ---- pre-train evaluation over every val key (`main.py:833-859`) ----
+    if start_epoch == 0 and eval_keys:
+        variables_eval = {"params": state.params["model"]}
+        for key in eval_keys:
+            try:
+                evaluate(model, variables_eval, data, 0, args, tokenizer, val_key=key)
+            except Exception as e:  # pre-train eval must not kill the run
+                logging.warning("pre-train eval on %s failed: %r", key, e)
+
     # ---- epoch loop ----
     loss_steps = []
     all_results = []
