@@ -10,7 +10,7 @@ metrics that produce the thesis' headline numbers.
 from __future__ import annotations
 
 import logging
-from functools import partial
+import weakref
 from typing import Dict, Optional
 
 import jax
@@ -25,7 +25,7 @@ from .metrics import (
 )
 
 
-def _encode_fn(model):
+def _build_encode(model):
     @jax.jit
     def encode(variables, images, texts):
         out = model.apply(variables, images, texts)
@@ -33,6 +33,28 @@ def _encode_fn(model):
         return out["image_features"], out["text_features"], out["logit_scale"], gen_loss
 
     return encode
+
+
+# Cache the jitted encode per model object so repeated evaluate() calls
+# (each epoch x each val key) reuse one traced program instead of rebuilding
+# a fresh jit closure — and thus recompiling — every time. Keyed by identity
+# (flax Modules with dict-bearing cfgs are unhashable); entries drop when the
+# model is garbage-collected.
+_ENCODE_CACHE: Dict[int, tuple] = {}
+
+
+def _encode_fn(model):
+    key = id(model)
+    hit = _ENCODE_CACHE.get(key)
+    if hit is not None and hit[0]() is model:
+        return hit[1]
+    fn = _build_encode(model)
+    try:
+        ref = weakref.ref(model, lambda _r, k=key: _ENCODE_CACHE.pop(k, None))
+    except TypeError:
+        ref = (lambda m: (lambda: m))(model)  # unweakrefable: keep alive
+    _ENCODE_CACHE[key] = (ref, fn)
+    return fn
 
 
 def maybe_compute_generative_loss(model_out):
@@ -65,9 +87,13 @@ def evaluate(
     except ImportError:
         pass
 
+    # reference train.py:607: val runs only when val_frequency is truthy AND
+    # (epoch % val_frequency == 0 or final epoch) — val_frequency=0 skips.
     if val_key not in data:
         return metrics
-    if args.val_frequency and not ((epoch % args.val_frequency) == 0 or epoch == args.epochs):
+    if not args.val_frequency:
+        return metrics
+    if not ((epoch % args.val_frequency) == 0 or epoch == args.epochs):
         return metrics
 
     loader = data[val_key].dataloader

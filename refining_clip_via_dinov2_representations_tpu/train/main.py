@@ -173,7 +173,7 @@ def main(args=None):
     if "train" in data:
         steps_per_epoch = data["train"].dataloader.num_batches // max(1, args.accum_freq)
         total_steps = steps_per_epoch * args.epochs
-        schedule = make_schedule(args, args.lr, total_steps)
+        schedule = make_schedule(args, args.lr, total_steps, steps_per_epoch)
         optim_cfg = OptimCfg(
             lr=args.lr,
             beta1=args.beta1,

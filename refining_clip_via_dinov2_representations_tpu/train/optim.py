@@ -137,6 +137,12 @@ def label_params(
             return "heads"
         if "visual/attnpool" in p:
             return "heads"
+        # reference main.py:552-553: ANY "proj" param outside the visual
+        # tower joins the heads group — this catches every text-tower
+        # attention in_proj/out_proj and mlp c_proj weight (lr=head_lr,
+        # wd=0), which is a large fraction of the text tower.
+        if "proj" in p and "visual" not in p:
+            return "heads"
 
         # ---- group 2: logit scale ----
         if "logit_scale" in p:

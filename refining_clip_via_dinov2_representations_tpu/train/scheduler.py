@@ -77,7 +77,9 @@ def cosine_lr(
     return sched
 
 
-def make_schedule(args_like, base_lr: float, total_steps: int) -> Schedule:
+def make_schedule(
+    args_like, base_lr: float, total_steps: int, steps_per_epoch: int | None = None
+) -> Schedule:
     """Dispatch mirroring `main.py:749-778`."""
     name = getattr(args_like, "lr_scheduler", "cosine")
     warmup = getattr(args_like, "warmup", 10000)
@@ -86,7 +88,16 @@ def make_schedule(args_like, base_lr: float, total_steps: int) -> Schedule:
     if name == "const":
         return const_lr(base_lr, warmup, total_steps)
     if name == "const-cooldown":
-        cooldown_steps = getattr(args_like, "epochs_cooldown", 0) or 0
+        # reference main.py:759-764: epochs_cooldown is in EPOCHS and is
+        # converted to steps via (num_batches // accum_freq) * epochs_cooldown
+        epochs_cooldown = getattr(args_like, "epochs_cooldown", None)
+        assert epochs_cooldown is not None, (
+            "Please specify the number of cooldown epochs for this lr schedule."
+        )
+        if steps_per_epoch is None:
+            epochs = max(1, getattr(args_like, "epochs", 1))
+            steps_per_epoch = total_steps // epochs
+        cooldown_steps = steps_per_epoch * epochs_cooldown
         return const_lr_cooldown(
             base_lr,
             warmup,

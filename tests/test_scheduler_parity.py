@@ -49,3 +49,37 @@ def test_const_lr_cooldown_parity():
                              cooldown_end_lr=1e-6)
     for step in range(60):
         assert abs(ref_fn(step) - float(ours(step))) < 1e-9, step
+
+
+def test_make_schedule_cooldown_epochs_to_steps():
+    """epochs_cooldown is in EPOCHS; reference main.py:762-764 converts it to
+    steps via steps_per_epoch * epochs_cooldown before calling the schedule."""
+    import types
+
+    from refining_clip_via_dinov2_representations_tpu.train.scheduler import (
+        make_schedule,
+    )
+
+    ref_mod = load_ref_train("scheduler")
+    args = types.SimpleNamespace(
+        lr_scheduler="const-cooldown", warmup=5, epochs_cooldown=2,
+        lr_cooldown_power=1.0, lr_cooldown_end=0.0, epochs=6,
+    )
+    steps_per_epoch, total = 10, 60
+    ours = make_schedule(args, 5e-4, total, steps_per_epoch)
+    ref_fn = ref_mod.const_lr_cooldown(
+        _FakeOpt(), 5e-4, 5, total, steps_per_epoch * args.epochs_cooldown,
+        cooldown_power=1.0, cooldown_end_lr=0.0,
+    )
+    for step in range(total):
+        assert abs(ref_fn(step) - float(ours(step))) < 1e-9, step
+    # cooldown must start at step 40 (= 60 - 2 epochs * 10), not at step 58
+    assert float(ours(39)) == pytest.approx(5e-4)
+    assert float(ours(45)) < 5e-4
+
+    with pytest.raises(AssertionError):
+        make_schedule(
+            types.SimpleNamespace(lr_scheduler="const-cooldown", warmup=5,
+                                  epochs_cooldown=None),
+            5e-4, total, steps_per_epoch,
+        )

@@ -138,6 +138,77 @@ def test_param_group_labels():
     assert m["visual"]["positional_embedding"] == "text"
     assert m["text"]["token_embedding"]["embedding"] == "text"
     assert m["visual"]["transformer"]["resblocks_0"]["attn"]["out_proj"]["kernel"] == "default"
+    # reference main.py:552-553: every non-visual "proj" param is a head —
+    # text attn in/out_proj and mlp c_proj train at head_lr with wd=0
+    tb = m["text"]["transformer"]["resblocks_0"]
+    assert tb["attn"]["in_proj_kernel"] == "heads"
+    assert tb["attn"]["in_proj_bias"] == "heads"
+    assert tb["attn"]["out_proj"]["kernel"] == "heads"
+    assert tb["mlp"]["c_proj"]["kernel"] == "heads"
+    assert tb["mlp"]["c_fc"]["kernel"] == "default"
+    assert m["visual"]["proj"] == "default"
+
+
+def _torch_name(flax_path: str) -> str:
+    """Map a flax param path to the reference torch name (shared-namespace
+    CLIP layout: text params top-level, visual under `visual.`)."""
+    import re
+
+    p = flax_path
+    if p.startswith("model/"):
+        p = p[len("model/"):]
+    if p.startswith("text/"):
+        p = p[len("text/"):]
+    p = re.sub(r"resblocks_(\d+)", r"resblocks.\1", p)
+    p = p.replace("/", ".")
+    p = p.replace("in_proj_kernel", "in_proj_weight")
+    p = p.replace("token_embedding.embedding", "token_embedding.weight")
+    p = re.sub(r"\.kernel$", ".weight", p)
+    p = re.sub(r"\.scale$", ".weight", p)
+    return p
+
+
+def _reference_group(torch_name: str) -> str:
+    """The reference's param-group assignment procedure, replicated from
+    /root/reference/src/open_clip_train/main.py:549-648 with default args
+    (lock_text_unlocked_layers=0, so the group-4 block loop is empty)."""
+    n = torch_name
+    if "text_projection" in n or "visual.attnpool" in n or (
+        "proj" in n and "visual" not in n
+    ):
+        return "heads"
+    if "logit_scale" in n:
+        return "logit_scale"
+    if n.startswith("visual.layer4"):
+        return "resnet_l4"
+    if n.startswith("visual.layer3"):
+        return "resnet_l3"
+    if (
+        "token_embedding" in n
+        or "positional_embedding" in n
+        or (n.startswith("transformer.") and "resblocks" not in n and "layers" not in n)
+    ):
+        return "text"
+    return "default"
+
+
+def test_param_groups_match_torch_reference_procedure():
+    """Exhaustive per-leaf parity with the reference grouping (main.py:549-648)."""
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    params = {"model": variables["params"]}
+    labels = label_params(params, OptimCfg())
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    assert flat, "empty label tree"
+    for path, label in flat:
+        fpath = "/".join(p.key if hasattr(p, "key") else str(p) for p in path)
+        expected = _reference_group(_torch_name(fpath))
+        assert label == expected, (
+            f"{fpath} -> {label}, reference procedure says {expected} "
+            f"(torch name {_torch_name(fpath)})"
+        )
 
 
 def test_lock_image_tower_freezes():
