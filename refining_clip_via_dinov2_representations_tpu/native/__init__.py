@@ -8,24 +8,42 @@ implementations.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
+import tempfile
 from typing import Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SO_PATH = os.path.join(_DIR, "_native.so")
 _SRC = os.path.join(_DIR, "bpe_tokenizer.cpp")
 
 
-def _build() -> bool:
+def _so_path() -> str:
+    # The binary is never committed (unreviewable, platform-specific); it is
+    # built from source on first use and cached keyed on a source-content
+    # hash, so edits to the .cpp force a rebuild and a stale/foreign-arch
+    # binary can never be picked up.
+    with open(_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    cache_dir = os.environ.get(
+        "REFINING_CLIP_NATIVE_CACHE",
+        os.path.join(tempfile.gettempdir(), "refining_clip_native"),
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    return os.path.join(cache_dir, f"_native-{h}.so")
+
+
+def _build(so_path: str) -> bool:
     try:
+        tmp = so_path + f".tmp{os.getpid()}"
         subprocess.run(
-            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", _SO_PATH],
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120,
         )
+        os.replace(tmp, so_path)  # atomic: concurrent builders race safely
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         logging.debug("native build failed: %r", e)
         return False
 
@@ -38,8 +56,9 @@ def load_native() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC):
-        if not _build():
+    _SO_PATH = _so_path()
+    if not os.path.exists(_SO_PATH):
+        if not _build(_SO_PATH):
             return None
     try:
         lib = ctypes.CDLL(_SO_PATH)
