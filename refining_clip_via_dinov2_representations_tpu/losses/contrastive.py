@@ -147,6 +147,7 @@ def siglip_loss(
       "bidir"  — two counter-rotating rings, halving hop count
                  (reference `loss.py:679-711`); maps to both ICI directions.
       "gather" — one all_gather then mask out the local block.
+      "reduce" — W masked-psum broadcast rounds (reference `loss.py:730-742`).
 
     `axis_size` must be the static mesh-axis size (python int) because the
     hop loop is unrolled at trace time.
@@ -191,6 +192,18 @@ def siglip_loss(
                 image_features, other, logit_scale, logit_bias, negative_only=True
             )
             loss = loss + jnp.where(i == my, 0.0, 1.0) * neg
+    elif dist_impl == "reduce":
+        # masked all_reduce broadcast (reference `loss.py:730-742`): W rounds,
+        # round i psums `text * (rank == i)` so every device receives rank i's
+        # block, then scores it as negatives (skipped on rank i itself).
+        my = lax.axis_index(axis_name)
+        for i in range(n):
+            mask = (my == i).astype(text_features.dtype)
+            block = lax.psum(text_features * mask, axis_name)
+            neg = _siglip_pair_loss(
+                image_features, block, logit_scale, logit_bias, negative_only=True
+            )
+            loss = loss + jnp.where(my == i, 0.0, 1.0) * neg
     else:
         raise ValueError(f"unknown dist_impl {dist_impl!r}")
     return loss

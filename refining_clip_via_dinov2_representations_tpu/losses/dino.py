@@ -23,9 +23,13 @@ Pure-function rebuild of `ClipLossWithDINOEnhancements`
 
 Distributed note: the soft-KL and weighted terms operate on the *local*
 per-device batch block (intra-batch structure), exactly as the reference
-does; only the classic CLIP term gathers globally. The reference's weighted
-path is single-process-only (its Δ shapes break for world>1); here the
-distributed generalization adds Δ to the local column block.
+does; only the classic CLIP term gathers globally. This is the EXECUTED
+production semantics: the train step runs this function under `shard_map`
+over the data axis (train/step.py make_loss_fn), so `axis_name` is real and
+b here is the per-device block — verified end-to-end by
+tests/test_step_distributed_semantics.py. The reference's weighted path is
+single-process-only (its Δ shapes break for world>1); here the distributed
+generalization adds Δ to the local column block.
 """
 
 from __future__ import annotations

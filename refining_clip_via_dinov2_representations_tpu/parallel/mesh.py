@@ -67,8 +67,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
-    """device_put a host batch pytree with leading-axis data sharding."""
+    """Build the global batch from this host's slice.
+
+    Single-host: a plain device_put with leading-axis data sharding.
+    Multi-host: each host's loader yields global_batch/process_count rows
+    (--batch-size is per data-parallel rank, main.py), and
+    `make_array_from_process_local_data` assembles the logical
+    [global_batch, ...] array from the per-host slices — no cross-host
+    copies, no silently dropped samples.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -459,7 +459,11 @@ def _loader_kwargs(args, is_train: bool) -> Dict[str, Any]:
     import jax
 
     return dict(
-        batch_size=args.batch_size,
+        # --batch-size is per data-parallel rank (reference per-GPU parity);
+        # each host loads its slice of the batch_size x data_ranks global
+        # batch. main.py precomputes per_host_batch_size; library callers
+        # that bypass main() fall back to treating it as the host batch.
+        batch_size=getattr(args, "per_host_batch_size", None) or args.batch_size,
         num_workers=getattr(args, "workers", 8),
         process_index=jax.process_index(),
         process_count=jax.process_count(),

@@ -108,11 +108,25 @@ def main(args=None):
     mesh = create_mesh(model=args.mesh_model_axis)
     log_mesh(mesh)
     data_axis = mesh.shape["data"]
-    if args.batch_size % data_axis != 0:
+    # Reference parity: --batch-size is PER data-parallel rank (per chip),
+    # exactly like open_clip's per-GPU batch size under DDP. The global
+    # batch is batch_size x data-axis size; each host loads its share and
+    # the global array is assembled in shard_batch.
+    import jax as _jax
+
+    if data_axis % _jax.process_count() != 0:
         raise ValueError(
-            f"--batch-size {args.batch_size} must be divisible by the data-axis "
-            f"size {data_axis} (global batch is sharded across the mesh)"
+            f"data-axis size {data_axis} must be divisible by the host count "
+            f"{_jax.process_count()}"
         )
+    args.world_size = data_axis  # reference naming (ranks = chips)
+    args.global_batch_size = args.batch_size * data_axis
+    args.per_host_batch_size = args.global_batch_size // _jax.process_count()
+    logging.info(
+        "batch: %d/chip x %d chips = %d global (%d per host)",
+        args.batch_size, data_axis, args.global_batch_size,
+        args.per_host_batch_size,
+    )
 
     from .loggers import Tracker
 
@@ -249,11 +263,12 @@ def main(args=None):
             lambda_cyc_crossmodal=args.lambda_cyc_crossmodal,
             use_patch_dropout=bool(args.force_patch_dropout),
             log_grad_norm=bool(args.grad_clip_norm) or args.debug,
-            siglip_dist_impl=args.loss_dist_impl or "gather",
+            siglip_dist_impl=args.loss_dist_impl or "bidir",
         )
         train_step = make_train_step(
             model, tx, step_cfg,
             head=head, dist_model=dist_model, dist_variables=dist_variables,
+            mesh=mesh,
         )
 
     # ---- resume (`main.py:666-686`) ----

@@ -58,7 +58,11 @@ def parse_args(args=None):
     parser.add_argument("--imagenet-train", type=str, default=None)
     parser.add_argument("--cache-dir", type=str, default=None)
     parser.add_argument("--workers", type=int, default=8)
-    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument(
+        "--batch-size", type=int, default=64,
+        help="Batch size per data-parallel rank (per chip) — reference "
+             "per-GPU semantics; global batch = batch-size x data-axis size.",
+    )
     parser.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
 
     # ---- schedule / optim ----

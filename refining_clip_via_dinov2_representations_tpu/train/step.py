@@ -59,7 +59,7 @@ class StepCfg:
     accum_freq: int = 1
     enable_warmup_dino_hyperparams: bool = False
     warmup: int = 10000
-    siglip_dist_impl: str = "gather"  # GSPMD path shards the full matrix
+    siglip_dist_impl: str = "bidir"  # bidir | shift | gather | reduce (reference default)
     coca_caption_loss_weight: float = 2.0
     coca_contrastive_loss_weight: float = 1.0
     lambda_cyc_inmodal: float = 0.25
@@ -104,12 +104,95 @@ def make_loss_fn(
     head: Optional[DinoProjectionHead] = None,
     dist_model=None,
     dist_variables=None,
+    mesh=None,
 ):
     """Build the pure loss closure: (params, batch, step, rng) -> (loss, metrics).
 
     `batch` keys: images [B,H,W,3] float, texts [B,L] int32, optional
     dino_features [B,Dd] float, optional dist_* teacher outputs.
+
+    Distributed semantics: when `mesh` has a data axis > 1 the loss section
+    runs under `shard_map` manual over the data axis (model axis, if any,
+    stays under GSPMD via partial-manual mode). This reproduces the
+    reference's per-rank semantics exactly: the classic CLIP term all-gathers
+    features and builds local-row x global-col logits (`local_loss`), the
+    DINO soft-KL / weighted terms operate on the LOCAL per-device block
+    (`loss.py:350-477` operates on the per-rank batch), and SigLIP uses the
+    configured ring impl (`cfg.siglip_dist_impl`) instead of materializing
+    the global matrix. Without a mesh (or data==1) the same functions run
+    with axis_name=None — single-device semantics, identical math.
     """
+    data_size = int(mesh.shape["data"]) if mesh is not None else 1
+    axis_name = "data" if data_size > 1 else None
+
+    def _compute(rows: Dict[str, jnp.ndarray], scalars: Dict[str, jnp.ndarray]):
+        """Loss from per-device feature rows; runs under shard_map when
+        distributed. All returned metrics are scalars (pmean'd over data)."""
+        img_f, txt_f = rows["img_f"], rows["txt_f"]
+        logit_scale = scalars["logit_scale"]
+        metrics: Dict[str, jnp.ndarray] = {"logit_scale": logit_scale}
+
+        if cfg.loss_type == "clip":
+            total = clip_loss(img_f, txt_f, logit_scale, axis_name=axis_name)
+            metrics["contrastive_loss"] = total
+        elif cfg.loss_type == "dino":
+            losses = dino_enhanced_loss(
+                img_f, txt_f, logit_scale, rows.get("dino_features"), cfg.dino,
+                image_proj=rows.get("raw_proj"),
+                axis_name=axis_name,
+                lambda_overrides={
+                    k: v for k, v in scalars.items()
+                    if k in ("lambda_soft", "lambda_weighted", "lambda_original")
+                } or None,
+            )
+            total = losses.pop("total_loss")
+            metrics.update(losses)
+        elif cfg.loss_type == "siglip":
+            total = siglip_loss(
+                img_f, txt_f, logit_scale, scalars.get("logit_bias", 0.0),
+                axis_name=axis_name, axis_size=data_size,
+                dist_impl=cfg.siglip_dist_impl,
+            )
+            metrics["contrastive_loss"] = total
+        elif cfg.loss_type == "cyclip":
+            losses = cyclip_loss(
+                img_f, txt_f, logit_scale,
+                lambda_inmodal=cfg.lambda_cyc_inmodal,
+                lambda_crossmodal=cfg.lambda_cyc_crossmodal,
+                axis_name=axis_name,
+            )
+            total = losses.pop("total_loss")
+            metrics.update(losses)
+        elif cfg.loss_type == "distill":
+            losses = distill_clip_loss(
+                img_f, txt_f, logit_scale,
+                rows["dist_image_features"],
+                rows["dist_text_features"],
+                scalars["dist_logit_scale"],
+                axis_name=axis_name,
+            )
+            total = losses["contrastive_loss"] + losses["distill_loss"]
+            metrics.update(losses)
+        elif cfg.loss_type == "coca":
+            losses = coca_loss(
+                img_f, txt_f, rows["logits"], rows["labels"], logit_scale,
+                caption_loss_weight=cfg.coca_caption_loss_weight,
+                clip_loss_weight=cfg.coca_contrastive_loss_weight,
+                axis_name=axis_name,
+            )
+            total = losses["contrastive_loss"] + losses["caption_loss"]
+            metrics.update(losses)
+        else:
+            raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+
+        metrics["total_loss"] = total
+        if axis_name is not None:
+            # DDP loss-mean semantics: global metric = mean of per-rank
+            # values; gradient of pmean(total) == DDP's averaged gradients.
+            metrics = jax.tree.map(
+                lambda m: jax.lax.pmean(m, axis_name), metrics
+            )
+        return metrics
 
     def loss_fn(params, batch, step, rng):
         rngs = {"patch_dropout": rng} if cfg.use_patch_dropout else None
@@ -121,60 +204,56 @@ def make_loss_fn(
             rngs=rngs,
         )
         img_f, txt_f = out["image_features"], out["text_features"]
-        logit_scale = out["logit_scale"]
-        metrics: Dict[str, jnp.ndarray] = {"logit_scale": logit_scale}
 
-        if cfg.loss_type == "clip":
-            total = clip_loss(img_f, txt_f, logit_scale)
-            metrics["contrastive_loss"] = total
-        elif cfg.loss_type == "dino":
+        rows: Dict[str, jnp.ndarray] = {"img_f": img_f, "txt_f": txt_f}
+        scalars: Dict[str, jnp.ndarray] = {"logit_scale": out["logit_scale"]}
+
+        if cfg.loss_type == "dino":
             dino_feats = batch.get("dino_features")
-            raw_proj = None
-            if dino_feats is not None and cfg.dino.use_projection and head is not None:
-                raw_proj = head.apply({"params": params["dino_head"]}, img_f)
-            losses = dino_enhanced_loss(
-                img_f, txt_f, logit_scale, dino_feats, cfg.dino,
-                image_proj=raw_proj,
-                lambda_overrides=_lambda_overrides(cfg, step),
-            )
-            total = losses.pop("total_loss")
-            metrics.update(losses)
+            if dino_feats is not None:
+                rows["dino_features"] = dino_feats
+                if cfg.dino.use_projection and head is not None:
+                    rows["raw_proj"] = head.apply(
+                        {"params": params["dino_head"]}, img_f
+                    )
+            scalars.update(_lambda_overrides(cfg, step))
         elif cfg.loss_type == "siglip":
-            total = siglip_loss(img_f, txt_f, logit_scale, out.get("logit_bias", 0.0))
-            metrics["contrastive_loss"] = total
-        elif cfg.loss_type == "cyclip":
-            losses = cyclip_loss(
-                img_f, txt_f, logit_scale,
-                lambda_inmodal=cfg.lambda_cyc_inmodal,
-                lambda_crossmodal=cfg.lambda_cyc_crossmodal,
-            )
-            total = losses.pop("total_loss")
-            metrics.update(losses)
+            if "logit_bias" in out:
+                scalars["logit_bias"] = out["logit_bias"]
         elif cfg.loss_type == "distill":
-            t_out = dist_model.apply(
-                dist_variables, batch["images"], batch["texts"]
+            t_out = dist_model.apply(dist_variables, batch["images"], batch["texts"])
+            rows["dist_image_features"] = jax.lax.stop_gradient(
+                t_out["image_features"]
             )
-            losses = distill_clip_loss(
-                img_f, txt_f, logit_scale,
-                jax.lax.stop_gradient(t_out["image_features"]),
-                jax.lax.stop_gradient(t_out["text_features"]),
-                jax.lax.stop_gradient(t_out["logit_scale"]),
-            )
-            total = losses["contrastive_loss"] + losses["distill_loss"]
-            metrics.update(losses)
+            rows["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
+            scalars["dist_logit_scale"] = jax.lax.stop_gradient(t_out["logit_scale"])
         elif cfg.loss_type == "coca":
-            losses = coca_loss(
-                img_f, txt_f, out["logits"], out["labels"], logit_scale,
-                caption_loss_weight=cfg.coca_caption_loss_weight,
-                clip_loss_weight=cfg.coca_contrastive_loss_weight,
-            )
-            total = losses["contrastive_loss"] + losses["caption_loss"]
-            metrics.update(losses)
-        else:
-            raise ValueError(f"unknown loss_type {cfg.loss_type!r}")
+            rows["logits"] = out["logits"]
+            rows["labels"] = out["labels"]
 
-        metrics["total_loss"] = total
-        return total, metrics
+        if axis_name is not None:
+            from jax.sharding import PartitionSpec as P
+
+            # Full-manual shard_map: rows arrive as per-device blocks over
+            # `data` and replicated over `model` (the loss body has no
+            # model-axis ops — it runs redundantly on each model rank, like
+            # the reference loss ran per DDP rank). NOTE: partial-manual
+            # mode (axis_names={"data"}) miscompiles bf16 all_gather on the
+            # CPU backend (XLA AllReducePromotion check-fail), so we stay
+            # fully manual here.
+            metrics = jax.shard_map(
+                _compute,
+                mesh=mesh,
+                in_specs=(
+                    jax.tree.map(lambda _: P("data"), rows),
+                    jax.tree.map(lambda _: P(), scalars),
+                ),
+                out_specs=P(),
+            )(rows, scalars)
+        else:
+            metrics = _compute(rows, scalars)
+
+        return metrics["total_loss"], metrics
 
     return loss_fn
 
@@ -186,10 +265,14 @@ def make_train_step(
     head: Optional[DinoProjectionHead] = None,
     dist_model=None,
     dist_variables=None,
+    mesh=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. Call with a globally-shaped batch; shard
-    inputs over the mesh before calling (parallel.shard_batch)."""
-    loss_fn = make_loss_fn(model, cfg, head, dist_model, dist_variables)
+    inputs over the mesh before calling (parallel.shard_batch). Pass the mesh
+    so the loss runs under shard_map with real per-rank semantics (see
+    make_loss_fn); without it the loss uses single-device math over whatever
+    GSPMD decides (fine for 1 device)."""
+    loss_fn = make_loss_fn(model, cfg, head, dist_model, dist_variables, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _forward_backward(params, batch, step, rng):

@@ -274,7 +274,7 @@ def get_wds_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_in
         urls,
         preprocess_img=preprocess_fn,
         tokenizer=tokenizer,
-        batch_size=args.batch_size,
+        batch_size=getattr(args, "per_host_batch_size", None) or args.batch_size,
         num_samples=num_samples,
         is_train=is_train,
         seed=getattr(args, "seed", 0),

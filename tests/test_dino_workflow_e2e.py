@@ -50,10 +50,10 @@ def tiny_teacher(monkeypatch):
 def test_dino_precompute_then_train(tmp_path, tiny_teacher):
     import pandas as pd
 
-    # dataset: 8 images x 1 caption
+    # dataset: 16 images x 1 caption
     rng = np.random.default_rng(0)
     rows = []
-    for i in range(8):
+    for i in range(16):
         p = tmp_path / f"img_{i}.jpg"
         Image.fromarray(rng.integers(0, 255, (30, 30, 3), dtype=np.uint8)).save(p)
         rows.append({"filepath": str(p), "title": f"a photo number {i}"})
@@ -72,9 +72,9 @@ def test_dino_precompute_then_train(tmp_path, tiny_teacher):
         "--image-size", "28", "--batch-size", "4",
     ])
     feats = np.load(feats_path)
-    assert feats.shape == (8, 32)
+    assert feats.shape == (16, 32)
     index_map = json.loads(map_path.read_text())["path_to_index"]
-    assert len(index_map) == 8
+    assert len(index_map) == 16
 
     # 2) train consuming the artifacts (csv mode + use_dino_general)
     from refining_clip_via_dinov2_representations_tpu.train.main import main as train_main
@@ -84,7 +84,7 @@ def test_dino_precompute_then_train(tmp_path, tiny_teacher):
         "--train-data", str(csv), "--val-data", str(csv),
         "--dataset-type", "csv",
         "--csv-img-key", "filepath", "--csv-caption-key", "title",
-        "--batch-size", "8", "--epochs", "1", "--warmup", "1",
+        "--batch-size", "2", "--epochs", "1", "--warmup", "1",  # global 16, local blocks of 2
         "--precision", "fp32",
         "--use_dino_general", "--soft_mode", "kl_teacher", "--lambda_soft", "0.5",
         "--dino_fts_path", str(feats_path),

@@ -34,7 +34,7 @@ def test_cli_synthetic_training(tmp_path):
         "--model", "tiny-e2e-model",
         "--dataset-type", "synthetic",
         "--train-num-samples", "32",
-        "--batch-size", "8",
+        "--batch-size", "2",  # per-device; global = 2 x 8 virtual devices = 16
         "--epochs", "1",
         "--warmup", "2",
         "--lr", "1e-3",
@@ -60,7 +60,7 @@ def test_cli_dino_synthetic_training(tmp_path):
         "--model", "tiny-e2e-model",
         "--dataset-type", "synthetic",
         "--train-num-samples", "16",
-        "--batch-size", "8",
+        "--batch-size", "2",  # per-device; global 16 -> one step, local blocks of 2
         "--epochs", "1",
         "--warmup", "1",
         "--precision", "fp32",
@@ -270,7 +270,7 @@ def test_cli_resume_latest(tmp_path):
         "--model", "tiny-e2e-model",
         "--dataset-type", "synthetic",
         "--train-num-samples", "16",
-        "--batch-size", "8",
+        "--batch-size", "1",  # per-device; global 8 -> 2 steps/epoch
         "--warmup", "1",
         "--lr", "1e-3",
         "--precision", "fp32",
