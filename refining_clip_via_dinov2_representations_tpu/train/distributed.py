@@ -51,7 +51,10 @@ def init_distributed_device(args=None):
     args.{rank, local_rank, world_size, distributed} when args is given."""
     import jax
 
-    if is_using_distributed() and jax.process_count() == 1:
+    # NOTE: no jax.process_count()/devices() queries before initialize() —
+    # the first backend query would initialize XLA and make joining the job
+    # impossible (jax.distributed must run before any backend use).
+    if is_using_distributed() and not jax.distributed.is_initialized():
         local_rank, global_rank, world_size = world_info_from_env()
         coordinator = os.environ.get("MASTER_ADDR")
         port = os.environ.get("MASTER_PORT", "8476")

@@ -65,6 +65,20 @@ def main(args=None):
         # raise on the first NaN-producing op instead of training through it
         jax.config.update("jax_debug_nans", True)
 
+    # ---- multi-host init (`main.py:113` -> `distributed.py:93-195`) ----
+    # Must run before any other backend use: joins the job when launched
+    # under torchrun/SLURM/OMPI-style env vars, after which jax.devices()
+    # spans every host and the mesh below covers the whole job.
+    from .distributed import init_distributed_device
+
+    init_distributed_device(args)
+    if jax.process_count() > 1:
+        logging.info(
+            "distributed: process %d/%d, %d local + %d global devices",
+            jax.process_index(), jax.process_count(),
+            len(jax.local_devices()), jax.device_count(),
+        )
+
     import jax.numpy as jnp
 
     from ..losses import DinoLossCfg
