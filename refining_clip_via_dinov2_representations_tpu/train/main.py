@@ -81,6 +81,7 @@ def main(args=None):
 
     import jax.numpy as jnp
 
+    from ..constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
     from ..losses import DinoLossCfg
     from ..losses.dino import DinoProjectionHead
     from ..models import create_model_and_transforms, get_tokenizer
@@ -163,6 +164,25 @@ def main(args=None):
         rng=jax.random.PRNGKey(args.seed),
     )
     tokenizer = get_tokenizer(args.model, cache_dir=args.cache_dir)
+
+    # ---- device-side preprocessing (--device-preprocess) ----
+    # Host workers only decode (uint8 @ raw_size); RandomResizedCrop +
+    # normalize run on-device, fused into the train step (ops/preprocess.py).
+    # Eval keeps the exact host PIL pipeline for metric parity.
+    device_pp = None
+    if args.device_preprocess:
+        from ..transform import _to_2tuple, raw_uint8_transform
+
+        device_pp = dict(
+            out_size=tuple(_to_2tuple(preprocess_train.image_size)),
+            mean=getattr(preprocess_train, "mean", None),
+            std=getattr(preprocess_train, "std", None),
+        )
+        preprocess_train = raw_uint8_transform(args.device_preprocess_raw_size)
+        logging.info(
+            "device preprocess: host ships uint8 %dpx, device crops to %s",
+            args.device_preprocess_raw_size, device_pp["out_size"],
+        )
 
     # distillation teacher (`main.py:341-350`)
     dist_model = dist_variables = None
@@ -278,6 +298,15 @@ def main(args=None):
             use_patch_dropout=bool(args.force_patch_dropout),
             log_grad_norm=bool(args.grad_clip_norm) or args.debug,
             siglip_dist_impl=args.loss_dist_impl or "bidir",
+            device_preprocess=(
+                (
+                    device_pp["out_size"][0], device_pp["out_size"][1],
+                    tuple(device_pp["mean"] or OPENAI_DATASET_MEAN),
+                    tuple(device_pp["std"] or OPENAI_DATASET_STD),
+                )
+                if device_pp is not None
+                else None
+            ),
         )
         train_step = make_train_step(
             model, tx, step_cfg,

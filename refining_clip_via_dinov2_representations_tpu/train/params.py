@@ -198,6 +198,17 @@ def parse_args(args=None):
     # ---- runtime ----
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--device", type=str, default=None)
+    parser.add_argument(
+        "--device-preprocess", default=False, action="store_true",
+        help="TPU-native input path: host workers only decode to uint8; "
+             "RandomResizedCrop + normalize run on-device, XLA-fused into "
+             "the train step (ops/preprocess.py).",
+    )
+    parser.add_argument(
+        "--device-preprocess-raw-size", type=int, default=256,
+        help="Host-side decode size (uint8, square) for --device-preprocess; "
+             "kept above the model input size for crop headroom.",
+    )
     parser.add_argument("--force-cpu", default=False, action="store_true",
                         help="[tpu] run on host CPU devices (tests/smoke)")
     parser.add_argument("--mesh-model-axis", type=int, default=1,

@@ -65,6 +65,10 @@ class StepCfg:
     lambda_cyc_inmodal: float = 0.25
     lambda_cyc_crossmodal: float = 0.25
     use_patch_dropout: bool = False
+    # --device-preprocess: batch["images"] arrives uint8 [B,raw,raw,3]; the
+    # step runs RandomResizedCrop + normalize on-device, XLA-fused with the
+    # forward (ops/preprocess.py). None -> images arrive pre-normalized.
+    device_preprocess: Optional[Tuple] = None  # (out_h, out_w, mean, std)
     # grad-norm metric costs a full extra pass over all gradients (~34 ms/step
     # for ViT-B/16 measured in the profile); the reference only computes it
     # when clipping (`train.py:399-417`), mirrored here.
@@ -195,10 +199,19 @@ def make_loss_fn(
         return metrics
 
     def loss_fn(params, batch, step, rng):
+        images = batch["images"]
+        if cfg.device_preprocess is not None:
+            from ..ops.preprocess import preprocess_train_batch
+
+            rng, crop_rng = jax.random.split(rng)
+            out_h, out_w, mean, std = cfg.device_preprocess
+            images = preprocess_train_batch(
+                crop_rng, images, (out_h, out_w), mean=mean, std=std
+            )
         rngs = {"patch_dropout": rng} if cfg.use_patch_dropout else None
         out = model.apply(
             {"params": params["model"]},
-            batch["images"],
+            images,
             batch["texts"],
             deterministic=not cfg.use_patch_dropout,
             rngs=rngs,

@@ -295,6 +295,28 @@ def image_transform(
     return ImageTransform(_eval, size, is_train=False)
 
 
+def raw_uint8_transform(raw_size: int = 256) -> ImageTransform:
+    """Host side of the device-preprocess path (`--device-preprocess`).
+
+    Decode only: shortest-edge resize to `raw_size` + center crop, returned
+    as uint8 HWC. The expensive work (RandomResizedCrop / normalize) runs
+    on-device, XLA-fused into the train step (ops/preprocess.py), so the
+    host pipeline stops being the bottleneck. `raw_size` > model input size
+    keeps crop headroom for the device-side RRC.
+    """
+    size = (raw_size, raw_size)
+    interp = _PIL_INTERP["bicubic"]
+
+    def _raw(img: Image.Image) -> np.ndarray:
+        img = resize_shortest(img.convert("RGB"), raw_size, interp)
+        img = center_crop(img, size)
+        return np.asarray(img, dtype=np.uint8)
+
+    t = ImageTransform(_raw, size, is_train=True)
+    t.is_raw_uint8 = True
+    return t
+
+
 def _apply_color_jitter(img: Image.Image, cj, rng: random.Random) -> Image.Image:
     """Brightness/contrast/saturation/hue jitter (simclr-style,
     `transform.py:238-257`)."""
@@ -327,7 +349,7 @@ def image_transform_v2(
     aug_cfg: Optional[Union[Dict[str, Any], AugmentationCfg]] = None,
 ) -> ImageTransform:
     """(`transform.py:393-407`)"""
-    return image_transform(
+    t = image_transform(
         image_size=cfg.size,
         is_train=is_train,
         mean=cfg.mean,
@@ -337,3 +359,8 @@ def image_transform_v2(
         fill_color=cfg.fill_color,
         aug_cfg=aug_cfg,
     )
+    # expose the resolved normalization so callers (e.g. --device-preprocess)
+    # can replicate it on-device
+    t.mean = tuple(cfg.mean or OPENAI_DATASET_MEAN)
+    t.std = tuple(cfg.std or OPENAI_DATASET_STD)
+    return t

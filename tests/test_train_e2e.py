@@ -78,6 +78,54 @@ def test_cli_dino_synthetic_training(tmp_path):
     assert any("soft_loss" in s for s in steps)
 
 
+def test_cli_device_preprocess_uint8_path(tmp_path):
+    """--device-preprocess: host ships uint8 raw batches, the step crops +
+    normalizes on-device (VERDICT weak #5 — the XLA-fused input path)."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    main([
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "32",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--warmup", "1",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--device-preprocess", "--device-preprocess-raw-size", "24",
+        "--logs", str(tmp_path),
+        "--name", "devpp",
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+    ])
+    steps = json.loads((tmp_path / "devpp" / "loss_steps.json").read_text())
+    assert steps and np.isfinite(steps[-1]["total_loss"])
+
+
+def test_device_preprocess_batch_is_uint8(tmp_path):
+    """The raw transform really ships uint8 at the raw size."""
+    from refining_clip_via_dinov2_representations_tpu.transform import (
+        raw_uint8_transform,
+    )
+
+    t = raw_uint8_transform(24)
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (37, 61, 3), dtype=np.uint8)
+    )
+    out = t(img)
+    assert out.dtype == np.uint8 and out.shape == (24, 24, 3)
+
+    from refining_clip_via_dinov2_representations_tpu.ops.preprocess import (
+        preprocess_train_batch,
+    )
+
+    batch = np.stack([out] * 4)
+    dev = preprocess_train_batch(jax.random.PRNGKey(0), batch, (16, 16))
+    assert dev.shape == (4, 16, 16, 3) and dev.dtype == np.float32
+    # normalized: roughly zero-centered, not 0..255
+    assert float(np.abs(np.asarray(dev)).max()) < 10.0
+
+
 def _write_csv_dataset(tmp_path, n_images=4, caps_per_img=2):
     import pandas as pd
 
