@@ -68,7 +68,16 @@ def multi_head_attention(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "flash" if on_tpu else "xla"
+        impl = "fused" if on_tpu else "xla"
+
+    if impl == "fused":
+        from .fused_attention import fused_attention, fused_attention_compatible
+
+        if fused_attention_compatible(q, k, v, mask):
+            if scale is None:
+                scale = q.shape[-1] ** -0.5
+            return fused_attention(q, k, v, float(scale), causal)
+        impl = "flash"  # long-sequence fallback
 
     if impl == "flash":
         from .flash_attention import flash_attention_compatible, flash_mha

@@ -369,6 +369,99 @@ def simple_mask_tokenize(
     return result
 
 
+# Closed-class words for the offline POS fallback of syntax_mask_tokenize.
+_FUNCTION_WORDS = frozenset(
+    "a an the this that these those some any no every each either neither "
+    "and or but nor so yet for of in on at by with from to into onto over "
+    "under above below between among through during before after about "
+    "against up down out off again further then once here there when where "
+    "why how is are was were be been being am do does did doing have has "
+    "had having will would shall should may might must can could i you he "
+    "she it we they me him her us them my your his its our their mine yours "
+    "hers ours theirs who whom whose which what not as if than too very "
+    "just also only own same such both more most other another".split()
+)
+
+
+def _heuristic_pos_tag(words: List[str]) -> List[str]:
+    """Suffix/lexicon POS approximation for environments without the nltk
+    tagger data. Only the NN/JJ/VB/other distinction matters for the
+    priority ordering below."""
+    tags = []
+    for w in words:
+        lw = w.lower()
+        if not lw or not lw[0].isalpha():
+            tags.append("OTHER")
+        elif lw in _FUNCTION_WORDS:
+            tags.append("OTHER")
+        elif lw.endswith("ly"):
+            tags.append("RB")
+        elif lw.endswith(("ing", "ed")) and len(lw) > 4:
+            tags.append("VB")
+        elif lw.endswith(
+            ("ous", "ful", "ive", "able", "ible", "al", "ish", "less", "est", "ier")
+        ):
+            tags.append("JJ")
+        else:
+            tags.append("NN")
+    return tags
+
+
+def syntax_mask_tokenize(
+    texts: List[str],
+    context_length: int,
+    sot_token_id: int,
+    eot_token_id: int,
+    encode_fn: Callable,
+) -> np.ndarray:
+    """POS-priority token reduction (`tokenizer.py:331-387`): when a caption
+    is over-long, keep words ranked nouns(1) < adjectives(2) < verbs(3) <
+    everything else(4), preserving original word order among the survivors.
+
+    Uses nltk's word tokenizer + perceptron tagger when its data is
+    installed (exact reference behaviour); otherwise falls back to a
+    regex word split + heuristic tagger with the same priority scheme
+    (this environment has no nltk corpora and no egress — documented
+    divergence, same selection contract).
+    """
+    import re
+
+    def _order(tag: str) -> int:
+        if tag.startswith("NN"):
+            return 1
+        if tag.startswith("JJ"):
+            return 2
+        if tag.startswith("VB"):
+            return 3
+        return 4
+
+    def _tag(text: str):
+        try:
+            import nltk
+
+            words = nltk.tokenize.word_tokenize(text)
+            return words, [t for _, t in nltk.pos_tag(words)]
+        except (ImportError, LookupError):
+            words = re.findall(r"\w+|[^\w\s]", text)
+            return words, _heuristic_pos_tag(words)
+
+    new_texts = []
+    for text in texts:
+        words, tags = _tag(text)
+        order = np.asarray([_order(t) for t in tags])
+        keep = np.sort(np.argsort(order, kind="stable")[: context_length - 2])
+        new_texts.append(" ".join(str(words[j]) for j in keep).strip())
+
+    result = np.zeros((len(new_texts), context_length), dtype=np.int32)
+    for i, text in enumerate(new_texts):
+        tokens = [sot_token_id] + list(encode_fn(text)) + [eot_token_id]
+        if len(tokens) > context_length:  # multi-token words can overflow
+            tokens = tokens[:context_length]
+            tokens[-1] = eot_token_id
+        result[i, : len(tokens)] = tokens
+    return result
+
+
 def get_reduction_mask_fn(type: str) -> Callable:
     if type == "simple":
         return simple_mask_tokenize
@@ -378,7 +471,9 @@ def get_reduction_mask_fn(type: str) -> Callable:
         import functools
 
         return functools.partial(random_mask_tokenize, shuffle=True)
-    raise ValueError(f"Unsupported reduction mask type: {type!r} (syntax mask needs nltk)")
+    if type == "syntax":
+        return syntax_mask_tokenize
+    raise ValueError(f"Unsupported reduction mask type: {type!r}")
 
 
 # ---------------------------------------------------------------------------

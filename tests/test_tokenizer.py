@@ -85,3 +85,32 @@ def test_module_level_helpers():
 def test_custom_context_length(jax_tok):
     out = jax_tok(["a photo of a cat"], context_length=16)
     assert out.shape == (1, 16)
+
+
+def test_syntax_mask_tokenize_prioritizes_content_words():
+    """syntax reduction (`tokenizer.py:331-387`): nouns > adjectives > verbs
+    > function words, original order preserved, sot/eot framing intact."""
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SimpleTokenizer
+
+    tok = SimpleTokenizer(reduction_mask="syntax")
+    ctx = 12
+    # long caption: function words should be dropped first
+    text = (
+        "the quick brown fox jumps over the lazy dog near a very old wooden "
+        "bridge by the river bank during a bright morning"
+    )
+    ids = tok([text], context_length=ctx)
+    assert ids.shape == (1, ctx)
+    row = list(map(int, ids[0]))
+    assert row[0] == tok.sot_token_id
+    assert tok.eot_token_id in row
+    decoded = tok.decode([t for t in row if t not in (tok.sot_token_id, tok.eot_token_id, 0)])
+    # content nouns survive; leading article does not
+    assert "fox" in decoded or "dog" in decoded or "bridge" in decoded
+    assert not decoded.startswith("the ")
+
+    # short caption passes through with standard framing
+    short = tok(["a photo of a cat"], context_length=77)
+    base = SimpleTokenizer()(["a photo of a cat"], context_length=77)
+    import numpy as np
+    assert np.array_equal(np.asarray(short), np.asarray(base))
