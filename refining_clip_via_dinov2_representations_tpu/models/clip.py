@@ -13,6 +13,7 @@ Forward contract matches the reference with `output_dict=True`
 
 from __future__ import annotations
 
+import dataclasses
 import math
 from typing import Any, Optional
 
@@ -85,6 +86,23 @@ def _build_vision_tower(
                 patch_embed_bias=True,
                 act=get_act_fn("gelu"),
                 norm_eps=1e-6,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
+
+        from .eva02 import EVA02_DIMS, Eva02VisionTower
+
+        if cfg.timm_model_name in EVA02_DIMS:
+            e_cfg = EVA02_DIMS[cfg.timm_model_name]
+            img = to_2tuple(cfg.image_size)[0]
+            if img != e_cfg.image_size:
+                e_cfg = dataclasses.replace(e_cfg, image_size=img)
+            return Eva02VisionTower(
+                cfg=e_cfg,
+                output_dim=embed_dim,
                 output_tokens=cfg.output_tokens,
                 dtype=dtype,
                 attn_impl=attn_impl,
