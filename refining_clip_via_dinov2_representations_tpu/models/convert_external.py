@@ -86,27 +86,95 @@ def load_big_vision_text_params(npz: Mapping[str, np.ndarray], prefix: str = "pa
     return params
 
 
+def load_big_vision_image_params(
+    npz: Mapping[str, np.ndarray], prefix: str = "params/img/"
+) -> Dict[str, Any]:
+    """Map the `img/` side of a big_vision SigLIP checkpoint onto our native
+    `SiglipVisionTower` params (`convert.py:40-117`'s `_convert_timm_img`,
+    re-targeted: big_vision is flax, so conv/dense kernels map 1:1; only the
+    per-head attention tensors fuse into the (D, 3D) layout)."""
+
+    def g(key):
+        for cand in (prefix + key, "img/" + key, key):
+            if cand in npz:
+                return np.asarray(npz[cand], np.float32)
+        raise KeyError(prefix + key)
+
+    width = g("embedding/bias").shape[0]
+    params: Dict[str, Any] = {
+        "patch_embedding": {"kernel": g("embedding/kernel"),
+                            "bias": g("embedding/bias")},
+        "position_embedding": g("pos_embedding").reshape(-1, width),
+        "post_layernorm": {"scale": g("Transformer/encoder_norm/scale"),
+                           "bias": g("Transformer/encoder_norm/bias")},
+    }
+
+    i = 0
+    while True:
+        bp = f"Transformer/encoderblock_{i}/"
+        try:
+            ln1s = g(bp + "LayerNorm_0/scale")
+        except KeyError:
+            break
+        mha = bp + "MultiHeadDotProductAttention_0/"
+        kernel, bias = _fuse_qkv(
+            g(mha + "query/kernel"), g(mha + "key/kernel"), g(mha + "value/kernel"),
+            g(mha + "query/bias"), g(mha + "key/bias"), g(mha + "value/bias"),
+        )
+        params[f"layers_{i}"] = {
+            "layer_norm1": {"scale": ln1s, "bias": g(bp + "LayerNorm_0/bias")},
+            "attn": {
+                "in_proj_kernel": kernel,
+                "in_proj_bias": bias,
+                "out_proj": {"kernel": g(mha + "out/kernel").reshape(width, width),
+                             "bias": g(mha + "out/bias")},
+            },
+            "layer_norm2": {"scale": g(bp + "LayerNorm_1/scale"),
+                            "bias": g(bp + "LayerNorm_1/bias")},
+            "fc1": {"kernel": g(bp + "MlpBlock_0/Dense_0/kernel"),
+                    "bias": g(bp + "MlpBlock_0/Dense_0/bias")},
+            "fc2": {"kernel": g(bp + "MlpBlock_0/Dense_1/kernel"),
+                    "bias": g(bp + "MlpBlock_0/Dense_1/bias")},
+        }
+        i += 1
+
+    # MAP pooling head (`MAPHead_0`; reference convert.py:98-117)
+    map_p = "MAPHead_0/"
+    mha = map_p + "MultiHeadDotProductAttention_0/"
+    kernel, bias = _fuse_qkv(
+        g(mha + "query/kernel"), g(mha + "key/kernel"), g(mha + "value/kernel"),
+        g(mha + "query/bias"), g(mha + "key/bias"), g(mha + "value/bias"),
+    )
+    params["probe"] = g(map_p + "probe").reshape(1, width)
+    params["head_attn"] = {
+        "in_proj_kernel": kernel,
+        "in_proj_bias": bias,
+        "out_proj": {"kernel": g(mha + "out/kernel").reshape(width, width),
+                     "bias": g(mha + "out/bias")},
+    }
+    params["head_layernorm"] = {"scale": g(map_p + "LayerNorm_0/scale"),
+                                "bias": g(map_p + "LayerNorm_0/bias")}
+    params["head_fc1"] = {"kernel": g(map_p + "MlpBlock_0/Dense_0/kernel"),
+                          "bias": g(map_p + "MlpBlock_0/Dense_0/bias")}
+    params["head_fc2"] = {"kernel": g(map_p + "MlpBlock_0/Dense_1/kernel"),
+                          "bias": g(map_p + "MlpBlock_0/Dense_1/bias")}
+    return params
+
+
 def load_big_vision_weights(checkpoint_path: str) -> Dict[str, Any]:
-    """Partial big_vision SigLIP load: text tower + logit scale/bias
-    (`convert.py:13-156`). Returns a flax param fragment
-    {'text': ..., 'logit_scale': ..., 'logit_bias': ...}; the timm-style
-    image tower is not yet ported natively."""
+    """Full big_vision SigLIP load (`convert.py:13-156`): image tower + text
+    tower + logit scale/bias. Returns a flax param fragment
+    {'visual': ..., 'text': ..., 'logit_scale': ..., 'logit_bias': ...}."""
     npz = np.load(checkpoint_path)
     keys = set(npz.keys())
     prefix = "params/" if any(k.startswith("params/") for k in keys) else ""
     out: Dict[str, Any] = {"text": load_big_vision_text_params(npz, prefix + "txt/")}
+    if any(k.startswith((prefix + "img/", "img/")) for k in keys):
+        out["visual"] = load_big_vision_image_params(npz, prefix + "img/")
     for name, key in (("logit_scale", "t"), ("logit_bias", "b")):
         for cand in (prefix + key, key):
             if cand in keys:
                 out[name] = np.asarray(npz[cand], np.float32).reshape(())
-    skipped = sorted(k for k in keys if "/img/" in f"/{k}" or k.startswith(prefix + "img/"))
-    if skipped:
-        import logging
-
-        logging.warning(
-            "big_vision image tower (%d tensors) not converted — native SigLIP "
-            "vision tower pending; text tower + logit scale loaded.", len(skipped),
-        )
     return out
 
 

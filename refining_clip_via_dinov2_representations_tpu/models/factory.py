@@ -168,6 +168,29 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
     (reference `factory.py:218-277`)."""
     from .convert import convert_clip_variables
 
+    path = str(checkpoint_path)
+    if path.endswith(".npz"):
+        import numpy as _np
+
+        keys = set(_np.load(path).keys())
+        if any(("txt/" in k) or ("img/" in k) for k in keys):
+            # big_vision SigLIP layout (`convert.py:13-156`): already a flax
+            # fragment keyed visual/text/logit_scale/logit_bias
+            from .convert_external import load_big_vision_weights
+
+            loaded = {"params": load_big_vision_weights(path)}
+            params, missing, unexpected = _merge_params(
+                variables["params"], loaded["params"]
+            )
+            if strict and (missing or unexpected):
+                raise ValueError(
+                    f"checkpoint mismatch: missing={missing[:10]} "
+                    f"unexpected={unexpected[:10]}"
+                )
+            new_vars = dict(variables)
+            new_vars["params"] = params
+            return new_vars, (missing, unexpected)
+
     state_dict = load_state_dict(checkpoint_path)
     if any(k.startswith(("visual.", "text.")) or k == "logit_scale" for k in state_dict):
         loaded = convert_clip_variables(state_dict, strict=strict)
