@@ -101,3 +101,94 @@ def test_bf16_embedding_drift_bounded():
         b = np.asarray(o16[key], np.float32)
         cos = np.sum(a * b, -1) / (np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1))
         assert cos.min() > 0.995, (key, cos.min())
+
+
+def test_fifty_step_dino_loss_curve_parity():
+    """50-step loss-curve overlay vs the torch reference (VERDICT weak #8):
+    same weights, same batches, DINO-soft objective, AdamW — per-step losses
+    must track within a tolerance band the whole way down."""
+    ref_model_mod = load_ref("model")
+    ref_loss_mod = load_ref("loss")
+    torch.manual_seed(7)
+    ref = ref_model_mod.CLIP(
+        embed_dim=32,
+        vision_cfg=ref_model_mod.CLIPVisionCfg(**TINY["vision_cfg"]),
+        text_cfg=ref_model_mod.CLIPTextCfg(**TINY["text_cfg"]),
+    )
+    ref.train()
+
+    from refining_clip_via_dinov2_representations_tpu.losses import (
+        DinoLossCfg,
+        dino_enhanced_loss,
+    )
+
+    model = build_model(parse_model_cfg(TINY))
+    params = jax.tree.map(jnp.asarray, convert_clip_state_dict(ref.state_dict()))
+
+    lr, wd, b1, b2, eps = 1e-3, 0.1, 0.9, 0.98, 1e-6
+    t_opt = torch.optim.AdamW(ref.parameters(), lr=lr, betas=(b1, b2), eps=eps,
+                              weight_decay=wd)
+    tx = optax.adamw(lr, b1=b1, b2=b2, eps=eps, weight_decay=wd)
+    opt_state = tx.init(params)
+
+    from types import SimpleNamespace
+
+    t_loss_fn = ref_loss_mod.ClipLossWithDINOEnhancements()
+    t_args = SimpleNamespace(
+        use_projection=False, lambda_original=1.0, lambda_soft=0.5,
+        soft_mode="kl_teacher", teacher_temp=0.15, soft_dino_to_text=False,
+        text_lambda=0.0, text_student_temp=0.05, lambda_weighted=0.0,
+        rho=0.1, c_clip=1.0, weight_text_symmetry=False,
+    )
+    cfg = DinoLossCfg(lambda_original=1.0, lambda_soft=0.5,
+                      soft_mode="kl_teacher", teacher_temp=0.15,
+                      use_projection=False)
+
+    @jax.jit
+    def step(params, opt_state, images, texts, dino):
+        def loss_fn(p):
+            o = model.apply({"params": p}, images, texts)
+            out = dino_enhanced_loss(
+                o["image_features"], o["text_features"], o["logit_scale"],
+                dino, cfg,
+            )
+            return out["total_loss"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return loss, optax.apply_updates(params, updates), opt_state
+
+    rng = np.random.default_rng(42)
+    t_curve, j_curve = [], []
+    for _ in range(50):
+        images = rng.normal(size=(8, 3, 16, 16)).astype(np.float32)
+        texts = rng.integers(1, 63, size=(8, 12)).astype(np.int64)
+        dino = rng.normal(size=(8, 24)).astype(np.float32)
+
+        t_opt.zero_grad()
+        img_f, txt_f, scale = ref(torch.from_numpy(images), torch.from_numpy(texts))
+        # quirk: the reference returns None unless output_dict=True
+        t_loss = t_loss_fn(img_f, txt_f, scale, torch.from_numpy(dino),
+                           args=t_args, output_dict=True)["total_loss"]
+        t_loss.backward()
+        t_opt.step()
+        t_curve.append(float(t_loss))
+
+        j_loss, params, opt_state = step(
+            params, opt_state,
+            jnp.asarray(images.transpose(0, 2, 3, 1)),
+            jnp.asarray(texts.astype(np.int32)),
+            jnp.asarray(dino),
+        )
+        j_curve.append(float(j_loss))
+
+    t_curve = np.asarray(t_curve)
+    j_curve = np.asarray(j_curve)
+    # banded overlay: early steps bit-close, later steps within a drift band
+    np.testing.assert_allclose(j_curve[:5], t_curve[:5], atol=5e-4)
+    band = np.abs(j_curve - t_curve)
+    assert band.max() < 0.05, f"curves diverged: max |d|={band.max():.4f}"
+    assert np.corrcoef(t_curve, j_curve)[0, 1] > 0.999
+    # both implementations actually trained
+    assert t_curve[-5:].mean() < t_curve[:5].mean()
+    assert j_curve[-5:].mean() < j_curve[:5].mean()
