@@ -14,6 +14,7 @@ Layout convention is ``[batch, heads, seq, head_dim]`` throughout ("BHLD").
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -47,6 +48,62 @@ def dot_product_attention_xla(
     return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
 
 
+# ---------------------------------------------------------------------------
+# XLA attention with a memory-disciplined custom backward.
+#
+# jax's autodiff of the fp32-softmax path saves the fp32 softmax output
+# ([B,H,L,L], 179 MB at ViT-B/16 batch 96) as a residual and runs the
+# softmax backward in fp32 — profiling shows the attention core saturating
+# ~95% of HBM bandwidth at 11% MXU. This variant keeps the same forward
+# numerics (bf16 logits, fp32 softmax) but saves only the bf16 probability
+# matrix and computes the backward entirely in bf16 matmuls with fp32 row
+# reductions, roughly halving the O(L^2) HBM traffic.
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _attention_bf16_bwd(q, k, v, mask, scale: float):
+    out, _ = _attention_bf16_fwd_impl(q, k, v, mask, scale)
+    return out
+
+
+def _attention_bf16_fwd_impl(q, k, v, mask, scale: float):
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype)
+    logits = logits * jnp.asarray(scale, logits.dtype)
+    if mask is not None:
+        logits = logits + mask.astype(logits.dtype)
+    p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    return out, p
+
+
+def _attention_bf16_fwd(q, k, v, mask, scale: float):
+    out, p = _attention_bf16_fwd_impl(q, k, v, mask, scale)
+    return out, (q, k, v, p)
+
+
+def _attention_bf16_bwd_rule(scale, res, do):
+    q, k, v, p = res
+    do = do.astype(v.dtype)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, do)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", do, v, preferred_element_type=p.dtype)
+    # softmax backward: dS = P * (dP - rowsum(P * dP)); row reduction in fp32
+    r = jnp.sum(p.astype(jnp.float32) * dp.astype(jnp.float32), axis=-1, keepdims=True)
+    ds = (p * (dp - r.astype(p.dtype))) * jnp.asarray(scale, p.dtype)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k)
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q)
+    return dq, dk, dv, None
+
+
+_attention_bf16_bwd.defvjp(_attention_bf16_fwd, _attention_bf16_bwd_rule)
+
+
+def dot_product_attention_bf16_bwd(q, k, v, mask=None, scale=None):
+    """XLA attention with the bf16 custom backward (TPU hot path)."""
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _attention_bf16_bwd(q, k, v, mask, float(scale))
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -68,7 +125,19 @@ def multi_head_attention(
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"
-        impl = "fused" if on_tpu else "xla"
+        # measured on one v5e, ViT-B/16 DINO-soft step @ batch 96:
+        #   xla autodiff attention : 118 ms/step device
+        #   pallas fused kernel    : 125 ms/step (fwd 5.1 + bwd 15.4 + 5.2
+        #                            layout conversions around the calls)
+        #   xla + bf16 custom bwd  : see bench history
+        # bf16-backward XLA is the default; "fused" stays selectable.
+        impl = "xla_bf16_bwd" if (on_tpu and q.dtype != jnp.float32) else "xla"
+
+    if impl == "xla_bf16_bwd":
+        if causal and mask is None:
+            lq, lk = q.shape[-2], k.shape[-2]
+            mask = jnp.triu(jnp.full((lq, lk), -jnp.inf, dtype=jnp.float32), k=1)
+        return dot_product_attention_bf16_bwd(q, k, v, mask=mask, scale=scale)
 
     if impl == "fused":
         from .fused_attention import fused_attention, fused_attention_compatible

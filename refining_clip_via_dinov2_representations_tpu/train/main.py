@@ -161,6 +161,10 @@ def main(args=None):
         cache_dir=args.cache_dir,
         aug_cfg=args.aug_cfg,
         attn_impl=args.attn_impl,
+        image_mean=args.image_mean,
+        image_std=args.image_std,
+        image_interpolation=args.image_interpolation,
+        image_resize_mode=args.image_resize_mode,
         rng=jax.random.PRNGKey(args.seed),
     )
     tokenizer = get_tokenizer(args.model, cache_dir=args.cache_dir)
@@ -221,7 +225,13 @@ def main(args=None):
     if "train" in data:
         steps_per_epoch = data["train"].dataloader.num_batches // max(1, args.accum_freq)
         total_steps = steps_per_epoch * args.epochs
-        schedule = make_schedule(args, args.lr, total_steps, steps_per_epoch)
+        if args.skip_scheduler:
+            # reference main.py: scheduler=None -> lr pinned at args.lr
+            from .scheduler import const_lr
+
+            schedule = const_lr(args.lr, 0, total_steps)
+        else:
+            schedule = make_schedule(args, args.lr, total_steps, steps_per_epoch)
         optim_cfg = OptimCfg(
             lr=args.lr,
             beta1=args.beta1,

@@ -64,6 +64,28 @@ def parse_args(args=None):
              "per-GPU semantics; global batch = batch-size x data-axis size.",
     )
     parser.add_argument("--aug-cfg", nargs="*", default={}, action=ParseKwargs)
+    parser.add_argument(
+        "--flickr30k_val", type=str, default=None,
+        help="Path to Flickr30k validation CSV (reference name; alias of "
+             "--flickr-val-data)",
+    )
+    parser.add_argument(
+        "--mscoco_val", type=str, default=None,
+        help="Path to MSCOCO validation CSV (reference name; alias of "
+             "--mscoco-val-data)",
+    )
+    parser.add_argument(
+        "--train-data-upsampling-factors", type=str, default=None,
+        help="webdataset multi-source sampling weights (reference "
+             "params.py:538); single-source pipelines ignore it",
+    )
+    # preprocessing overrides (reference params.py:861-890)
+    parser.add_argument("--image-mean", type=float, nargs="+", default=None)
+    parser.add_argument("--image-std", type=float, nargs="+", default=None)
+    parser.add_argument("--image-interpolation", type=str, default=None,
+                        choices=["bicubic", "bilinear", "random"])
+    parser.add_argument("--image-resize-mode", type=str, default=None,
+                        choices=["shortest", "longest", "squash"])
 
     # ---- schedule / optim ----
     parser.add_argument("--epochs", type=int, default=32)
@@ -155,6 +177,56 @@ def parse_args(args=None):
     parser.add_argument("--synthetic-dino-dim", dest="synthetic_dino_dim",
                         type=int, default=384, help="[tpu] teacher dim for synthetic data")
     parser.add_argument("--dbg_print_every", type=int, default=0)
+    parser.add_argument("--dino_fts_path_val", type=str, default=None,
+                        help="precomputed DINO features for the val split")
+    parser.add_argument("--dino_index_map_path_val", type=str, default=None)
+
+    # ---- fork sweep-surface knobs (`params.py:232-530`) ----
+    # The reference parses this whole family for its sweep scripts
+    # (sweep_manual.sh) but its committed loss consumes none of them
+    # (SURVEY §5 config); accepted here so the same launch commands run,
+    # and recorded into params.txt for sweep bookkeeping.
+    parser.add_argument("--alpha", type=float, default=1.0)
+    parser.add_argument("--beta_weight", type=float, default=0.0)
+    parser.add_argument("--loss_mode", type=str, default="clip")
+    parser.add_argument("--lambda_dino", type=float, default=0.0)
+    parser.add_argument("--lambda_geom", type=float, default=0.0)
+    parser.add_argument("--lambda_graph_near", type=float, default=0.0)
+    parser.add_argument("--lambda_graph_far", type=float, default=0.0)
+    parser.add_argument("--lambda_hard_neg", type=float, default=0.0)
+    parser.add_argument("--lambda_self_align", type=float, default=0.0)
+    parser.add_argument("--lambda_sim_align", type=float, default=0.0)
+    parser.add_argument("--lambda_weighted_contrastive_loss", type=float, default=0.0)
+    parser.add_argument("--graph_near_pct", type=float, default=0.8)
+    parser.add_argument("--graph_far_pct", type=float, default=0.2)
+    parser.add_argument("--soft_near_pct", type=float, default=0.8)
+    parser.add_argument("--soft_far_pct", type=float, default=0.2)
+    parser.add_argument("--soft_w_mid", type=float, default=0.2)
+    parser.add_argument("--soft_temprature", type=float, default=0.02)  # sic
+    parser.add_argument("--dino_far_pct", type=float, default=0.2)
+    parser.add_argument("--far_target_percentile", type=float, default=0.75)
+    parser.add_argument("--hard_cap_gap", type=float, default=1.0)
+    parser.add_argument("--topk_teacher", type=int, default=0)
+    parser.add_argument("--topp_teacher", type=float, default=0.0)
+    parser.add_argument("--txt_cov_weight", type=float, default=0.0)
+    parser.add_argument("--txt_var_weight", type=float, default=0.0)
+    parser.add_argument("--txt_top_pct", type=float, default=0.8)
+    parser.add_argument("--normalize_rows", default=False, action="store_true")
+    parser.add_argument("--normalize_cols", default=False, action="store_true")
+    parser.add_argument("--enforce_to_text", default=False, action="store_true")
+    parser.add_argument("--use_dino_similarities", default=False, action="store_true")
+    parser.add_argument("--use_dino_soft_targets", default=False, action="store_true")
+    parser.add_argument("--use_dino_weight", default=False, action="store_true")
+    parser.add_argument("--use_dino_self_align", default=False, action="store_true")
+    parser.add_argument("--use_dino_sim_align", default=False, action="store_true")
+    parser.add_argument("--use_soft_labels", default=False, action="store_true")
+    parser.add_argument("--use_symmetric_dino_weights", default=False,
+                        action="store_true")
+    parser.add_argument("--use-symmetric-dino-weights",
+                        dest="use_symmetric_dino_weights", action="store_true",
+                        help=argparse.SUPPRESS)  # reference defines both spellings
+    parser.add_argument("--vit-lr-decay", dest="vit_lr_decay", type=float,
+                        default=0.9)
 
     # ---- CyCLIP / CoCa / distill ----
     parser.add_argument("--use_CyClip", default=False, action="store_true")
@@ -191,6 +263,23 @@ def parse_args(args=None):
     parser.add_argument("--debug", default=False, action="store_true")
     parser.add_argument("--run_clip_blind", default=False, action="store_true")
     parser.add_argument("--clip_blind_max_images", type=int, default=2000)
+    parser.add_argument("--clip_blind_dino_feats", type=str, default=None,
+                        help="DINO feature file for the clip-blind check")
+    parser.add_argument("--clip_blind_dino_index_map", type=str, default=None)
+    parser.add_argument("--clip_blind_val_key", type=str, default="flickr30k-val")
+    parser.add_argument("--clip_blind_train_key", type=str, default="train")
+    parser.add_argument("--log-checkpoint", dest="log_checkpoint",
+                        default=False, action="store_true",
+                        help="upload checkpoints as MLflow artifacts")
+    parser.add_argument("--use_mlflow", default=None, action="store_true",
+                        help="reference compat; actual gate is MLFLOW_ENABLE env")
+    parser.add_argument("--skip-scheduler", dest="skip_scheduler",
+                        default=False, action="store_true",
+                        help="hold lr constant at --lr (reference params.py:754)")
+    parser.add_argument("--pretrained-image", dest="pretrained_image",
+                        default=False, action="store_true")
+    parser.add_argument("--use-bnb-linear", dest="use_bnb_linear",
+                        type=str, default=None)
     parser.add_argument("--remote-sync", type=str, default=None)
     parser.add_argument("--remote-sync-frequency", type=int, default=300)
     parser.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"], default="s3")
@@ -231,10 +320,21 @@ def parse_args(args=None):
             setattr(ns, name, val)
 
     for torch_only in ("torchscript", "torchcompile", "trace", "horovod",
-                       "ddp_static_graph", "use_bn_sync"):
+                       "ddp_static_graph", "use_bn_sync", "use_bnb_linear",
+                       "pretrained_image"):
         if getattr(ns, torch_only):
             import logging
 
             logging.warning("flag --%s is torch-specific; ignored on TPU",
                             torch_only.replace("_", "-"))
+
+    # reference-vs-native spelling aliases for the retrieval val CSVs
+    if ns.flickr30k_val and not ns.flickr_val_data:
+        ns.flickr_val_data = ns.flickr30k_val
+    if ns.flickr_val_data and not ns.flickr30k_val:
+        ns.flickr30k_val = ns.flickr_val_data
+    if ns.mscoco_val and not ns.mscoco_val_data:
+        ns.mscoco_val_data = ns.mscoco_val
+    if ns.mscoco_val_data and not ns.mscoco_val:
+        ns.mscoco_val = ns.mscoco_val_data
     return ns

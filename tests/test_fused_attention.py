@@ -74,3 +74,32 @@ def test_dispatcher_fused_path_off_tpu_falls_to_xla():
     got = multi_head_attention(q, k, v, impl="fused")
     want = multi_head_attention(q, k, v, impl="xla")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_bf16_bwd_attention_matches_autodiff():
+    """dot_product_attention_bf16_bwd: same forward, matching gradients."""
+    from refining_clip_via_dinov2_representations_tpu.ops.attention import (
+        dot_product_attention_bf16_bwd,
+    )
+
+    q, k, v = _qkv(lq=41, lk=41)
+    l = q.shape[2]
+    mask = jnp.triu(jnp.full((l, l), -jnp.inf, jnp.float32), k=1)
+
+    for m in (None, mask):
+        got = dot_product_attention_bf16_bwd(q, k, v, mask=m)
+        want = dot_product_attention_xla(q, k, v, mask=m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+        def loss_c(q, k, v, m=m):
+            return jnp.sum(jnp.tanh(dot_product_attention_bf16_bwd(q, k, v, mask=m)))
+
+        def loss_a(q, k, v, m=m):
+            return jnp.sum(jnp.tanh(dot_product_attention_xla(q, k, v, mask=m)))
+
+        gc = jax.grad(loss_c, argnums=(0, 1, 2))(q, k, v)
+        ga = jax.grad(loss_a, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gc, ga, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=3e-5, err_msg=name)
