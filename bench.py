@@ -129,7 +129,9 @@ def main():
         state, metrics = train_step(state, batch_data)
         _log(f"warmup step {i} done, loss={float(metrics['total_loss']):.4f}")
 
-    n_steps = 10
+    # 30 steps amortize the tunnel round-trip of the closing value fetch
+    # (~35 ms RTT / n_steps of bias at 10 steps; ~1 ms at 30)
+    n_steps = int(os.environ.get("BENCH_STEPS", 30))
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, batch_data)

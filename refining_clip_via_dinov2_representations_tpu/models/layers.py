@@ -165,6 +165,12 @@ class MultiheadAttention(nn.Module):
         else:
             bias = jnp.zeros((3 * d,), self.dtype)
 
+        # three slice-matmuls, NOT one fused [D,3D] matmul: XLA fuses each
+        # slice's output epilogue directly into the per-head transpose, so
+        # the split costs nothing. Measured (v5e, ViT-B/16 bs96 step): the
+        # single fused matmul runs faster alone (159 vs 150 TFLOPS) but
+        # forces ~6 ms of standalone split/transpose copies — net +4.7 ms
+        # per step. Keep the slices.
         q = x @ kernel[:, :d] + bias[:d]
         k = kv @ kernel[:, d : 2 * d] + bias[d : 2 * d]
         v = kv @ kernel[:, 2 * d :] + bias[2 * d :]
