@@ -110,6 +110,24 @@ def _build_vision_tower(
                 name=name,
             )
 
+        from .swin import SWIN_DIMS, SwinVisionTower
+
+        if cfg.timm_model_name in SWIN_DIMS:
+            s_cfg = SWIN_DIMS[cfg.timm_model_name]
+            img = to_2tuple(cfg.image_size)[0]
+            if img != s_cfg.image_size:
+                s_cfg = dataclasses.replace(s_cfg, image_size=img)
+            return SwinVisionTower(
+                cfg=s_cfg,
+                output_dim=embed_dim,
+                proj_bias=cfg.timm_proj_bias,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
+
         from .convnext import CONVNEXT_DIMS, ConvNextCfg, ConvNextTower
 
         if cfg.timm_model_name in CONVNEXT_DIMS:
