@@ -110,6 +110,40 @@ def _build_vision_tower(
                 name=name,
             )
 
+        # plain-timm ViT variants used by a handful of configs
+        # (timm vision_transformer.py model args; GAP family: class_token
+        # False, qkv_bias False, LayerScale 1e-6, global avg pool)
+        TIMM_PLAIN_VIT = {
+            "vit_medium_patch16_gap_256": dict(
+                width=512, layers=12, heads=8, patch=16,
+                class_token=False, pool_type="avg", qkv_bias=False,
+                ls_init_value=1e-6,
+            ),
+        }
+        if cfg.timm_model_name in TIMM_PLAIN_VIT:
+            d = TIMM_PLAIN_VIT[cfg.timm_model_name]
+            return VisionTransformer(
+                image_size=to_2tuple(cfg.image_size),
+                patch_size=to_2tuple(d["patch"]),
+                width=d["width"],
+                layers=d["layers"],
+                heads=d["heads"],
+                output_dim=embed_dim,
+                class_token=d["class_token"],
+                pool_type=d["pool_type"],
+                qkv_bias=d["qkv_bias"],
+                ls_init_value=d["ls_init_value"],
+                no_ln_pre=True,
+                patch_embed_bias=True,
+                act=get_act_fn("gelu"),
+                norm_eps=1e-6,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
+
         from .swin import SWIN_DIMS, SwinVisionTower
 
         if cfg.timm_model_name in SWIN_DIMS:

@@ -72,6 +72,7 @@ class ResidualAttentionBlock(nn.Module):
     norm_eps: float = 1e-5
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
+    qkv_bias: bool = True
 
     @nn.compact
     def __call__(
@@ -89,7 +90,8 @@ class ResidualAttentionBlock(nn.Module):
             kv_n = ln("ln_1_kv")(kv)
 
         attn_out = MultiheadAttention(
-            num_heads=self.n_head, dtype=self.dtype, attn_impl=self.attn_impl, name="attn"
+            num_heads=self.n_head, dtype=self.dtype, attn_impl=self.attn_impl,
+            qkv_bias=self.qkv_bias, name="attn"
         )(ln("ln_1")(x), kv=kv_n, mask=mask, causal=causal)
         if self.ls_init_value is not None:
             attn_out = LayerScale(self.ls_init_value, name="ls_1", dtype=self.dtype)(attn_out)
@@ -115,6 +117,7 @@ class Transformer(nn.Module):
     attn_impl: str = "xla"
     remat: bool = False
     remat_policy: str = "full"
+    qkv_bias: bool = True
 
     @nn.compact
     def __call__(
@@ -135,6 +138,7 @@ class Transformer(nn.Module):
                 norm_eps=self.norm_eps,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                qkv_bias=self.qkv_bias,
                 name=f"resblocks_{i}",
             )
             x = blk(x, None, mask, causal)
@@ -201,6 +205,8 @@ class VisionTransformer(nn.Module):
     output_tokens: bool = False
     proj_bias: bool = False        # EVA-style head: Dense projection with bias
     patch_embed_bias: bool = False  # EVA patchify conv carries a bias
+    class_token: bool = True       # False: GAP-style trunk (timm vit_*_gap)
+    qkv_bias: bool = True
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
@@ -229,17 +235,19 @@ class VisionTransformer(nn.Module):
         x = x.reshape(b, gh * gw, self.width)
 
         scale = self.width ** -0.5
-        cls_emb = self.param(
-            "class_embedding",
-            nn.initializers.normal(stddev=scale),
-            (self.width,),
-            jnp.float32,
-        )
-        x = jnp.concatenate(
-            [jnp.broadcast_to(cls_emb.astype(x.dtype), (b, 1, self.width)), x], axis=1
-        )
+        if self.class_token:
+            cls_emb = self.param(
+                "class_embedding",
+                nn.initializers.normal(stddev=scale),
+                (self.width,),
+                jnp.float32,
+            )
+            x = jnp.concatenate(
+                [jnp.broadcast_to(cls_emb.astype(x.dtype), (b, 1, self.width)), x],
+                axis=1,
+            )
 
-        n_pos = self.grid_size[0] * self.grid_size[1] + 1
+        n_pos = self.grid_size[0] * self.grid_size[1] + (1 if self.class_token else 0)
         if self.pos_embed_type == "learnable":
             pos = self.param(
                 "positional_embedding",
@@ -271,8 +279,11 @@ class VisionTransformer(nn.Module):
 
     def _global_pool(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.pool_type == "avg":
+            if not self.class_token:
+                return jnp.mean(x, axis=1), x
             return jnp.mean(x[:, 1:], axis=1), x[:, 1:]
         if self.pool_type == "tok":
+            assert self.class_token, "pool_type 'tok' needs a class token"
             return x[:, 0], x[:, 1:]
         return x, x
 
@@ -295,6 +306,7 @@ class VisionTransformer(nn.Module):
             attn_impl=self.attn_impl,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            qkv_bias=self.qkv_bias,
             name="transformer",
         )(x)
 

@@ -166,3 +166,30 @@ def test_checkpoint_interop_roundtrip(tmp_path):
         variables["params"], params2,
     )
     assert max(jax.tree.leaves(diffs)) == 0.0
+
+
+def test_gap_vit_tower_builds():
+    """vit_medium_patch16_gap_256 (CLIPA GAP family): no class token, no
+    qkv bias, LayerScale, global average pooling."""
+    import jax
+    import jax.numpy as jnp
+
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model,
+        get_model_config,
+        parse_model_cfg,
+    )
+
+    cfg = parse_model_cfg(get_model_config("vit_medium_patch16_gap_256"))
+    model = build_model(cfg)
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 77), jnp.int32)
+    )
+    out = model.apply(v, jnp.zeros((1, 256, 256, 3)), jnp.zeros((1, 77), jnp.int32))
+    assert out["image_features"].shape == (1, 512)
+    p = v["params"]["visual"]
+    assert "class_embedding" not in p
+    assert p["positional_embedding"].shape[0] == 256
+    blk = p["transformer"]["resblocks_0"]
+    assert "in_proj_bias" not in blk["attn"]
+    assert "ls_1" in blk
