@@ -120,6 +120,16 @@ def _build_vision_tower(
                 ls_init_value=1e-6,
             ),
         }
+        if cfg.timm_model_name == "vit_relpos_medium_patch16_cls_224":
+            from .relpos_vit import RelPosVisionTower
+
+            return RelPosVisionTower(
+                width=512, layers=12, heads=8, patch_size=16,
+                image_size=to_2tuple(cfg.image_size)[0],
+                output_dim=embed_dim,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype, attn_impl=attn_impl, remat=remat, name=name,
+            )
         if cfg.timm_model_name in TIMM_PLAIN_VIT:
             d = TIMM_PLAIN_VIT[cfg.timm_model_name]
             return VisionTransformer(

@@ -193,3 +193,42 @@ def test_gap_vit_tower_builds():
     blk = p["transformer"]["resblocks_0"]
     assert "in_proj_bias" not in blk["attn"]
     assert "ls_1" in blk
+
+
+def test_relpos_vit_tower_builds():
+    """vit_relpos_medium_patch16_cls_224: BEiT-style relative position bias,
+    no absolute pos embed, cls pooling."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model,
+        get_model_config,
+        parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models.relpos_vit import (
+        build_relpos_index,
+    )
+
+    # index fixture: 2x2 grid + cls
+    idx = build_relpos_index((2, 2), prefix_tokens=1)
+    assert idx.shape == (5, 5)
+    num = 9  # (2*2-1)^2
+    assert idx[0, 0] == num + 2 and np.all(idx[0, 1:] == num) and np.all(idx[1:, 0] == num + 1)
+    # zero displacement maps to the table center
+    assert idx[1, 1] == idx[2, 2] == idx[3, 3]
+    # symmetric displacements differ, equal displacements match
+    assert idx[1, 2] == idx[3, 4] and idx[1, 2] != idx[2, 1]
+
+    cfg = parse_model_cfg(get_model_config("vit_relpos_medium_patch16_cls_224"))
+    model = build_model(cfg)
+    v = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32)
+    )
+    p = v["params"]["visual"]
+    assert "positional_embedding" not in p
+    assert p["resblocks_0"]["relative_position_bias_table"].shape == (27 * 27 + 3, 8)
+    out = model.apply(v, jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32))
+    assert out["image_features"].shape == (1, 512)
