@@ -57,8 +57,11 @@ def create_mesh(
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading-axis data sharding for batch arrays."""
+def batch_sharding(mesh: Mesh, microbatched: bool = False) -> NamedSharding:
+    """Data sharding for batch arrays: leading axis, or axis 1 when the
+    leading axis is the gradient-accumulation microbatch axis."""
+    if microbatched:
+        return NamedSharding(mesh, P(None, DATA_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -66,17 +69,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh) -> Any:
+def shard_batch(batch: Any, mesh: Mesh, microbatched: bool = False) -> Any:
     """Build the global batch from this host's slice.
 
-    Single-host: a plain device_put with leading-axis data sharding.
+    Single-host: a plain device_put with data sharding on the row axis
+    (axis 0, or axis 1 when `microbatched` — the [accum, rows, ...]
+    gradient-accumulation layout must NOT shard the accum axis).
     Multi-host: each host's loader yields global_batch/process_count rows
     (--batch-size is per data-parallel rank, main.py), and
     `make_array_from_process_local_data` assembles the logical
     [global_batch, ...] array from the per-host slices — no cross-host
     copies, no silently dropped samples.
     """
-    sharding = batch_sharding(mesh)
+    sharding = batch_sharding(mesh, microbatched=microbatched)
     if jax.process_count() > 1:
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(

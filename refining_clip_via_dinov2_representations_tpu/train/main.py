@@ -565,7 +565,7 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
 
         data_time = time.time() - t_end
         with jax.set_mesh(mesh):
-            sharded = shard_batch(batch, mesh)
+            sharded = shard_batch(batch, mesh, microbatched=accum > 1)
             state, metrics = train_step(state, sharded)
 
         step = int(state.step)

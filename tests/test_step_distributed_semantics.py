@@ -198,3 +198,46 @@ def test_siglip_step_dist_impls_match_global(impl):
         )
     )
     assert metrics["contrastive_loss"] == pytest.approx(expected, rel=1e-4), impl
+
+
+def test_accum_under_mesh_matches_single_big_batch_clip():
+    """[accum, rows, ...] batches shard on the ROW axis, not the accum axis;
+    with the CLIP loss, 2x-accum over a mesh equals one big-batch step's
+    per-micro average."""
+    mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+    model, _, state, step2 = _make_accum("clip", mesh, accum=2)
+    _, _, state1, step1 = _make_accum("clip", mesh, accum=1)
+    batch = _batch(seed=5)
+    b = {k: v for k, v in batch.items() if k != "dino_features"}
+
+    with jax.set_mesh(mesh):
+        state = jax.device_put(state, replicated(mesh))
+        micro = jax.tree.map(lambda x: x.reshape(2, B // 2, *x.shape[1:]), b)
+        sharded = shard_batch(micro, mesh, microbatched=True)
+        assert sharded["images"].sharding.spec == P(None, "data")
+        _, m2 = step2(state, sharded)
+
+        state1 = jax.device_put(state1, replicated(mesh))
+        half1 = jax.tree.map(lambda x: x[: B // 2], b)
+        half2 = jax.tree.map(lambda x: x[B // 2:], b)
+        losses = []
+        for h in (half1, half2):
+            _, m1 = step1(state1, shard_batch(h, mesh))
+            losses.append(float(m1["total_loss"]))
+            # rebuild the state each time: donated
+            _, _, state1, step1 = _make_accum("clip", mesh, accum=1)
+            state1 = jax.device_put(state1, replicated(mesh))
+    expected = float(np.mean(losses))
+    assert float(m2["total_loss"]) == pytest.approx(expected, rel=1e-4)
+
+
+def _make_accum(loss_type, mesh, accum):
+    model = build_model(parse_model_cfg(TINY_CFG))
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32))
+    params = {"model": variables["params"]}
+    tx, _ = build_optimizer(params, OptimCfg(lr=1e-3), const_lr(1e-3, 0, 100))
+    state = create_train_state(rng, variables["params"], tx)
+    cfg = StepCfg(loss_type=loss_type, accum_freq=accum)
+    step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+    return model, None, state, step_fn
