@@ -120,6 +120,24 @@ def _build_vision_tower(
                 ls_init_value=1e-6,
             ),
         }
+        from .vitamin import VITAMIN_DIMS, ViTaminVisionTower
+
+        if cfg.timm_model_name in VITAMIN_DIMS:
+            vt_cfg = VITAMIN_DIMS[cfg.timm_model_name]
+            img = to_2tuple(cfg.image_size)[0]
+            if img != vt_cfg.image_size:
+                vt_cfg = dataclasses.replace(vt_cfg, image_size=img)
+            return ViTaminVisionTower(
+                cfg=vt_cfg,
+                output_dim=embed_dim,
+                proj_bias=cfg.timm_proj_bias,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
+
         if cfg.timm_model_name == "vit_relpos_medium_patch16_cls_224":
             from .relpos_vit import RelPosVisionTower
 
@@ -187,8 +205,13 @@ def _build_vision_tower(
                 name=name,
             )
         raise NotImplementedError(
-            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port yet; "
-            "native ports exist for vit_*_siglip_* and convnext_* names "
+            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port. "
+            "Native ports exist for vit_*_siglip_*, convnext_*, eva_*, eva02_*, "
+            "swin_base_patch4_window7_224, vitamin_*, vit_medium_patch16_gap_256 "
+            "and vit_relpos_medium_patch16_cls_224; only the MobileCLIP image "
+            "encoders (fastvit_mci1/2, vit_base_mci_224) remain — their "
+            "RepMixer/conv-stem internals cannot be verified without a timm "
+            "or checkpoint oracle in this offline environment "
             "(reference: src/open_clip/timm_model.py)"
         )
     if cfg.is_resnet:
