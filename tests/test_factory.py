@@ -232,3 +232,20 @@ def test_relpos_vit_tower_builds():
     assert p["resblocks_0"]["relative_position_bias_table"].shape == (27 * 27 + 3, 8)
     out = model.apply(v, jnp.zeros((1, 224, 224, 3)), jnp.zeros((1, 77), jnp.int32))
     assert out["image_features"].shape == (1, 512)
+
+
+def test_every_registry_config_parses_and_builds():
+    """All 126 registry configs parse; every model CONSTRUCTS (lazily) and
+    only the 3 MobileCLIP image towers may raise at trace time."""
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model,
+        get_model_config,
+        list_models,
+        parse_model_cfg,
+    )
+
+    names = list_models()
+    assert len(names) >= 120, len(names)
+    for name in names:
+        cfg = parse_model_cfg(get_model_config(name))
+        build_model(cfg)  # module construction must never raise
