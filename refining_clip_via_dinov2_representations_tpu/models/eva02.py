@@ -402,11 +402,4 @@ def convert_timm_eva02_state_dict(
         set_blk(["attn", "in_proj_bias"], bias)
         p[bname] = blk
 
-    blocks = {k: v for k, v in p.items() if k.startswith("resblocks_")}
-    for k in blocks:
-        p.pop(k)
-    p["transformer"] = blocks  # namespacing parity with other towers
-    # flatten back: this tower keeps blocks at top level
-    out = {k: v for k, v in p.items() if k != "transformer"}
-    out.update(blocks)
-    return out
+    return p  # blocks live at the tree's top level in this tower

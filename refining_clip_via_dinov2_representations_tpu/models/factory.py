@@ -172,7 +172,8 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
     if path.endswith(".npz"):
         import numpy as _np
 
-        keys = set(_np.load(path).keys())
+        with _np.load(path) as _npz:
+            keys = set(_npz.keys())
         if any(("txt/" in k) or ("img/" in k) for k in keys):
             # big_vision SigLIP layout (`convert.py:13-156`): already a flax
             # fragment keyed visual/text/logit_scale/logit_bias

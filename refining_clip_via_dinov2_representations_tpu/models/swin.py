@@ -226,6 +226,19 @@ class SwinVisionTower(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
         c = self.cfg
         x = x.astype(self.dtype)
+        # window divisibility: this implementation does not pad feature maps
+        # to window multiples (the 224/patch4/window7 registry config never
+        # needs it); fail clearly instead of with a reshape error.
+        g0 = c.image_size // c.patch_size
+        g = g0
+        for _ in range(len(c.depths)):
+            if min(g, c.window_size) < g and g % c.window_size != 0:
+                raise ValueError(
+                    f"Swin image_size {c.image_size}: stage grid {g} is not "
+                    f"divisible by window {c.window_size}; use a size whose "
+                    "stage grids divide the window (e.g. 224 for window 7)"
+                )
+            g //= 2
         x = nn.Conv(
             c.embed_dim, (c.patch_size, c.patch_size),
             strides=(c.patch_size, c.patch_size), padding="VALID",
@@ -237,6 +250,7 @@ class SwinVisionTower(nn.Module):
 
         hw = (gh, gw)
         dim = c.embed_dim
+        block_cls = nn.remat(SwinBlock) if self.remat else SwinBlock
         for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
             # official clamp: window >= feature map -> full-window attention
             # with no shift (last stage of 224/patch4/window7 is 7x7)
@@ -244,7 +258,7 @@ class SwinVisionTower(nn.Module):
             no_shift = min(hw) <= c.window_size
             for bi in range(depth):
                 shift = 0 if (bi % 2 == 0 or no_shift) else win // 2
-                x = SwinBlock(
+                x = block_cls(
                     dim=dim, heads=heads, input_hw=hw, window=win,
                     shift=shift, mlp_ratio=c.mlp_ratio, qkv_bias=c.qkv_bias,
                     norm_eps=c.norm_eps, dtype=self.dtype,

@@ -307,8 +307,11 @@ def convert_timm_vitamin_state_dict(
         elif parts[0] == "fc_norm":
             setp(["fc_norm", "scale" if parts[1] == "weight" else "bias"], t(val))
         elif parts[0] == "norm":
-            # trunk norm is Identity under fc_norm; tolerate an empty mapping
-            raise KeyError(key)
+            # trunk norm is Identity under fc_norm in timm's avg-pool config;
+            # tolerate checkpoints that serialize it anyway
+            import logging
+
+            logging.warning("vitamin converter: ignoring trunk norm key %s", key)
         elif parts[0] == "head":
             leaf = "kernel" if parts[1] == "weight" else "bias"
             setp(["proj", leaf], t(val).T if parts[1] == "weight" else t(val))

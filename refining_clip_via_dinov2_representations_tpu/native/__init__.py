@@ -26,11 +26,23 @@ def _so_path() -> str:
     # binary can never be picked up.
     with open(_SRC, "rb") as f:
         h = hashlib.sha256(f.read()).hexdigest()[:12]
-    cache_dir = os.environ.get(
-        "REFINING_CLIP_NATIVE_CACHE",
-        os.path.join(tempfile.gettempdir(), "refining_clip_native"),
-    )
-    os.makedirs(cache_dir, exist_ok=True)
+    cache_dir = os.environ.get("REFINING_CLIP_NATIVE_CACHE")
+    if cache_dir is None:
+        # per-user, 0700 cache: a shared world-writable path would let
+        # another local user pre-plant a .so that we would CDLL-load
+        base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+            os.path.expanduser("~"), ".cache"
+        )
+        if not os.path.isdir(os.path.dirname(base) or "/"):
+            base = tempfile.gettempdir()
+        cache_dir = os.path.join(base, f"refining_clip_native-{os.getuid()}")
+    os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+    st = os.stat(cache_dir)
+    if st.st_uid != os.getuid() or (st.st_mode & 0o022):
+        raise RuntimeError(
+            f"native cache dir {cache_dir!r} is not exclusively owned by the "
+            "current user; refusing to load shared objects from it"
+        )
     return os.path.join(cache_dir, f"_native-{h}.so")
 
 

@@ -78,20 +78,33 @@ def _attention_bf16_fwd_impl(q, k, v, mask, scale: float):
 
 def _attention_bf16_fwd(q, k, v, mask, scale: float):
     out, p = _attention_bf16_fwd_impl(q, k, v, mask, scale)
-    return out, (q, k, v, p)
+    return out, (q, k, v, p, mask)
 
 
 def _attention_bf16_bwd_rule(scale, res, do):
-    q, k, v, p = res
+    q, k, v, p, mask = res
     do = do.astype(v.dtype)
     dv = jnp.einsum("bhqk,bhqd->bhkd", p, do)
     dp = jnp.einsum("bhqd,bhkd->bhqk", do, v, preferred_element_type=p.dtype)
     # softmax backward: dS = P * (dP - rowsum(P * dP)); row reduction in fp32
     r = jnp.sum(p.astype(jnp.float32) * dp.astype(jnp.float32), axis=-1, keepdims=True)
-    ds = (p * (dp - r.astype(p.dtype))) * jnp.asarray(scale, p.dtype)
+    dlogits = p * (dp - r.astype(p.dtype))
+    ds = dlogits * jnp.asarray(scale, p.dtype)
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k)
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q)
-    return dq, dk, dv, None
+    if mask is None:
+        dmask = None
+    else:
+        # additive masks can be LEARNED (Swin / relpos-ViT bias tables):
+        # cotangent = dlogits summed over the axes the mask broadcasts over
+        dm = dlogits.astype(jnp.float32)
+        pad = dm.ndim - mask.ndim
+        reduce_axes = tuple(range(pad)) + tuple(
+            ax + pad for ax in range(mask.ndim) if mask.shape[ax] == 1 and dm.shape[ax + pad] != 1
+        )
+        dmask = jnp.sum(dm, axis=reduce_axes, keepdims=False)
+        dmask = dmask.reshape(mask.shape).astype(mask.dtype)
+    return dq, dk, dv, dmask
 
 
 _attention_bf16_bwd.defvjp(_attention_bf16_fwd, _attention_bf16_bwd_rule)

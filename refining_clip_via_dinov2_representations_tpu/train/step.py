@@ -234,7 +234,9 @@ def make_loss_fn(
             if "logit_bias" in out:
                 scalars["logit_bias"] = out["logit_bias"]
         elif cfg.loss_type == "distill":
-            t_out = dist_model.apply(dist_variables, batch["images"], batch["texts"])
+            # the teacher must see the SAME (device-preprocessed) pixels as
+            # the student, not the raw uint8 batch
+            t_out = dist_model.apply(dist_variables, images, batch["texts"])
             rows["dist_image_features"] = jax.lax.stop_gradient(
                 t_out["image_features"]
             )
@@ -297,11 +299,16 @@ def make_train_step(
         rng, step_rng = jax.random.split(state.rng)
 
         if cfg.accum_freq > 1:
-            # microbatch scan: batch leaves are [accum, B/accum, ...]
-            def scan_body(carry, micro):
+            # microbatch scan: batch leaves are [accum, B/accum, ...].
+            # Each microbatch folds its index into the rng so stochastic
+            # paths (device-preprocess crops, patch dropout) stay
+            # independent across microbatches.
+            def scan_body(carry, inp):
+                idx, micro = inp
                 acc_grads, acc_metrics = carry
                 _, metrics, grads = _forward_backward(
-                    state.params, micro, state.step, step_rng
+                    state.params, micro, state.step,
+                    jax.random.fold_in(step_rng, idx),
                 )
                 acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
                 acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
@@ -310,11 +317,12 @@ def make_train_step(
             zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             micro0 = jax.tree.map(lambda x: x[0], batch)
             _, metrics0, grads0 = _forward_backward(
-                state.params, micro0, state.step, step_rng
+                state.params, micro0, state.step, jax.random.fold_in(step_rng, 0)
             )
             rest = jax.tree.map(lambda x: x[1:], batch)
+            idxs = jnp.arange(1, cfg.accum_freq)
             (grads, metrics), _ = jax.lax.scan(
-                scan_body, (grads0, metrics0), rest
+                scan_body, (grads0, metrics0), (idxs, rest)
             )
             k = float(cfg.accum_freq)
             grads = jax.tree.map(lambda g: g / k, grads)

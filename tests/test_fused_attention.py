@@ -103,3 +103,28 @@ def test_bf16_bwd_attention_matches_autodiff():
         for a, b, name in zip(gc, ga, "qkv"):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-5, rtol=3e-5, err_msg=name)
+
+
+def test_bf16_bwd_attention_mask_gradient():
+    """Learned additive masks (Swin/relpos bias tables) must receive the
+    same gradient as through autodiff — regression for a zero-cotangent bug."""
+    from refining_clip_via_dinov2_representations_tpu.ops.attention import (
+        dot_product_attention_bf16_bwd,
+    )
+
+    q, k, v = _qkv(b=2, h=3, lq=9, lk=9)
+    rng = np.random.default_rng(7)
+    for shape in ((9, 9), (1, 3, 9, 9), (2, 1, 9, 9)):
+        mask = jnp.asarray(rng.normal(size=shape), jnp.float32)
+
+        gc = jax.grad(
+            lambda m: jnp.sum(jnp.tanh(dot_product_attention_bf16_bwd(q, k, v, mask=m)))
+        )(mask)
+        ga = jax.grad(
+            lambda m: jnp.sum(jnp.tanh(dot_product_attention_xla(q, k, v, mask=m)))
+        )(mask)
+        assert float(jnp.abs(ga).sum()) > 0, "oracle grad must be nonzero"
+        np.testing.assert_allclose(
+            np.asarray(gc), np.asarray(ga), atol=3e-5, rtol=3e-5,
+            err_msg=str(shape),
+        )
