@@ -204,14 +204,33 @@ def _build_vision_tower(
                 remat=remat,
                 name=name,
             )
+        from .fastvit import FASTVIT_DIMS, FastVitTower, MciVisionTransformer
+
+        if cfg.timm_model_name in FASTVIT_DIMS:
+            f_cfg = FASTVIT_DIMS[cfg.timm_model_name]
+            img = to_2tuple(cfg.image_size)[0]
+            if img != f_cfg.image_size:
+                f_cfg = dataclasses.replace(f_cfg, image_size=img)
+            return FastVitTower(
+                cfg=f_cfg,
+                output_dim=embed_dim,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                remat=remat,
+                name=name,
+            )
+        if cfg.timm_model_name == "vit_base_mci_224":
+            return MciVisionTransformer(
+                image_size=to_2tuple(cfg.image_size)[0],
+                output_dim=embed_dim,
+                output_tokens=cfg.output_tokens,
+                dtype=dtype,
+                attn_impl=attn_impl,
+                remat=remat,
+                name=name,
+            )
         raise NotImplementedError(
-            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port. "
-            "Native ports exist for vit_*_siglip_*, convnext_*, eva_*, eva02_*, "
-            "swin_base_patch4_window7_224, vitamin_*, vit_medium_patch16_gap_256 "
-            "and vit_relpos_medium_patch16_cls_224; only the MobileCLIP image "
-            "encoders (fastvit_mci1/2, vit_base_mci_224) remain — their "
-            "RepMixer/conv-stem internals cannot be verified without a timm "
-            "or checkpoint oracle in this offline environment "
+            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port "
             "(reference: src/open_clip/timm_model.py)"
         )
     if cfg.is_resnet:

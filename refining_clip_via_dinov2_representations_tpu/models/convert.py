@@ -204,10 +204,26 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
     is_resnet = any(k.startswith("visual.layer1.") for k in sd)
     is_timm_trunk = any(k.startswith("visual.trunk.") for k in sd)
     if is_timm_trunk:
-        # SigLIP-style hub checkpoint: timm vision trunk + custom text tower
-        from .siglip import convert_timm_siglip_vision_state_dict
+        # hub checkpoint with a timm vision trunk + custom text tower;
+        # sniff the trunk family from its keys
+        if any(k.startswith("visual.trunk.stem.0.conv_kxk") for k in sd):
+            from .fastvit import convert_timm_fastvit_state_dict
 
-        params["visual"] = convert_timm_siglip_vision_state_dict(sd)
+            vis = convert_timm_fastvit_state_dict(sd)
+            params["visual"] = vis["params"]
+            if vis.get("batch_stats"):
+                batch_stats["visual"] = vis["batch_stats"]
+        elif any(k.startswith("visual.trunk.patch_embed.backbone.") for k in sd):
+            from .fastvit import convert_timm_mci_vit_state_dict
+
+            vis = convert_timm_mci_vit_state_dict(sd)
+            params["visual"] = vis["params"]
+            if vis.get("batch_stats"):
+                batch_stats["visual"] = vis["batch_stats"]
+        else:
+            from .siglip import convert_timm_siglip_vision_state_dict
+
+            params["visual"] = convert_timm_siglip_vision_state_dict(sd)
         sd = {k: v for k, v in sd.items() if not k.startswith("visual.")}
 
     block_re = re.compile(r"^(resblocks|cross_attn)\.(\d+)\.(.+)$")

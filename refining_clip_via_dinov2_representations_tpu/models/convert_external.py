@@ -8,11 +8,14 @@
   tracked for the next round — `load_big_vision_weights` converts the text
   tower and logit scale/bias and reports what it skipped.
 
-* MobileCLIP text encoder → open_clip key layout (`convert.py:158-197`).
-  The text-side renames are mechanical and implemented here; the image side
-  requires timm's FastViT checkpoint filter and raises with guidance.
+* MobileCLIP text encoder → open_clip key layout (`convert.py:158-197`)
+  plus both image sides: Apple's raw FastViT layout (S1/S2, ``rbr_*``
+  names + flat ``network.N`` stage list, re-keyed like timm's
+  ``checkpoint_filter_fn``) and the MCi-B hybrid-ViT layout, converted via
+  the timm-layout converters in `models/fastvit.py`.
 
-* `convert_state_dict` — detection/dispatch mirroring `convert.py:199-206`.
+* `convert_state_dict` / `load_mobileclip_variables` — detection/dispatch
+  mirroring `convert.py:199-206`.
 """
 
 from __future__ import annotations
@@ -209,20 +212,164 @@ def convert_mobileclip_text_state_dict(
 _MOBILECLIP_S_KEY = "image_encoder.model.patch_embed.0.rbr_conv.0.conv.weight"
 _MOBILECLIP_B_KEY = "image_encoder.model.patch_emb.0.block.conv.weight"
 
+# Apple ml-fastvit/ml-mobileclip attribute names -> timm fastvit names
+# (the renames timm's `checkpoint_filter_fn` applies; `convert.py:158-167`)
+_APPLE_FASTVIT_RENAMES = (
+    ("patch_embed.", "stem."),
+    ("rbr_conv", "conv_kxk"),
+    ("rbr_scale", "conv_scale"),
+    ("rbr_skip", "identity"),
+    ("conv_exp.", "final_conv."),
+    ("lkb_origin", "large_conv"),
+    ("convffn", "mlp"),
+    ("se.reduce", "se.fc1"),
+    ("se.expand", "se.fc2"),
+)
+
+
+def convert_mobileclip_s_image_state_dict(
+    state_dict: Mapping[str, Any], prefix: str = "image_encoder.model."
+) -> Dict[str, Any]:
+    """Apple MobileCLIP-S* raw layout (`image_encoder.model.*`, flat
+    ``network.N`` stage list, ``rbr_*`` branch names) -> the timm fastvit
+    layout consumed by `fastvit.convert_timm_fastvit_state_dict`
+    (``visual.trunk.*``). Mirrors timm's `checkpoint_filter_fn`, which the
+    reference leans on (`convert.py:160-166`).
+
+    The flat ``network.N`` module list is re-keyed onto ``stages.S`` by
+    role, inferred from the keys themselves: entries containing ``proj.``
+    are stage downsamplers, entries containing ``.pe.``/``.pos_enc.`` are
+    conditional position encodings, everything else is a block stage.
+    """
+    items = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        for old, new in _APPLE_FASTVIT_RENAMES:
+            k = k.replace(old, new)
+        k = k.replace(".pe.", ".pos_enc.")
+        items[k] = v
+
+    # classify network indices by role, in order
+    net_idx = sorted({
+        int(k.split(".")[1]) for k in items if k.startswith("network.")
+    })
+    roles = {}
+    for idx in net_idx:
+        rests = [
+            k.split(".", 2)[2] for k in items if k.startswith(f"network.{idx}.")
+        ]
+        if any(r.startswith("proj.") for r in rests):
+            roles[idx] = "downsample"
+        elif any(r.startswith("pos_enc.") for r in rests):
+            roles[idx] = "pos_emb"
+        else:
+            roles[idx] = "stage"
+
+    out: Dict[str, Any] = {}
+    stage = 0
+    remap: Dict[int, str] = {}
+    for idx in net_idx:
+        if roles[idx] == "stage":
+            remap[idx] = f"stages.{stage}.blocks"
+            stage += 1
+        elif roles[idx] == "downsample":
+            remap[idx] = f"stages.{stage}.downsample"
+        else:
+            remap[idx] = f"stages.{stage}.pos_emb"
+
+    for k, v in items.items():
+        if k.startswith("network."):
+            parts = k.split(".")
+            idx = int(parts[1])
+            k = remap[idx] + "." + ".".join(parts[2:])
+        if k.startswith("head."):
+            arr = np.asarray(v)
+            if k == "head.proj" and arr.ndim == 2:
+                # bare CLIP-style projection matrix -> Linear head with
+                # zero bias (timm checkpoint_filter_fn does the same)
+                out["visual.trunk.head.fc.weight"] = arr.T
+                out["visual.trunk.head.fc.bias"] = np.zeros(
+                    arr.shape[1], np.float32
+                )
+                continue
+            k = k.replace("head.fc.", "head.fc.").replace("head.weight", "head.fc.weight").replace("head.bias", "head.fc.bias")
+        out["visual.trunk." + k] = v
+    return out
+
+
+def convert_mobileclip_b_image_state_dict(
+    state_dict: Mapping[str, Any], prefix: str = "image_encoder.model."
+) -> Dict[str, Any]:
+    """Apple MobileCLIP-B raw image layout (ml-cvnets ViT naming, the same
+    transformer naming scheme as the text side `convert.py:169-190`) ->
+    the timm ``vit_base_mci_224`` layout consumed by
+    `fastvit.convert_timm_mci_vit_state_dict` (``visual.trunk.*``)."""
+    out: Dict[str, Any] = {}
+    for k, v in state_dict.items():
+        if not k.startswith(prefix):
+            continue
+        k = k[len(prefix):]
+        k = k.replace("patch_emb.", "patch_embed.backbone.")
+        k = k.replace(".block.conv.", ".conv.")
+        k = k.replace(".block.norm.", ".bn.")
+        if k.startswith("pos_embed.pos_embed.pos_embed"):
+            k = "pos_embed"
+            v = np.asarray(v).reshape(-1, np.asarray(v).shape[-1])
+        k = k.replace("post_transformer_norm.", "norm.")
+        k = k.replace("pre_norm_mha.0", "norm1")
+        k = k.replace("pre_norm_mha.1", "attn")
+        k = k.replace("pre_norm_ffn.0", "norm2")
+        k = k.replace("pre_norm_ffn.1", "mlp.fc1")
+        k = k.replace("pre_norm_ffn.4", "mlp.fc2")
+        k = k.replace("qkv_proj.", "qkv.")
+        k = k.replace("out_proj.", "proj.")
+        if k.startswith("transformer."):
+            k = k.replace("transformer.", "blocks.")
+        if k.startswith(("classifier.proj", "head.proj")):
+            arr = np.asarray(v)
+            out["visual.trunk.head.weight"] = arr.T if arr.ndim == 2 else arr
+            out["visual.trunk.head.bias"] = np.zeros(arr.shape[-1] if arr.ndim == 1 else arr.shape[1], np.float32)
+            continue
+        out["visual.trunk." + k] = v
+    return out
+
+
+def load_mobileclip_variables(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Full Apple MobileCLIP checkpoint -> flax variables fragment
+    ``{'params': {...}, 'batch_stats': {...}}`` covering both towers +
+    logit_scale (the composition `convert.py:199-206` + `factory.py`
+    perform in the reference)."""
+    from .convert import convert_clip_variables
+    from .fastvit import (
+        convert_timm_fastvit_state_dict,
+        convert_timm_mci_vit_state_dict,
+    )
+
+    text_sd = convert_mobileclip_text_state_dict(state_dict)
+    if not text_sd:
+        raise ValueError("MobileCLIP checkpoint detected but no text_encoder keys found")
+    if "logit_scale" in state_dict:
+        text_sd["logit_scale"] = state_dict["logit_scale"]
+    variables = dict(convert_clip_variables(text_sd, strict=False))
+
+    if _MOBILECLIP_S_KEY in state_dict:
+        timm_sd = convert_mobileclip_s_image_state_dict(state_dict)
+        vis = convert_timm_fastvit_state_dict(timm_sd)
+    else:
+        timm_sd = convert_mobileclip_b_image_state_dict(state_dict)
+        vis = convert_timm_mci_vit_state_dict(timm_sd)
+    variables.setdefault("params", {})["visual"] = vis["params"]
+    if vis.get("batch_stats"):
+        variables.setdefault("batch_stats", {})["visual"] = vis["batch_stats"]
+    return variables
+
 
 def convert_state_dict(model_cfg, state_dict: Mapping[str, Any]) -> Mapping[str, Any]:
-    """Auto-detect external layouts (`convert.py:199-206`)."""
+    """Auto-detect external layouts (`convert.py:199-206`). Returns either
+    the input unchanged or a flax variables fragment (``params`` key
+    present) for layouts that convert directly to our trees."""
     if _MOBILECLIP_S_KEY in state_dict or _MOBILECLIP_B_KEY in state_dict:
-        text = convert_mobileclip_text_state_dict(state_dict)
-        if not text:
-            raise ValueError("MobileCLIP checkpoint detected but no text_encoder keys found")
-        if "logit_scale" in state_dict:
-            text["logit_scale"] = state_dict["logit_scale"]
-        import logging
-
-        logging.warning(
-            "MobileCLIP image tower (FastViT) has no native port yet; converted "
-            "the text encoder + logit_scale only."
-        )
-        return text
+        return load_mobileclip_variables(state_dict)
     return state_dict

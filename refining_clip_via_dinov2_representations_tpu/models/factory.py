@@ -193,7 +193,12 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
             return new_vars, (missing, unexpected)
 
     state_dict = load_state_dict(checkpoint_path)
-    if any(k.startswith(("visual.", "text.")) or k == "logit_scale" for k in state_dict):
+    if any(k.startswith("image_encoder.model.") for k in state_dict):
+        # Apple MobileCLIP raw layout (`convert.py:199-206`)
+        from .convert_external import load_mobileclip_variables
+
+        loaded = load_mobileclip_variables(state_dict)
+    elif any(k.startswith(("visual.", "text.")) or k == "logit_scale" for k in state_dict):
         loaded = convert_clip_variables(state_dict, strict=strict)
     else:
         raise ValueError(f"unrecognized checkpoint layout in {checkpoint_path}")

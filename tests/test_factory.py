@@ -235,8 +235,8 @@ def test_relpos_vit_tower_builds():
 
 
 def test_every_registry_config_parses_and_builds():
-    """All 126 registry configs parse; every model CONSTRUCTS (lazily) and
-    only the 3 MobileCLIP image towers may raise at trace time."""
+    """All 126 registry configs parse and every model constructs — every
+    registry tower (incl. the MobileCLIP image encoders) has a native port."""
     from refining_clip_via_dinov2_representations_tpu.models import (
         build_model,
         get_model_config,
