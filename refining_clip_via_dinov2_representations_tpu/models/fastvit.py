@@ -108,6 +108,7 @@ class MobileOneBlock(nn.Module):
     use_act: bool = True
     use_scale_branch: bool = True
     num_conv_branches: int = 1
+    inference_mode: bool = False  # single fused conv (see fuse_fastvit_variables)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -125,6 +126,20 @@ class MobileOneBlock(nn.Module):
                 use_bias=False, dtype=self.dtype, name=f"{name}_conv",
             )(x)
             return bn(f"{name}_bn")(h)
+
+        if self.inference_mode:
+            pad = self.kernel_size // 2
+            out = nn.Conv(
+                self.out_chs, (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)), feature_group_count=self.groups,
+                use_bias=True, dtype=self.dtype, name="reparam_conv",
+            )(x)
+            if self.use_se:
+                out = SqueezeExcite(
+                    max(1, self.out_chs // 16), dtype=self.dtype, name="se"
+                )(out)
+            return gelu(out) if self.use_act else out
 
         out = None
         if in_chs == self.out_chs and self.stride == 1:
@@ -154,6 +169,7 @@ class ReparamLargeKernelConv(nn.Module):
     small_kernel: int = 3
     use_se: bool = False
     use_act: bool = True
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -172,9 +188,18 @@ class ReparamLargeKernelConv(nn.Module):
             )(x)
             return bn(f"{name}_bn")(h)
 
-        out = branch(self.kernel_size, "large_conv") + branch(
-            self.small_kernel, "small_conv"
-        )
+        if self.inference_mode:
+            pad = self.kernel_size // 2
+            out = nn.Conv(
+                self.out_chs, (self.kernel_size, self.kernel_size),
+                strides=(self.stride, self.stride),
+                padding=((pad, pad), (pad, pad)), feature_group_count=in_chs,
+                use_bias=True, dtype=self.dtype, name="reparam_conv",
+            )(x)
+        else:
+            out = branch(self.kernel_size, "large_conv") + branch(
+                self.small_kernel, "small_conv"
+            )
         if self.use_se:
             out = SqueezeExcite(
                 max(1, self.out_chs // 4), dtype=self.dtype, name="se"
@@ -188,30 +213,39 @@ class PatchEmbed(nn.Module):
     out_chs: int
     use_se: bool = False
     lkc_use_act: bool = True
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         x = ReparamLargeKernelConv(
             out_chs=self.out_chs, use_se=self.use_se, use_act=self.lkc_use_act,
-            dtype=self.dtype, name="proj_0",
+            inference_mode=self.inference_mode, dtype=self.dtype, name="proj_0",
         )(x, deterministic)
         return MobileOneBlock(
-            out_chs=self.out_chs, kernel_size=1, dtype=self.dtype, name="proj_1"
+            out_chs=self.out_chs, kernel_size=1,
+            inference_mode=self.inference_mode, dtype=self.dtype, name="proj_1"
         )(x, deterministic)
 
 
 class RepMixer(nn.Module):
     """Token mixer: x + gamma * (dwconv_block(x) - bn(x)); both operands are
     reparameterizable MobileOne forms (the ``norm`` side is the bare
-    identity-BN branch)."""
+    identity-BN branch). Inference mode: one depthwise conv — identity,
+    layer scale and both branches fold into its kernel/bias."""
 
     ls_init_value: float = 1e-5
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
+        if self.inference_mode:
+            return nn.Conv(
+                dim, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=dim,
+                use_bias=True, dtype=self.dtype, name="reparam_conv",
+            )(x)
         normed = MobileOneBlock(
             out_chs=dim, kernel_size=3, groups=dim, use_act=False,
             use_scale_branch=False, num_conv_branches=0, dtype=self.dtype,
@@ -229,9 +263,11 @@ class RepMixer(nn.Module):
 
 
 class ConvMlp(nn.Module):
-    """7x7 depthwise conv + BN, then 1x1 expand -> GELU -> 1x1 project."""
+    """7x7 depthwise conv + BN, then 1x1 expand -> GELU -> 1x1 project.
+    Inference mode folds the BN into the depthwise conv's bias/weights."""
 
     hidden_chs: int
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -239,11 +275,12 @@ class ConvMlp(nn.Module):
         chs = x.shape[-1]
         h = nn.Conv(
             chs, (7, 7), padding=((3, 3), (3, 3)), feature_group_count=chs,
-            use_bias=False, dtype=self.dtype, name="conv",
+            use_bias=self.inference_mode, dtype=self.dtype, name="conv",
         )(x)
-        h = nn.BatchNorm(
-            use_running_average=deterministic, dtype=self.dtype, name="conv_bn"
-        )(h)
+        if not self.inference_mode:
+            h = nn.BatchNorm(
+                use_running_average=deterministic, dtype=self.dtype, name="conv_bn"
+            )(h)
         h = nn.Conv(self.hidden_chs, (1, 1), dtype=self.dtype, name="fc1")(h)
         h = gelu(h)
         return nn.Conv(chs, (1, 1), dtype=self.dtype, name="fc2")(h)
@@ -252,19 +289,24 @@ class ConvMlp(nn.Module):
 class RepMixerBlock(nn.Module):
     mlp_ratio: int = 3
     ls_init_value: float = 1e-5
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         dim = x.shape[-1]
-        x = RepMixer(dtype=self.dtype, name="token_mixer")(x, deterministic)
+        x = RepMixer(
+            inference_mode=self.inference_mode, dtype=self.dtype,
+            name="token_mixer",
+        )(x, deterministic)
         gamma = self.param(
             "layer_scale", nn.initializers.constant(self.ls_init_value),
             (dim,), jnp.float32,
         )
-        h = ConvMlp(self.mlp_ratio * dim, dtype=self.dtype, name="mlp")(
-            x, deterministic
-        )
+        h = ConvMlp(
+            self.mlp_ratio * dim, inference_mode=self.inference_mode,
+            dtype=self.dtype, name="mlp",
+        )(x, deterministic)
         return x + gamma.astype(x.dtype) * h
 
 
@@ -294,11 +336,26 @@ class SpatialAttention(nn.Module):
         return out.reshape(b, h, w, c)
 
 
+class _AffineChannel(nn.Module):
+    """Per-channel scale+bias — an eval-mode BatchNorm after folding."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        chs = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (chs,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (chs,), jnp.float32)
+        return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class AttentionBlock(nn.Module):
-    """BN -> MHSA (layer-scaled residual) -> ConvMlp (layer-scaled residual)."""
+    """BN -> MHSA (layer-scaled residual) -> ConvMlp (layer-scaled residual).
+    Inference mode: the BN becomes a folded per-channel affine."""
 
     mlp_ratio: int = 3
     ls_init_value: float = 1e-5
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -307,20 +364,26 @@ class AttentionBlock(nn.Module):
         ls = lambda name: self.param(
             name, nn.initializers.constant(self.ls_init_value), (dim,), jnp.float32
         )
-        h = nn.BatchNorm(
-            use_running_average=deterministic, dtype=self.dtype, name="norm"
-        )(x)
+        if self.inference_mode:
+            h = _AffineChannel(dtype=self.dtype, name="norm")(x)
+        else:
+            h = nn.BatchNorm(
+                use_running_average=deterministic, dtype=self.dtype, name="norm"
+            )(x)
         h = SpatialAttention(dtype=self.dtype, name="token_mixer")(h)
         x = x + ls("layer_scale_1").astype(x.dtype) * h
-        h = ConvMlp(self.mlp_ratio * dim, dtype=self.dtype, name="mlp")(
-            x, deterministic
-        )
+        h = ConvMlp(
+            self.mlp_ratio * dim, inference_mode=self.inference_mode,
+            dtype=self.dtype, name="mlp",
+        )(x, deterministic)
         return x + ls("layer_scale_2").astype(x.dtype) * h
 
 
 class RepCPE(nn.Module):
-    """Reparam conditional position encoding: x + dwconv7x7(x)."""
+    """Reparam conditional position encoding: x + dwconv7x7(x). Inference
+    mode folds the identity into the kernel center (single conv, no add)."""
 
+    inference_mode: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -330,7 +393,7 @@ class RepCPE(nn.Module):
             chs, (7, 7), padding=((3, 3), (3, 3)), feature_group_count=chs,
             use_bias=True, dtype=self.dtype, name="pos_enc",
         )(x)
-        return x + pe
+        return pe if self.inference_mode else x + pe
 
 
 class FastVitTower(nn.Module):
@@ -343,22 +406,25 @@ class FastVitTower(nn.Module):
     cfg: FastVitCfg = FastVitCfg()
     output_dim: int = 512
     output_tokens: bool = False
+    inference_mode: bool = False  # reparameterized single-branch form
     dtype: Dtype = jnp.float32
     remat: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
         c = self.cfg
+        inf = self.inference_mode
         if pixel_values.shape[1] == 3 and pixel_values.shape[-1] != 3:
             pixel_values = jnp.transpose(pixel_values, (0, 2, 3, 1))
         x = pixel_values.astype(self.dtype)
 
         e0 = c.embed_dims[0]
-        x = MobileOneBlock(out_chs=e0, kernel_size=3, stride=2,
+        x = MobileOneBlock(out_chs=e0, kernel_size=3, stride=2, inference_mode=inf,
                            dtype=self.dtype, name="stem_0")(x, deterministic)
         x = MobileOneBlock(out_chs=e0, kernel_size=3, stride=2, groups=e0,
+                           inference_mode=inf,
                            dtype=self.dtype, name="stem_1")(x, deterministic)
-        x = MobileOneBlock(out_chs=e0, kernel_size=1,
+        x = MobileOneBlock(out_chs=e0, kernel_size=1, inference_mode=inf,
                            dtype=self.dtype, name="stem_2")(x, deterministic)
 
         rep_cls = nn.remat(RepMixerBlock) if self.remat else RepMixerBlock
@@ -367,27 +433,31 @@ class FastVitTower(nn.Module):
             if s > 0:
                 x = PatchEmbed(
                     out_chs=dim, use_se=c.se_downsamples[s],
-                    lkc_use_act=c.lkc_use_act, dtype=self.dtype,
+                    lkc_use_act=c.lkc_use_act, inference_mode=inf,
+                    dtype=self.dtype,
                     name=f"stage{s}_downsample",
                 )(x, deterministic)
             if c.pos_emb_stages[s]:
-                x = RepCPE(dtype=self.dtype, name=f"stage{s}_pos_emb")(x)
+                x = RepCPE(inference_mode=inf, dtype=self.dtype,
+                           name=f"stage{s}_pos_emb")(x)
             for b in range(depth):
                 if c.token_mixers[s] == "attention":
                     x = attn_cls(
-                        mlp_ratio=c.mlp_ratios[s], dtype=self.dtype,
+                        mlp_ratio=c.mlp_ratios[s], inference_mode=inf,
+                        dtype=self.dtype,
                         name=f"stage{s}_block{b}",
                     )(x, deterministic)
                 else:
                     x = rep_cls(
-                        mlp_ratio=c.mlp_ratios[s], dtype=self.dtype,
+                        mlp_ratio=c.mlp_ratios[s], inference_mode=inf,
+                        dtype=self.dtype,
                         name=f"stage{s}_block{b}",
                     )(x, deterministic)
 
         final_chs = int(c.embed_dims[-1] * c.cls_ratio)
         x = MobileOneBlock(
             out_chs=final_chs, kernel_size=3, groups=c.embed_dims[-1],
-            use_se=True, dtype=self.dtype, name="final_conv",
+            use_se=True, inference_mode=inf, dtype=self.dtype, name="final_conv",
         )(x, deterministic)
 
         tokens = x.reshape(x.shape[0], -1, x.shape[-1])
@@ -682,6 +752,149 @@ def convert_timm_fastvit_state_dict(
             f"unrecognized fastvit keys (first 10): {unmatched[:10]}"
         )
     return {"params": params, "batch_stats": stats}
+
+
+# ---------------------------------------------------------------------------
+# Deploy-time structural reparameterization: fold every multi-branch
+# MobileOne/RepMixer/RLKC subtree into a single conv (the transformation the
+# FastViT paper performs at inference; `timm_model.py`-wrapped towers get it
+# from timm's reparameterize_model). Produces variables for
+# `FastVitTower(inference_mode=True)` — ~2x fewer convs in RepMixer stages
+# and no BatchNorm state. Numerics verified in
+# tests/test_fastvit.py::test_full_tower_reparameterization.
+# ---------------------------------------------------------------------------
+
+_BN_EPS = 1e-5  # flax nn.BatchNorm default, matches torch
+
+
+def _fold_bn(kernel: np.ndarray, bn_p, bn_s) -> Tuple[np.ndarray, np.ndarray]:
+    scale = np.asarray(bn_p["scale"]) / np.sqrt(np.asarray(bn_s["var"]) + _BN_EPS)
+    w = np.asarray(kernel) * scale[None, None, None, :]
+    b = np.asarray(bn_p["bias"]) - np.asarray(bn_s["mean"]) * scale
+    return w, b
+
+
+def _pad_center(kernel: np.ndarray, k: int) -> np.ndarray:
+    kh = kernel.shape[0]
+    if kh == k:
+        return kernel
+    off = (k - kh) // 2
+    out = np.zeros((k, k) + kernel.shape[2:], kernel.dtype)
+    out[off:off + kh, off:off + kh] = kernel
+    return out
+
+
+def _identity_kernel(k: int, in_pg: int, out_chs: int) -> np.ndarray:
+    """HWIO identity kernel for a grouped conv with out == in channels."""
+    w = np.zeros((k, k, in_pg, out_chs), np.float32)
+    for o in range(out_chs):
+        w[k // 2, k // 2, o % in_pg, o] = 1.0
+    return w
+
+
+def _fuse_mobileone(p: Mapping[str, Any], s: Mapping[str, Any]) -> Dict[str, Any]:
+    kxk = sorted(n for n in p if n.startswith("conv_kxk_") and n.endswith("_conv"))
+    assert kxk, "not a MobileOneBlock subtree"
+    ref = np.asarray(p[kxk[0]]["kernel"])
+    k, in_pg, out_chs = ref.shape[0], ref.shape[2], ref.shape[3]
+    w = np.zeros_like(ref, dtype=np.float32)
+    b = np.zeros((out_chs,), np.float32)
+    for name in kxk:
+        bn = name[:-5] + "_bn"
+        wi, bi = _fold_bn(p[name]["kernel"], p[bn], s[bn])
+        w, b = w + wi, b + bi
+    if "conv_scale_conv" in p:
+        wi, bi = _fold_bn(p["conv_scale_conv"]["kernel"], p["conv_scale_bn"],
+                          s["conv_scale_bn"])
+        w, b = w + _pad_center(wi, k), b + bi
+    if "identity" in p:
+        scale = np.asarray(p["identity"]["scale"]) / np.sqrt(
+            np.asarray(s["identity"]["var"]) + _BN_EPS)
+        w = w + _identity_kernel(k, in_pg, out_chs) * scale[None, None, None, :]
+        b = b + np.asarray(p["identity"]["bias"]) - np.asarray(
+            s["identity"]["mean"]) * scale
+    out = {"reparam_conv": {"kernel": w, "bias": b}}
+    if "se" in p:
+        out["se"] = p["se"]
+    return out
+
+
+def _fuse_rlkc(p: Mapping[str, Any], s: Mapping[str, Any]) -> Dict[str, Any]:
+    w, b = _fold_bn(p["large_conv_conv"]["kernel"], p["large_conv_bn"],
+                    s["large_conv_bn"])
+    ws, bs = _fold_bn(p["small_conv_conv"]["kernel"], p["small_conv_bn"],
+                      s["small_conv_bn"])
+    out = {"reparam_conv": {"kernel": w + _pad_center(ws, w.shape[0]),
+                            "bias": b + bs}}
+    if "se" in p:
+        out["se"] = p["se"]
+    return out
+
+
+def _fuse_repmixer(p: Mapping[str, Any], s: Mapping[str, Any]) -> Dict[str, Any]:
+    """x + gamma*(mixer(x) - bn(x))  ->  one depthwise conv."""
+    mix = _fuse_mobileone(p["mixer"], s["mixer"])["reparam_conv"]
+    wm, bm = mix["kernel"], mix["bias"]
+    k, in_pg, out_chs = wm.shape[0], wm.shape[2], wm.shape[3]
+    scale = np.asarray(p["norm"]["identity"]["scale"]) / np.sqrt(
+        np.asarray(s["norm"]["identity"]["var"]) + _BN_EPS)
+    wn = _identity_kernel(k, in_pg, out_chs) * scale[None, None, None, :]
+    bn = np.asarray(p["norm"]["identity"]["bias"]) - np.asarray(
+        s["norm"]["identity"]["mean"]) * scale
+    gamma = np.asarray(p["layer_scale"], np.float32)
+    w = _identity_kernel(k, in_pg, out_chs) + gamma[None, None, None, :] * (wm - wn)
+    b = gamma * (bm - bn)
+    return {"reparam_conv": {"kernel": w, "bias": b}}
+
+
+def _fuse_convmlp(p: Mapping[str, Any], s: Mapping[str, Any]) -> Dict[str, Any]:
+    w, b = _fold_bn(p["conv"]["kernel"], p["conv_bn"], s["conv_bn"])
+    return {"conv": {"kernel": w, "bias": b}, "fc1": p["fc1"], "fc2": p["fc2"]}
+
+
+def fuse_fastvit_variables(variables: Mapping[str, Any]) -> Dict[str, Any]:
+    """Train-time FastVitTower variables -> variables for the same tower
+    with ``inference_mode=True`` (single-branch reparameterized form)."""
+    p = variables["params"]
+    s = variables.get("batch_stats", {})
+    out: Dict[str, Any] = {}
+    for name, sub in p.items():
+        ss = s.get(name, {})
+        if name == "head_fc":
+            out[name] = sub
+        elif name.endswith("_pos_emb"):
+            w = np.asarray(sub["pos_enc"]["kernel"], np.float32).copy()
+            k, in_pg, out_chs = w.shape[0], w.shape[2], w.shape[3]
+            w += _identity_kernel(k, in_pg, out_chs)
+            out[name] = {"pos_enc": {"kernel": w, "bias": sub["pos_enc"]["bias"]}}
+        elif name.endswith("_downsample"):
+            out[name] = {
+                "proj_0": _fuse_rlkc(sub["proj_0"], ss["proj_0"]),
+                "proj_1": _fuse_mobileone(sub["proj_1"], ss["proj_1"]),
+            }
+        elif "token_mixer" in sub and "qkv" in sub["token_mixer"]:
+            # attention block: BN -> affine, mlp BN folded
+            scale = np.asarray(sub["norm"]["scale"]) / np.sqrt(
+                np.asarray(ss["norm"]["var"]) + _BN_EPS)
+            bias = np.asarray(sub["norm"]["bias"]) - np.asarray(
+                ss["norm"]["mean"]) * scale
+            out[name] = {
+                "norm": {"scale": scale, "bias": bias},
+                "token_mixer": sub["token_mixer"],
+                "layer_scale_1": sub["layer_scale_1"],
+                "layer_scale_2": sub["layer_scale_2"],
+                "mlp": _fuse_convmlp(sub["mlp"], ss["mlp"]),
+            }
+        elif "token_mixer" in sub:
+            out[name] = {
+                "token_mixer": _fuse_repmixer(sub["token_mixer"],
+                                              ss["token_mixer"]),
+                "layer_scale": sub["layer_scale"],
+                "mlp": _fuse_convmlp(sub["mlp"], ss["mlp"]),
+            }
+        else:  # stem_*, final_conv
+            out[name] = _fuse_mobileone(sub, ss)
+    return {"params": out}
 
 
 def convert_timm_mci_vit_state_dict(

@@ -340,3 +340,40 @@ def test_mobileclip_registry_configs_build(name):
         )
     )
     assert "params" in out
+
+
+def test_full_tower_reparameterization():
+    """fuse_fastvit_variables: the inference_mode tower with fused params
+    reproduces the train tower's eval-mode outputs on random weights."""
+    from refining_clip_via_dinov2_representations_tpu.models.fastvit import (
+        fuse_fastvit_variables,
+    )
+
+    rng = np.random.default_rng(7)
+    tower = FastVitTower(cfg=TINY, output_dim=12)
+    x = jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32)
+    v = tower.init(jax.random.PRNGKey(3), x)
+    # randomize everything (positive variances)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) * 0.2, a.dtype), v["params"])
+    stats = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape) ** 2 + 0.3, a.dtype)
+        if a.ndim else a, v["batch_stats"])
+    v = {"params": params, "batch_stats": stats}
+    ref = tower.apply(v, x)
+
+    fused = fuse_fastvit_variables(v)
+    inf_tower = FastVitTower(cfg=TINY, output_dim=12, inference_mode=True)
+    # fused tree must match the inference tower's init structure
+    import chex
+    init_inf = inf_tower.init(jax.random.PRNGKey(0), x)
+    assert "batch_stats" not in init_inf  # no BN left
+    chex.assert_trees_all_equal_shapes(
+        init_inf["params"], jax.tree_util.tree_map(jnp.asarray, fused["params"]))
+    out = inf_tower.apply(
+        {"params": jax.tree_util.tree_map(jnp.asarray, fused["params"])}, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # and it is genuinely smaller
+    n_train = sum(a.size for a in jax.tree_util.tree_leaves(v["params"]))
+    n_inf = sum(a.size for a in jax.tree_util.tree_leaves(fused["params"]))
+    assert n_inf < n_train
