@@ -57,6 +57,8 @@ def save_checkpoint(
         "step": np.asarray(state.step),
         "epoch": np.asarray(epoch),
     }
+    if getattr(state, "batch_stats", None) is not None:
+        payload["batch_stats"] = state.batch_stats
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, payload, force=True)
     ckptr.wait_until_finished()
@@ -87,6 +89,8 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
         "step": np.asarray(state.step),
         "epoch": np.asarray(0),
     }
+    if getattr(state, "batch_stats", None) is not None:
+        template["batch_stats"] = state.batch_stats
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.abspath(path), template)
     new_state = state.replace(
@@ -94,6 +98,8 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]),
     )
+    if "batch_stats" in restored:
+        new_state = new_state.replace(batch_stats=restored["batch_stats"])
     return new_state, int(restored["epoch"])
 
 

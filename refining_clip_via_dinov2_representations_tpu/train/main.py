@@ -150,6 +150,11 @@ def main(args=None):
     )
 
     # ---- model + transforms ----
+    # nargs='+' gives a list; collapse a single value to a scalar
+    # (reference main.py:307-311)
+    if (isinstance(args.force_image_size, (tuple, list))
+            and len(args.force_image_size) == 1):
+        args.force_image_size = args.force_image_size[0]
     model, variables, preprocess_train, preprocess_val = create_model_and_transforms(
         args.model,
         args.pretrained or None,
@@ -273,7 +278,8 @@ def main(args=None):
             params["dino_head"] = head_params
         tx, _ = build_optimizer(params, optim_cfg, schedule)
         state = create_train_state(
-            jax.random.PRNGKey(args.seed), variables["params"], tx, head_params
+            jax.random.PRNGKey(args.seed), variables["params"], tx, head_params,
+            batch_stats=variables.get("batch_stats"),
         )
 
         dino_cfg = DinoLossCfg(
@@ -306,6 +312,7 @@ def main(args=None):
             lambda_cyc_inmodal=args.lambda_cyc_inmodal,
             lambda_cyc_crossmodal=args.lambda_cyc_crossmodal,
             use_patch_dropout=bool(args.force_patch_dropout),
+            freeze_bn_stats=bool(args.lock_image and args.lock_image_freeze_bn_stats),
             log_grad_norm=bool(args.grad_clip_norm) or args.debug,
             siglip_dist_impl=args.loss_dist_impl or "bidir",
             device_preprocess=(
@@ -351,7 +358,9 @@ def main(args=None):
     # eval-only path (`main.py:808-822`)
     eval_keys = [k for k in ("val", "flickr30k-val", "mscoco-val") if k in data]
     if "train" not in data:
-        variables_eval = {"params": variables["params"]}
+        variables_eval = {
+            k: variables[k] for k in ("params", "batch_stats") if k in variables
+        }
         for key in eval_keys:
             evaluate(model, variables_eval, data, start_epoch, args, tokenizer, val_key=key)
         return
@@ -359,6 +368,8 @@ def main(args=None):
     # ---- pre-train evaluation over every val key (`main.py:833-859`) ----
     if start_epoch == 0 and eval_keys:
         variables_eval = {"params": state.params["model"]}
+        if state.batch_stats is not None:
+            variables_eval["batch_stats"] = state.batch_stats
         for key in eval_keys:
             try:
                 evaluate(model, variables_eval, data, 0, args, tokenizer, val_key=key)
@@ -379,6 +390,8 @@ def main(args=None):
         completed_epoch = epoch + 1
 
         variables_eval = {"params": state.params["model"]}
+        if state.batch_stats is not None:
+            variables_eval["batch_stats"] = state.batch_stats
         epoch_results = []
         for key in eval_keys:
             m = evaluate(
@@ -452,14 +465,22 @@ def main(args=None):
             )
         except ImportError:
             logging.info("torch unavailable; skipping interop export")
+        except NotImplementedError as e:
+            # interop export covers ViT towers; a best-effort artifact must
+            # never kill a finished run
+            logging.warning("interop export skipped: %s", e)
 
     # ---- CLIP-blind post-training check (`main.py:1100-1149`) ----
     if args.run_clip_blind and args.use_dino_general and dino_store is not None:
         from ..eval.clip_blind import run_clip_blind_on_split
 
-        variables_final = {"params": state.params["model"]} if state else {
-            "params": variables["params"]
-        }
+        if state is not None:
+            variables_final = {"params": state.params["model"]}
+            if state.batch_stats is not None:
+                variables_final["batch_stats"] = state.batch_stats
+        else:
+            variables_final = {k: variables[k] for k in ("params", "batch_stats")
+                               if k in variables}
         blind_dir = os.path.join(log_base, "clip_blind")
         index_obj = {"path_to_index": dino_index_map or {}}
         run_clip_blind_on_split(

@@ -48,6 +48,10 @@ class TrainState:
     params: Any           # {"model": ..., "dino_head": ... (optional)}
     opt_state: Any
     rng: jax.Array
+    # BatchNorm running statistics for BN towers (ResNet/FastViT/...);
+    # None for BN-free models. Updated every step unless
+    # StepCfg.freeze_bn_stats (torch BN train-mode parity).
+    batch_stats: Any = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,6 +77,10 @@ class StepCfg:
     # for ViT-B/16 measured in the profile); the reference only computes it
     # when clipping (`train.py:399-417`), mirrored here.
     log_grad_norm: bool = False
+    # --lock-image-freeze-bn-stats: BN towers keep their running statistics
+    # fixed (FrozenBatchNorm semantics, reference `utils.py:11-47`); BN then
+    # normalizes with the stored averages instead of batch statistics.
+    freeze_bn_stats: bool = False
 
 
 def create_train_state(
@@ -80,6 +88,7 @@ def create_train_state(
     model_params: Any,
     tx: optax.GradientTransformation,
     head_params: Optional[Any] = None,
+    batch_stats: Optional[Any] = None,
 ) -> TrainState:
     params = {"model": model_params}
     if head_params is not None:
@@ -89,6 +98,7 @@ def create_train_state(
         params=params,
         opt_state=tx.init(params),
         rng=rng,
+        batch_stats=batch_stats,
     )
 
 
@@ -198,7 +208,7 @@ def make_loss_fn(
             )
         return metrics
 
-    def loss_fn(params, batch, step, rng):
+    def loss_fn(params, batch, step, rng, batch_stats=None):
         images = batch["images"]
         if cfg.device_preprocess is not None:
             from ..ops.preprocess import preprocess_train_batch
@@ -208,14 +218,31 @@ def make_loss_fn(
             images = preprocess_train_batch(
                 crop_rng, images, (out_h, out_w), mean=mean, std=std
             )
-        rngs = {"patch_dropout": rng} if cfg.use_patch_dropout else None
-        out = model.apply(
-            {"params": params["model"]},
-            images,
-            batch["texts"],
-            deterministic=not cfg.use_patch_dropout,
-            rngs=rngs,
-        )
+        variables = {"params": params["model"]}
+        # torch BN train-mode parity: BN towers normalize with batch
+        # statistics and update running stats, unless frozen
+        # (`freeze_batch_norm_2d`, reference utils.py:11-47)
+        train_bn = batch_stats is not None and not cfg.freeze_bn_stats
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        deterministic = not (cfg.use_patch_dropout or train_bn)
+        rngs = None
+        if not deterministic:
+            pd_rng, do_rng = jax.random.split(jax.random.fold_in(rng, 1))
+            rngs = {"patch_dropout": pd_rng, "dropout": do_rng}
+        new_stats = batch_stats
+        if train_bn:
+            out, mutated = model.apply(
+                variables, images, batch["texts"],
+                deterministic=deterministic, rngs=rngs,
+                mutable=["batch_stats"],
+            )
+            new_stats = mutated["batch_stats"]
+        else:
+            out = model.apply(
+                variables, images, batch["texts"],
+                deterministic=deterministic, rngs=rngs,
+            )
         img_f, txt_f = out["image_features"], out["text_features"]
 
         rows: Dict[str, jnp.ndarray] = {"img_f": img_f, "txt_f": txt_f}
@@ -268,7 +295,7 @@ def make_loss_fn(
         else:
             metrics = _compute(rows, scalars)
 
-        return metrics["total_loss"], metrics
+        return metrics["total_loss"], (metrics, new_stats)
 
     return loss_fn
 
@@ -290,9 +317,11 @@ def make_train_step(
     loss_fn = make_loss_fn(model, cfg, head, dist_model, dist_variables, mesh=mesh)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def _forward_backward(params, batch, step, rng):
-        (loss, metrics), grads = grad_fn(params, batch, step, rng)
-        return loss, metrics, grads
+    def _forward_backward(params, batch, step, rng, batch_stats):
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            params, batch, step, rng, batch_stats
+        )
+        return loss, metrics, grads, new_stats
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -302,34 +331,35 @@ def make_train_step(
             # microbatch scan: batch leaves are [accum, B/accum, ...].
             # Each microbatch folds its index into the rng so stochastic
             # paths (device-preprocess crops, patch dropout) stay
-            # independent across microbatches.
+            # independent across microbatches. BN running stats thread
+            # through the scan (every microbatch updates them, like torch).
             def scan_body(carry, inp):
                 idx, micro = inp
-                acc_grads, acc_metrics = carry
-                _, metrics, grads = _forward_backward(
+                acc_grads, acc_metrics, stats = carry
+                _, metrics, grads, stats = _forward_backward(
                     state.params, micro, state.step,
-                    jax.random.fold_in(step_rng, idx),
+                    jax.random.fold_in(step_rng, idx), stats,
                 )
                 acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
                 acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
-                return (acc_grads, acc_metrics), None
+                return (acc_grads, acc_metrics, stats), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
             micro0 = jax.tree.map(lambda x: x[0], batch)
-            _, metrics0, grads0 = _forward_backward(
-                state.params, micro0, state.step, jax.random.fold_in(step_rng, 0)
+            _, metrics0, grads0, stats = _forward_backward(
+                state.params, micro0, state.step,
+                jax.random.fold_in(step_rng, 0), state.batch_stats,
             )
             rest = jax.tree.map(lambda x: x[1:], batch)
             idxs = jnp.arange(1, cfg.accum_freq)
-            (grads, metrics), _ = jax.lax.scan(
-                scan_body, (grads0, metrics0), (idxs, rest)
+            (grads, metrics, new_stats), _ = jax.lax.scan(
+                scan_body, (grads0, metrics0, stats), (idxs, rest)
             )
             k = float(cfg.accum_freq)
             grads = jax.tree.map(lambda g: g / k, grads)
             metrics = jax.tree.map(lambda m: m / k, metrics)
         else:
-            _, metrics, grads = _forward_backward(
-                state.params, batch, state.step, step_rng
+            _, metrics, grads, new_stats = _forward_backward(
+                state.params, batch, state.step, step_rng, state.batch_stats
             )
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -346,7 +376,8 @@ def make_train_step(
         if cfg.log_grad_norm:
             metrics["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(
-            step=state.step + 1, params=params, opt_state=new_opt_state, rng=rng
+            step=state.step + 1, params=params, opt_state=new_opt_state, rng=rng,
+            batch_stats=new_stats,
         )
         return new_state, metrics
 

@@ -43,10 +43,13 @@ def feature_take_indices(
 
 def freeze_batch_norm_stats(labels_tree):
     """JAX analogue of `freeze_batch_norm_2d` (`utils.py:11-47`): batch-norm
-    statistics live in the `batch_stats` collection and only update when the
-    caller passes `mutable=["batch_stats"]` — freezing = simply not doing so
-    (the framework's train step does not mutate them by default). This helper
-    exists for API discoverability and returns its input unchanged."""
+    statistics live in the `batch_stats` collection; the train step updates
+    them every step for BN towers (torch train-mode parity) unless
+    `StepCfg.freeze_bn_stats` is set (the `--lock-image-freeze-bn-stats`
+    flag), which makes BN normalize with the stored running averages and
+    leave them untouched. This helper exists for API discoverability and
+    returns its input unchanged — freezing is a step-config choice, not a
+    tree transformation."""
     return labels_tree
 
 

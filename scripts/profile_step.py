@@ -70,52 +70,44 @@ def main():
     float(metrics["total_loss"])
     jax.profiler.stop_trace()
 
-    # aggregate
+    # aggregate over the "XLA Ops" thread only (leaf op events). Summing all
+    # TPU-pid events double-counts: the trace also carries "Steps" and
+    # "XLA Modules" parent spans covering the same wall time.
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True), key=os.path.getmtime)
     assert paths, "no trace found"
     with gzip.open(paths[-1], "rt") as f:
         trace = json.load(f)
     events = trace["traceEvents"]
-    # find TPU pids (process_name metadata mentioning TPU or /device)
-    tpu_pids = set()
+    ops_tid = None
     for e in events:
-        if e.get("ph") == "M" and e.get("name") == "process_name":
-            n = e.get("args", {}).get("name", "")
-            if "TPU" in n or "tpu" in n:
-                tpu_pids.add(e["pid"])
+        if (e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e["args"].get("name") == "XLA Ops"):
+            ops_tid = (e["pid"], e["tid"])
+    assert ops_tid, "no 'XLA Ops' thread in trace"
     durs = defaultdict(float)
     counts = defaultdict(int)
+    cats = defaultdict(float)
+    args_by_name = {}
     total = 0.0
     for e in events:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+        if e.get("ph") == "X" and (e.get("pid"), e.get("tid")) == ops_tid:
             name = e.get("name", "?")
             d = float(e.get("dur", 0.0))
+            a = e.get("args", {})
             durs[name] += d
             counts[name] += 1
+            args_by_name[name] = a
+            cats[a.get("hlo_category", "?")] += d
             total += d
-    items = sorted(durs.items(), key=lambda kv: -kv[1])
-    print(f"TPU pids {tpu_pids}; total device time {total/1e3:.2f} ms over 5 steps -> {total/5e3:.2f} ms/step")
-    print(f"{'op':<72} {'ms/step':>9} {'count':>6} {'%':>6}")
-    for name, d in items[:45]:
-        print(f"{name[:72]:<72} {d/5e3:9.3f} {counts[name]//5:6d} {100*d/total:6.2f}")
-
-    # category rollup
-    cats = defaultdict(float)
-    for name, d in durs.items():
-        ln = name.lower()
-        if "fusion" in ln and ("conv" in ln or "dot" in ln):
-            cats["matmul-fusion"] += d
-        elif ln.startswith("fusion") or ".fusion" in ln:
-            cats["elementwise-fusion"] += d
-        elif "copy" in ln or "transpose" in ln:
-            cats["copy/transpose"] += d
-        elif "reduce" in ln:
-            cats["reduce"] += d
-        else:
-            cats["other"] += d
-    print("\ncategory rollup (ms/step):")
+    print(f"XLA Ops device time {total/1e3:.2f} ms over 5 steps -> {total/5e3:.2f} ms/step")
+    print("\nby hlo_category (ms/step):")
     for k, v in sorted(cats.items(), key=lambda kv: -kv[1]):
-        print(f"  {k:<22} {v/5e3:8.2f}")
+        if v / total > 0.001:
+            print(f"  {k:<36} {v/5e3:8.2f}  {100*v/total:5.1f}%")
+    print(f"\n{'op':<40} {'ms/step':>9} {'count':>6} {'%':>6}  category")
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:40]:
+        cat = args_by_name[name].get("hlo_category", "?")
+        print(f"{name[:40]:<40} {d/5e3:9.3f} {counts[name]//5:6d} {100*d/total:6.2f}  {cat}")
 
 
 if __name__ == "__main__":
