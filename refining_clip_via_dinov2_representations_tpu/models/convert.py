@@ -22,7 +22,7 @@ scalar, position-embedding resize hooks live in `factory.py` here too.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -319,11 +319,17 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
     return params, batch_stats
 
 
-def flax_params_to_torch_state_dict(params: Dict[str, Any], shared_text_namespace: bool = True) -> Dict[str, Any]:
+def flax_params_to_torch_state_dict(
+    params: Dict[str, Any],
+    shared_text_namespace: bool = True,
+    batch_stats: Optional[Dict[str, Any]] = None,
+) -> Dict[str, Any]:
     """Inverse conversion for checkpoint interoperability (save-side).
 
     Emits the shared-namespace `CLIP` layout by default so reference
-    tooling (`factory.load_checkpoint`) can read our checkpoints.
+    tooling (`factory.load_checkpoint`) can read our checkpoints. Covers
+    the standard ViT tower and the ModifiedResNet tower (pass
+    ``batch_stats`` so BN running statistics export too).
     """
     import torch
 
@@ -354,24 +360,70 @@ def flax_params_to_torch_state_dict(params: Dict[str, Any], shared_text_namespac
             if ls in tree:
                 sd[f"{torch_prefix}.{ls}.gamma"] = t(tree[ls]["gamma"])
 
+    def emit_resnet(visual, vstats):
+        """ModifiedResNet (`modified_resnet.py:96-200` torch layout)."""
+        def conv(tree, torch_name):
+            sd[torch_name + ".weight"] = t(
+                np.transpose(np.asarray(tree["kernel"]), (3, 2, 0, 1))
+            )
+
+        def bn(pname, storch, *, tree, stats):
+            sd[storch + ".weight"] = t(tree["scale"])
+            sd[storch + ".bias"] = t(tree["bias"])
+            sd[storch + ".running_mean"] = t(stats["mean"])
+            sd[storch + ".running_var"] = t(stats["var"])
+
+        for i in ("1", "2", "3"):
+            conv(visual[f"conv{i}"], f"visual.conv{i}")
+            bn(f"bn{i}", f"visual.bn{i}", tree=visual[f"bn{i}"],
+               stats=vstats[f"bn{i}"])
+        for name in sorted(k for k in visual if k.startswith("layer")):
+            stage, block = name[len("layer"):].split("_")
+            tp = f"visual.layer{stage}.{block}"
+            tree, stats = visual[name], vstats[name]
+            for i in ("1", "2", "3"):
+                conv(tree[f"conv{i}"], f"{tp}.conv{i}")
+                bn(f"bn{i}", f"{tp}.bn{i}", tree=tree[f"bn{i}"],
+                   stats=stats[f"bn{i}"])
+            if "downsample_conv" in tree:
+                # Sequential(-1 avgpool, 0 conv, 1 bn)
+                conv(tree["downsample_conv"], f"{tp}.downsample.0")
+                bn("downsample_bn", f"{tp}.downsample.1",
+                   tree=tree["downsample_bn"], stats=stats["downsample_bn"])
+        pool = visual["attnpool"]
+        sd["visual.attnpool.positional_embedding"] = t(pool["positional_embedding"])
+        for proj in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            sd[f"visual.attnpool.{proj}.weight"] = t(pool[proj]["kernel"], transpose=True)
+            sd[f"visual.attnpool.{proj}.bias"] = t(pool[proj]["bias"])
+
     visual = params["visual"]
-    if "transformer" not in visual or isinstance(visual.get("proj"), dict):
+    is_resnet = "attnpool" in visual
+    if is_resnet:
+        vstats = (batch_stats or {}).get("visual")
+        if vstats is None:
+            raise ValueError(
+                "ResNet torch export needs batch_stats (BN running statistics)"
+            )
+        emit_resnet(visual, vstats)
+    elif "transformer" not in visual or isinstance(visual.get("proj"), dict):
         raise NotImplementedError(
-            "torch-layout export currently covers the standard CLIP ViT tower; "
-            "SigLIP/ConvNeXt/EVA towers need their timm-layout exporters"
+            "torch-layout export currently covers the standard CLIP ViT and "
+            "ModifiedResNet towers; SigLIP/ConvNeXt/EVA towers need their "
+            "timm-layout exporters"
         )
-    sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
-    sd["visual.class_embedding"] = t(visual["class_embedding"])
-    sd["visual.positional_embedding"] = t(visual["positional_embedding"])
-    if "ln_pre" in visual:
-        sd["visual.ln_pre.weight"] = t(visual["ln_pre"]["scale"])
-        sd["visual.ln_pre.bias"] = t(visual["ln_pre"]["bias"])
-    for name, block in visual["transformer"].items():
-        idx = name.split("_")[-1]
-        emit_block(block, f"visual.transformer.resblocks.{idx}")
-    sd["visual.ln_post.weight"] = t(visual["ln_post"]["scale"])
-    sd["visual.ln_post.bias"] = t(visual["ln_post"]["bias"])
-    sd["visual.proj"] = t(visual["proj"])
+    if not is_resnet:
+        sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
+        sd["visual.class_embedding"] = t(visual["class_embedding"])
+        sd["visual.positional_embedding"] = t(visual["positional_embedding"])
+        if "ln_pre" in visual:
+            sd["visual.ln_pre.weight"] = t(visual["ln_pre"]["scale"])
+            sd["visual.ln_pre.bias"] = t(visual["ln_pre"]["bias"])
+        for name, block in visual["transformer"].items():
+            idx = name.split("_")[-1]
+            emit_block(block, f"visual.transformer.resblocks.{idx}")
+        sd["visual.ln_post.weight"] = t(visual["ln_post"]["scale"])
+        sd["visual.ln_post.bias"] = t(visual["ln_post"]["bias"])
+        sd["visual.proj"] = t(visual["proj"])
 
     text = params["text"]
     tp = "" if shared_text_namespace else "text."

@@ -112,7 +112,11 @@ def export_torch_checkpoint(
     from ..models.convert import flax_params_to_torch_state_dict
 
     sd = flax_params_to_torch_state_dict(
-        jax.tree.map(np.asarray, state.params["model"])
+        jax.tree.map(np.asarray, state.params["model"]),
+        batch_stats=(
+            jax.tree.map(np.asarray, state.batch_stats)
+            if getattr(state, "batch_stats", None) is not None else None
+        ),
     )
     torch.save({"epoch": epoch, "name": name, "state_dict": sd}, out_path)
     return out_path

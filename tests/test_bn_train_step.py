@@ -106,3 +106,41 @@ def test_bn_free_model_unaffected():
     state, metrics = step(state, {"images": img, "texts": txt})
     assert state.batch_stats is None
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_resnet_torch_export_roundtrip():
+    """flax RN50 params+batch_stats -> torch CLIP layout -> flax again is
+    lossless (the interop exporter now covers the ModifiedResNet tower)."""
+    from refining_clip_via_dinov2_representations_tpu.models.convert import (
+        convert_clip_variables,
+        flax_params_to_torch_state_dict,
+    )
+
+    cfg = oc.parse_model_cfg(oc.get_model_config("RN50"))
+    cfg = dataclasses.replace(
+        cfg, vision_cfg=dataclasses.replace(cfg.vision_cfg, image_size=32)
+    )
+    model = oc.build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 77), jnp.int32)
+    )
+    rng = np.random.default_rng(0)
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(size=a.shape), a.dtype), variables
+    )
+    sd = flax_params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        batch_stats=jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+    )
+    assert "visual.layer1.0.conv1.weight" in sd
+    assert "visual.bn1.running_mean" in sd
+    back = convert_clip_variables(sd)
+    import chex
+    chex.assert_trees_all_close(
+        jax.tree_util.tree_map(jnp.asarray, back["params"]),
+        variables["params"], atol=1e-6,
+    )
+    chex.assert_trees_all_close(
+        jax.tree_util.tree_map(jnp.asarray, back["batch_stats"]),
+        variables["batch_stats"], atol=1e-6,
+    )
