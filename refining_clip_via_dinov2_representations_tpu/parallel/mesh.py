@@ -127,6 +127,53 @@ def param_shardings(params: Any, mesh: Mesh) -> Any:
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
 
+def opt_state_shardings(opt_state: Any, mesh: Mesh, min_size: int = 2**16) -> Any:
+    """ZeRO-1 style shardings for optimizer state (AdamW m/v moments).
+
+    The reference replicates optimizer state on every DDP rank
+    (`torch.optim.AdamW` under DDP). On a TPU mesh the moments are pure
+    elementwise state — they never participate in a matmul — so they can be
+    sharded over the *data* axis: each m/v leaf is split on its leading axis
+    when divisible, cutting per-device optimizer memory to 1/data of the
+    replicated footprint (2 fp32 moments ≈ 8 bytes/param → ~1 GB saved per
+    ViT-B replica pair on an 8-way mesh, and the difference between fitting
+    and OOMing for ViT-g). XLA turns the update into
+    compute-sharded-then-all-gather (reduce-scatter/all-gather pair), the
+    standard ZeRO-1 dataflow.
+
+    Leaves that are scalars, too small (< min_size elements — the gather
+    latency isn't worth it), or not divisible by the data-axis size stay
+    replicated (e.g. the [197, 768] positional-embedding moment).
+    """
+    data = mesh.shape[DATA_AXIS]
+
+    def leaf_sharding(x):
+        if (
+            data > 1
+            and hasattr(x, "ndim")
+            and x.ndim >= 1
+            and x.size >= min_size
+            and x.shape[0] % data == 0
+        ):
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return replicated(mesh)
+
+    return jax.tree.map(leaf_sharding, opt_state)
+
+
+def state_shardings(state: Any, mesh: Mesh, shard_opt_state: bool = False) -> Any:
+    """Shardings for a full TrainState: params by the model-axis rules,
+    optimizer state optionally ZeRO-1 sharded over data, everything else
+    replicated."""
+    shardings = jax.tree.map(lambda _: replicated(mesh), state)
+    shardings = shardings.replace(params=param_shardings(state.params, mesh))
+    if shard_opt_state:
+        shardings = shardings.replace(
+            opt_state=opt_state_shardings(state.opt_state, mesh)
+        )
+    return shardings
+
+
 def log_mesh(mesh: Mesh) -> None:
     logging.info(
         "mesh: %s over %d %s devices",

@@ -281,6 +281,13 @@ def main(args=None):
             jax.random.PRNGKey(args.seed), variables["params"], tx, head_params,
             batch_stats=variables.get("batch_stats"),
         )
+        if getattr(args, "shard_opt_state", False):
+            # ZeRO-1: AdamW moments sharded over the data axis (mesh.py)
+            from ..parallel.mesh import state_shardings
+
+            state = jax.device_put(
+                state, state_shardings(state, mesh, shard_opt_state=True)
+            )
 
         dino_cfg = DinoLossCfg(
             lambda_original=args.lambda_original,
@@ -340,9 +347,15 @@ def main(args=None):
         if resume_path:
             state, start_epoch = restore_checkpoint(resume_path, state)
             # restored arrays live on one device; re-replicate over the mesh
-            from ..parallel.mesh import replicated
+            from ..parallel.mesh import state_shardings
 
-            state = jax.device_put(state, replicated(mesh))
+            state = jax.device_put(
+                state,
+                state_shardings(
+                    state, mesh,
+                    shard_opt_state=getattr(args, "shard_opt_state", False),
+                ),
+            )
             logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)
         else:
             logging.info("=> no checkpoint found at %s", args.resume)

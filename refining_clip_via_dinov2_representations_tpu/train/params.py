@@ -302,6 +302,9 @@ def parse_args(args=None):
                         help="[tpu] run on host CPU devices (tests/smoke)")
     parser.add_argument("--mesh-model-axis", type=int, default=1,
                         help="[tpu] model-parallel axis size of the (data,model) mesh")
+    parser.add_argument("--shard-opt-state", default=False, action="store_true",
+                        help="[tpu] ZeRO-1: shard AdamW moments over the data "
+                             "axis (per-device optimizer memory / data_size)")
     parser.add_argument("--attn-impl", type=str, default="auto",
                         choices=["auto", "xla", "flash"],
                         help="[tpu] attention kernel selection")

@@ -267,3 +267,55 @@ def test_train_step_under_8_device_mesh():
     # fp32 cross-device reduction order noise passes through Adam's rsqrt;
     # observed max ~2e-5 on bias terms whose grads are near zero.
     assert max(jax.tree.leaves(d)) < 2e-4
+
+
+def test_zero1_sharded_opt_state_matches_replicated():
+    """ZeRO-1 (`mesh.opt_state_shardings`): AdamW moments sharded over the
+    data axis give the same parameters as replicated state, and the moment
+    leaves really are sharded across devices."""
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        opt_state_shardings,
+        state_shardings,
+    )
+
+    batch = _batch(b=16)
+    mesh = create_mesh()  # 8x1
+
+    results = []
+    for shard_opt in (False, True):
+        model = build_model(parse_model_cfg(TINY_CFG))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32))
+        cfg = OptimCfg(lr=1e-3, wd=0.01)
+        tx, _ = build_optimizer(
+            {"model": variables["params"]}, cfg, const_lr(cfg.lr, 0, 100)
+        )
+        state = create_train_state(rng, variables["params"], tx)
+        step_fn = make_train_step(model, tx, StepCfg(loss_type="clip"), mesh=mesh)
+        with jax.set_mesh(mesh):
+            shardings = state_shardings(state, mesh)
+            if shard_opt:
+                shardings = shardings.replace(
+                    opt_state=opt_state_shardings(state.opt_state, mesh, min_size=0)
+                )
+            state = jax.device_put(state, shardings)
+            sb = shard_batch(batch, mesh)
+            for _ in range(3):
+                state, metrics = step_fn(state, sb)
+        results.append((state, float(metrics["total_loss"])))
+
+    (s_rep, l_rep), (s_sh, l_sh) = results
+    assert abs(l_rep - l_sh) < 1e-5
+    d = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        s_rep.params, s_sh.params,
+    )
+    assert max(jax.tree.leaves(d)) < 2e-4
+
+    # the big moment leaves must actually be split over the 8 devices
+    sharded_leaves = [
+        x for x in jax.tree.leaves(s_sh.opt_state)
+        if hasattr(x, "sharding") and x.ndim >= 1 and x.shape[0] % 8 == 0
+        and not x.sharding.is_fully_replicated
+    ]
+    assert sharded_leaves, "no optimizer-state leaf ended up sharded"
