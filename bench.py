@@ -82,9 +82,10 @@ def main():
 
     backend = jax.default_backend()
     n_chips = jax.device_count()
-    # batch sweep on one v5e (img/s/chip): 64→741, 96→788, 128→766, 160→726,
-    # 192→700, 256→634. 96 avoids XLA's fusion-remat regime while keeping the
-    # MXU fed; it is the per-chip microbatch (global batch scales with chips).
+    # batch sweep on one v5e, round-2 code (img/s/chip, MFU): 96→880 (.550),
+    # 128→849 (.531), 160→820 (.513), 192→828 (.518). Round-1 sweep peaked at
+    # 96 too (788). 96 avoids XLA's fusion-remat regime while keeping the MXU
+    # fed; it is the per-chip microbatch (global batch scales with chips).
     batch = int(os.environ.get("BENCH_BATCH", 96))
     dino_dim = 384  # DINOv2 ViT-S/14 feature dim
     _log(f"backend={backend} chips={n_chips} batch={batch}")
