@@ -35,6 +35,7 @@ from .models import (
     load_checkpoint,
     parse_model_cfg,
 )
+from .inference import ClipInferenceEngine, create_engine, load_exported
 from .utils import to_2tuple, feature_take_indices, get_2d_sincos_pos_embed
 from .models.openai import load_openai_model, list_openai_models
 from .losses import (

@@ -1,0 +1,209 @@
+"""Production inference engine: bucketed batching, AOT compilation, export.
+
+The reference has no serving path — inference happens inline in its eval
+scripts (`test_scripts/extract_features_from_csv.py:63-89`), re-tracing at
+whatever batch size arrives. TPU serving wants the opposite discipline:
+
+* **static shapes** — requests are padded up to a small ladder of batch
+  "buckets", so XLA compiles once per bucket and every request after warmup
+  hits a cached executable;
+* **AOT compilation** — `warmup()` lowers+compiles every bucket up front, so
+  the first real request never pays the compile;
+* **a deployable artifact** — `export()` serializes the encode functions as
+  StableHLO (`jax.export`), producing files that reload and run with
+  `load_exported()` without any model-building Python (the serving host
+  needs jax + the artifact, not this package's model zoo).
+
+Mixed precision follows the training stance: bf16 compute, fp32 outputs
+(features are L2-normalized in fp32).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DEFAULT_BUCKETS = (1, 8, 32, 128)
+
+
+def _bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class ClipInferenceEngine:
+    """Bucketed, AOT-compiled two-tower encoder.
+
+    Args:
+      model: a built flax CLIP model (`models.build_model`).
+      variables: its variable collections (params [+ batch_stats for BN
+        towers — BN runs in inference mode with the stored averages]).
+      image_size: (H, W) expected by the vision tower.
+      context_length: text sequence length (77 for CLIP BPE).
+      buckets: ascending batch-size ladder; requests pad up to the next
+        bucket, larger requests are chunked by the top bucket.
+      dtype: compute dtype for image inputs (params stay as stored).
+    """
+
+    def __init__(
+        self,
+        model,
+        variables: Dict[str, Any],
+        image_size: Tuple[int, int] = (224, 224),
+        context_length: int = 77,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        dtype=jnp.bfloat16,
+    ):
+        self.model = model
+        self.variables = variables
+        self.image_size = tuple(image_size)
+        self.context_length = int(context_length)
+        self.buckets = tuple(sorted(set(int(b) for b in buckets)))
+        self.dtype = dtype
+
+        def encode_image(variables, images):
+            feats = model.apply(
+                variables, images.astype(dtype), method="encode_image",
+                normalize=False,
+            )
+            # normalize in fp32: serving returns unit vectors
+            feats = feats.astype(jnp.float32)
+            return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        def encode_text(variables, texts):
+            feats = model.apply(
+                variables, texts, method="encode_text", normalize=False
+            )
+            feats = feats.astype(jnp.float32)
+            return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+
+        self._encode_image = jax.jit(encode_image)
+        self._encode_text = jax.jit(encode_text)
+
+    # -- shape plumbing -----------------------------------------------------
+
+    def _image_spec(self, b: int):
+        h, w = self.image_size
+        return jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
+
+    def _text_spec(self, b: int):
+        return jax.ShapeDtypeStruct((b, self.context_length), jnp.int32)
+
+    def _run_bucketed(self, fn, x: np.ndarray, pad_value=0) -> np.ndarray:
+        """Pad to the bucket, run, slice back; chunk past the top bucket."""
+        n = x.shape[0]
+        top = self.buckets[-1]
+        if n > top:
+            outs = [
+                self._run_bucketed(fn, x[i : i + top], pad_value)
+                for i in range(0, n, top)
+            ]
+            return np.concatenate(outs, axis=0)
+        b = _bucket_for(n, self.buckets)
+        if b != n:
+            pad = np.full((b - n, *x.shape[1:]), pad_value, x.dtype)
+            x = np.concatenate([x, pad], axis=0)
+        out = np.asarray(fn(self.variables, jnp.asarray(x)))
+        return out[:n]
+
+    # -- public API ---------------------------------------------------------
+
+    def encode_image(self, images: np.ndarray) -> np.ndarray:
+        """[N,H,W,3] float (0-mean preprocessed) → [N,D] unit vectors."""
+        return self._run_bucketed(self._encode_image, np.asarray(images, np.float32))
+
+    def encode_text(self, texts: np.ndarray) -> np.ndarray:
+        """[N,L] int32 token ids → [N,D] unit vectors."""
+        return self._run_bucketed(
+            self._encode_text, np.asarray(texts, np.int32)
+        )
+
+    def similarity(self, images: np.ndarray, texts: np.ndarray) -> np.ndarray:
+        """Scaled image→text logits (`model.py:435-442` semantics)."""
+        img_f = self.encode_image(images)
+        txt_f = self.encode_text(texts)
+        scale = float(np.exp(np.asarray(self.variables["params"]["logit_scale"])))
+        return scale * img_f @ txt_f.T
+
+    def warmup(self) -> None:
+        """AOT-compile every bucket for both towers (no device steps wasted
+        on the first request)."""
+        for b in self.buckets:
+            self._encode_image.lower(self.variables, self._image_spec(b)).compile()
+            self._encode_text.lower(self.variables, self._text_spec(b)).compile()
+
+    # -- deployable artifact -------------------------------------------------
+
+    def export(self, out_dir: str) -> Dict[str, str]:
+        """Serialize per-bucket StableHLO executables (`jax.export`).
+
+        Writes `encode_image_b{B}.shlo` / `encode_text_b{B}.shlo`; params are
+        baked into the artifact as constants (a serving host reloads with
+        `load_exported`, no flax/model code needed). Returns {name: path}.
+        """
+        os.makedirs(out_dir, exist_ok=True)
+        written = {}
+        for b in self.buckets:
+            for name, fn, spec in (
+                ("encode_image", self._bake(self._encode_image), self._image_spec(b)),
+                ("encode_text", self._bake(self._encode_text), self._text_spec(b)),
+            ):
+                exp = jax.export.export(jax.jit(fn))(spec)
+                path = os.path.join(out_dir, f"{name}_b{b}.shlo")
+                with open(path, "wb") as f:
+                    f.write(exp.serialize())
+                written[f"{name}_b{b}"] = path
+        return written
+
+    def _bake(self, fn):
+        variables = self.variables
+
+        def baked(x):
+            return fn(variables, x)
+
+        return baked
+
+
+def load_exported(path: str):
+    """Reload one exported encoder: returns a callable (array) -> array."""
+    with open(path, "rb") as f:
+        exp = jax.export.deserialize(f.read())
+    return jax.jit(exp.call)
+
+
+def create_engine(
+    model_name: str,
+    pretrained: Optional[str] = None,
+    checkpoint: Optional[str] = None,
+    buckets: Sequence[int] = DEFAULT_BUCKETS,
+    dtype=jnp.bfloat16,
+):
+    """Factory: registry name (+ optional pretrained tag / checkpoint path)
+    → warm engine + preprocess + tokenizer, the full serving bundle."""
+    from .models.factory import (
+        create_model_and_transforms,
+        get_tokenizer,
+        load_checkpoint,
+    )
+
+    model, variables, _, preprocess = create_model_and_transforms(
+        model_name, pretrained=pretrained
+    )
+    if checkpoint:
+        variables, _ = load_checkpoint(model, variables, checkpoint)
+    image_size = model.vision_cfg.image_size
+    if isinstance(image_size, int):
+        image_size = (image_size, image_size)
+    engine = ClipInferenceEngine(
+        model, variables,
+        image_size=tuple(image_size),
+        context_length=model.text_cfg.context_length,
+        buckets=buckets, dtype=dtype,
+    )
+    return engine, preprocess, get_tokenizer(model_name)

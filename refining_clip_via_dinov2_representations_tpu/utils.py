@@ -41,16 +41,12 @@ def feature_take_indices(
     return take, max(take)
 
 
-def freeze_batch_norm_stats(labels_tree):
-    """JAX analogue of `freeze_batch_norm_2d` (`utils.py:11-47`): batch-norm
-    statistics live in the `batch_stats` collection; the train step updates
-    them every step for BN towers (torch train-mode parity) unless
-    `StepCfg.freeze_bn_stats` is set (the `--lock-image-freeze-bn-stats`
-    flag), which makes BN normalize with the stored running averages and
-    leave them untouched. This helper exists for API discoverability and
-    returns its input unchanged — freezing is a step-config choice, not a
-    tree transformation."""
-    return labels_tree
+# NOTE on `freeze_batch_norm_2d` (reference utils.py:11-47): there is no tree
+# transformation here on purpose. Batch-norm statistics live in the flax
+# `batch_stats` collection and the train step updates them every step for BN
+# towers (torch train-mode parity); `--lock-image-freeze-bn-stats` (→
+# `StepCfg.freeze_bn_stats`) makes BN normalize with the stored running
+# averages and leave them untouched — freezing is a step-config choice.
 
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = False) -> np.ndarray:

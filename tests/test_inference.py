@@ -1,0 +1,91 @@
+"""Serving engine tests: bucketed batching, AOT warmup, StableHLO export.
+
+The reference has no serving path (SURVEY §2.4 — its eval scripts re-trace
+per batch); `inference.py` is the TPU-native production-serving story.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from refining_clip_via_dinov2_representations_tpu.inference import (
+    ClipInferenceEngine,
+    load_exported,
+)
+from refining_clip_via_dinov2_representations_tpu.models import (
+    build_model,
+    parse_model_cfg,
+)
+
+TINY_CFG = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 16, "patch_size": 8, "width": 32, "layers": 2, "head_width": 16},
+    "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 32, "heads": 4, "layers": 2},
+}
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    return ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(2, 4), dtype=jnp.float32,
+    )
+
+
+def test_bucketed_encode_matches_direct(engine):
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)  # pads 3 -> 4
+    feats = engine.encode_image(imgs)
+    assert feats.shape == (3, 32)
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+
+    direct = engine.model.apply(
+        engine.variables, jnp.asarray(imgs), method="encode_image", normalize=True
+    )
+    np.testing.assert_allclose(feats, np.asarray(direct), atol=1e-5)
+
+
+def test_chunking_past_top_bucket(engine):
+    rng = np.random.default_rng(1)
+    texts = rng.integers(1, 63, size=(11, 12)).astype(np.int32)  # 11 > top bucket 4
+    feats = engine.encode_text(texts)
+    assert feats.shape == (11, 32)
+    # row i must not depend on its neighbours in the chunked path
+    one = engine.encode_text(texts[5:6])
+    np.testing.assert_allclose(feats[5], one[0], atol=1e-5)
+
+
+def test_warmup_compiles_all_buckets(engine):
+    engine.warmup()  # must not raise; compiles 2 buckets x 2 towers
+
+
+def test_similarity_uses_logit_scale(engine):
+    rng = np.random.default_rng(2)
+    sims = engine.similarity(
+        rng.normal(size=(2, 16, 16, 3)).astype(np.float32),
+        rng.integers(1, 63, size=(3, 12)).astype(np.int32),
+    )
+    assert sims.shape == (2, 3)
+    scale = float(np.exp(np.asarray(engine.variables["params"]["logit_scale"])))
+    assert np.all(np.abs(sims) <= scale + 1e-4)
+
+
+def test_export_roundtrip(engine, tmp_path):
+    """StableHLO artifact reloads and reproduces the engine's features
+    without model code."""
+    written = engine.export(str(tmp_path))
+    assert set(written) == {
+        "encode_image_b2", "encode_image_b4", "encode_text_b2", "encode_text_b4"
+    }
+    fn = load_exported(written["encode_image_b2"])
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(2, 16, 16, 3)).astype(np.float32)
+    out = np.asarray(fn(jnp.asarray(imgs)))
+    expected = engine.encode_image(imgs)
+    np.testing.assert_allclose(out, expected, atol=1e-5)
