@@ -96,16 +96,41 @@ def shard_batch(batch: Any, mesh: Mesh, microbatched: bool = False) -> Any:
 # Parameter sharding rules for the `model` axis (tensor parallelism)
 # ---------------------------------------------------------------------------
 
+# up-projections (input -> 4x hidden) are column-parallel: split the OUTPUT
+# feature axis, no communication until the matching down-projection
+_COL_PARALLEL = (
+    "mlp/c_fc/kernel",          # CLIP ViT / text MLP
+    "attn/in_proj_kernel",      # fused QKV
+    "fc1/kernel",               # SigLIP / timm-style MLP
+    "fc1_g/kernel", "fc1_x/kernel",  # EVA02 SwiGLU gate/value
+    "head_fc1/kernel",          # SigLIP MAP head
+    "w1/kernel", "w2/kernel",   # EVA01-style SwiGLU naming
+)
+# down-projections (4x hidden -> input) are row-parallel: split the INPUT
+# axis; XLA inserts the one all-reduce per block (Megatron dataflow)
+_ROW_PARALLEL = (
+    "mlp/c_proj/kernel",
+    "attn/out_proj/kernel",
+    "fc2/kernel",
+    "head_fc2/kernel",
+    "w3/kernel",
+)
+
+
 def _param_spec(path: Tuple[str, ...], value) -> P:
-    """Megatron-style ViT sharding: MLP c_fc column-/c_proj row-parallel,
-    fused QKV column-parallel, attention out row-parallel, embeddings
-    vocab-replicated. 1-D params stay replicated (tiny)."""
+    """Megatron-style transformer sharding: MLP up-proj column-/down-proj
+    row-parallel, fused QKV column-parallel, attention out row-parallel,
+    embeddings vocab-replicated. Name patterns cover the standard CLIP ViT
+    tower AND the native timm-family towers (SigLIP fc1/fc2, EVA02 SwiGLU
+    fc1_g/fc1_x). 1-D params stay replicated (tiny); conv towers
+    (ConvNeXt/ResNet stages) stay replicated — their weights are small
+    relative to activations and XLA spatially partitions convs poorly."""
     name = "/".join(path)
     if value.ndim < 2:
         return P()
-    if name.endswith("mlp/c_fc/kernel") or name.endswith("attn/in_proj_kernel"):
+    if name.endswith(_COL_PARALLEL):
         return P(None, MODEL_AXIS)
-    if name.endswith("mlp/c_proj/kernel") or name.endswith("attn/out_proj/kernel"):
+    if name.endswith(_ROW_PARALLEL):
         return P(MODEL_AXIS, None)
     if name.endswith("token_embedding/embedding"):
         return P(None, MODEL_AXIS)
