@@ -339,7 +339,10 @@ def flax_params_to_torch_state_dict(
         arr = np.asarray(x)
         if transpose:
             arr = arr.T if arr.ndim == 2 else arr
-        return torch.from_numpy(np.ascontiguousarray(arr))
+        arr = np.ascontiguousarray(arr)
+        if not arr.flags.writeable:  # torch.from_numpy rejects read-only views
+            arr = arr.copy()
+        return torch.from_numpy(arr)
 
     def emit_block(tree, torch_prefix):
         for ln in ("ln_1", "ln_2", "ln_1_kv"):
@@ -398,7 +401,15 @@ def flax_params_to_torch_state_dict(
 
     visual = params["visual"]
     is_resnet = "attnpool" in visual
-    if is_resnet:
+    is_siglip_trunk = "patch_embedding" in visual and "probe" in visual
+    if is_siglip_trunk:
+        from .siglip import siglip_vision_params_to_timm_state_dict
+
+        for k, v in siglip_vision_params_to_timm_state_dict(visual).items():
+            sd[k] = t(v)
+        # hub SigLIP checkpoints are CustomTextCLIP-layout: text.* prefix
+        shared_text_namespace = False
+    elif is_resnet:
         vstats = (batch_stats or {}).get("visual")
         if vstats is None:
             raise ValueError(
@@ -407,11 +418,11 @@ def flax_params_to_torch_state_dict(
         emit_resnet(visual, vstats)
     elif "transformer" not in visual or isinstance(visual.get("proj"), dict):
         raise NotImplementedError(
-            "torch-layout export currently covers the standard CLIP ViT and "
-            "ModifiedResNet towers; SigLIP/ConvNeXt/EVA towers need their "
-            "timm-layout exporters"
+            "torch-layout export currently covers the standard CLIP ViT, "
+            "ModifiedResNet and SigLIP (timm-trunk) towers; ConvNeXt/EVA "
+            "towers need their timm-layout exporters"
         )
-    if not is_resnet:
+    if not is_resnet and not is_siglip_trunk:
         sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
         sd["visual.class_embedding"] = t(visual["class_embedding"])
         sd["visual.positional_embedding"] = t(visual["positional_embedding"])

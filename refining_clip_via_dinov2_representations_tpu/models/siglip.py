@@ -340,3 +340,62 @@ def convert_timm_siglip_vision_state_dict(
         node["in_proj_kernel"] = kernel
         node["in_proj_bias"] = bias
     return p
+
+
+def siglip_vision_params_to_timm_state_dict(
+    visual: Mapping[str, Any], prefix: str = "visual.trunk."
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_siglip_vision_state_dict`: flax tower params
+    → timm-layout numpy state dict (`visual.trunk.*`), for torch-interop
+    checkpoint export. Roundtrips losslessly through the importer."""
+    sd: Dict[str, Any] = {}
+
+    def put(key, val):
+        sd[prefix + key] = np.asarray(val, np.float32)
+
+    put("patch_embed.proj.weight",
+        np.transpose(np.asarray(visual["patch_embedding"]["kernel"]), (3, 2, 0, 1)))
+    put("patch_embed.proj.bias", visual["patch_embedding"]["bias"])
+    pe = np.asarray(visual["position_embedding"])
+    put("pos_embed", pe.reshape(1, *pe.shape))
+
+    for name in sorted(k for k in visual if k.startswith("layers_")):
+        i = name.split("_")[1]
+        blk, tp = visual[name], f"blocks.{i}"
+        put(f"{tp}.norm1.weight", blk["layer_norm1"]["scale"])
+        put(f"{tp}.norm1.bias", blk["layer_norm1"]["bias"])
+        put(f"{tp}.norm2.weight", blk["layer_norm2"]["scale"])
+        put(f"{tp}.norm2.bias", blk["layer_norm2"]["bias"])
+        put(f"{tp}.attn.qkv.weight", np.asarray(blk["attn"]["in_proj_kernel"]).T)
+        put(f"{tp}.attn.qkv.bias", blk["attn"]["in_proj_bias"])
+        put(f"{tp}.attn.proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+        put(f"{tp}.attn.proj.bias", blk["attn"]["out_proj"]["bias"])
+        put(f"{tp}.mlp.fc1.weight", np.asarray(blk["fc1"]["kernel"]).T)
+        put(f"{tp}.mlp.fc1.bias", blk["fc1"]["bias"])
+        put(f"{tp}.mlp.fc2.weight", np.asarray(blk["fc2"]["kernel"]).T)
+        put(f"{tp}.mlp.fc2.bias", blk["fc2"]["bias"])
+
+    put("norm.weight", visual["post_layernorm"]["scale"])
+    put("norm.bias", visual["post_layernorm"]["bias"])
+
+    # MAP pooling head: split our fused QKV back into timm's q + fused kv
+    probe = np.asarray(visual["probe"])
+    put("attn_pool.latent", probe.reshape(1, 1, -1))
+    ha = visual["head_attn"]
+    kernel = np.asarray(ha["in_proj_kernel"])  # [D, 3D]
+    bias = np.asarray(ha["in_proj_bias"])      # [3D]
+    d = kernel.shape[0]
+    put("attn_pool.q.weight", kernel[:, :d].T)
+    put("attn_pool.q.bias", bias[:d])
+    put("attn_pool.kv.weight",
+        np.concatenate([kernel[:, d:2 * d].T, kernel[:, 2 * d:].T], axis=0))
+    put("attn_pool.kv.bias", bias[d:])
+    put("attn_pool.proj.weight", np.asarray(ha["out_proj"]["kernel"]).T)
+    put("attn_pool.proj.bias", ha["out_proj"]["bias"])
+    put("attn_pool.norm.weight", visual["head_layernorm"]["scale"])
+    put("attn_pool.norm.bias", visual["head_layernorm"]["bias"])
+    put("attn_pool.mlp.fc1.weight", np.asarray(visual["head_fc1"]["kernel"]).T)
+    put("attn_pool.mlp.fc1.bias", visual["head_fc1"]["bias"])
+    put("attn_pool.mlp.fc2.weight", np.asarray(visual["head_fc2"]["kernel"]).T)
+    put("attn_pool.mlp.fc2.bias", visual["head_fc2"]["bias"])
+    return sd

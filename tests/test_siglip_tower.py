@@ -71,3 +71,70 @@ def test_siglip_registry_model_builds():
     )
     assert out["image_features"].shape == (1, 1152) or out["image_features"].shape == (1, 768)
     assert "logit_bias" in out  # SigLIP configs set init_logit_bias
+
+
+def test_timm_export_import_roundtrip():
+    """flax SigLIP tower params → timm layout (`visual.trunk.*`) → importer
+    gives back the identical tree (torch-interop export coverage)."""
+    from refining_clip_via_dinov2_representations_tpu.models.siglip import (
+        convert_timm_siglip_vision_state_dict,
+        siglip_vision_params_to_timm_state_dict,
+    )
+
+    tower = SiglipVisionTower(
+        cfg=SiglipVisionCfg(width=32, layers=2, heads=4, mlp_dim=64,
+                            patch_size=16, image_size=32)
+    )
+    variables = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda a: np.asarray(rng.normal(size=a.shape), np.float32),
+        variables["params"],
+    )
+
+    sd = siglip_vision_params_to_timm_state_dict(params)
+    assert "visual.trunk.blocks.0.attn.qkv.weight" in sd
+    assert sd["visual.trunk.attn_pool.latent"].shape == (1, 1, 32)
+
+    back = convert_timm_siglip_vision_state_dict(sd)
+    import chex
+    chex.assert_trees_all_close(back, params, atol=1e-7)
+
+
+def test_full_siglip_model_torch_export_roundtrip():
+    """Whole-model export (`flax_params_to_torch_state_dict`) of a SigLIP
+    CLIP emits hub layout (visual.trunk.* + text.*) and reimports losslessly
+    via `convert_clip_variables`."""
+    import dataclasses
+
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model, get_model_config, parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models.convert import (
+        convert_clip_variables,
+        flax_params_to_torch_state_dict,
+    )
+
+    cfg = parse_model_cfg(get_model_config("ViT-B-16-SigLIP"))
+    # shrink towers for test speed: SigLIP dims come from the timm name, so
+    # only image size is shrunk here; text stays as configured
+    cfg = dataclasses.replace(
+        cfg, vision_cfg=dataclasses.replace(cfg.vision_cfg, image_size=32)
+    )
+    model = build_model(cfg)
+    ctx = cfg.text_cfg.context_length
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, ctx), jnp.int32)
+    )
+    sd = flax_params_to_torch_state_dict(variables["params"])
+    assert any(k.startswith("visual.trunk.") for k in sd)
+    assert any(k.startswith("text.transformer.") for k in sd)
+    assert "logit_bias" in sd
+
+    back = convert_clip_variables(sd)
+    import chex
+    chex.assert_trees_all_close(
+        jax.tree_util.tree_map(np.asarray, back["params"]),
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        atol=1e-6,
+    )
