@@ -220,6 +220,26 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
             params["visual"] = vis["params"]
             if vis.get("batch_stats"):
                 batch_stats["visual"] = vis["batch_stats"]
+        elif any(k.startswith("visual.trunk.stages.") for k in sd):
+            from .convnext import convert_timm_convnext_state_dict
+
+            params["visual"] = convert_timm_convnext_state_dict(sd)
+        elif "visual.trunk.cls_token" in sd:
+            # EVA family (timm `eva*`): EVA02 has SwiGLU MLPs / split q,k,v
+            # projections / sub-LNs; EVA01 uses plain fused qkv + fc1/fc2
+            is_eva02 = any(
+                (".mlp.w1." in k) or (".mlp.w2." in k) or (".attn.q_proj." in k)
+                or (".mlp.fc1_g." in k) or (".mlp.ffn_ln." in k) or (".attn.norm." in k)
+                for k in sd
+            )
+            if is_eva02:
+                from .eva02 import convert_timm_eva02_state_dict
+
+                params["visual"] = convert_timm_eva02_state_dict(sd)
+            else:
+                from .eva import convert_timm_eva_state_dict
+
+                params["visual"] = convert_timm_eva_state_dict(sd)
         else:
             from .siglip import convert_timm_siglip_vision_state_dict
 
@@ -402,12 +422,19 @@ def flax_params_to_torch_state_dict(
     visual = params["visual"]
     is_resnet = "attnpool" in visual
     is_siglip_trunk = "patch_embedding" in visual and "probe" in visual
+    is_convnext_trunk = "stem_conv" in visual
     if is_siglip_trunk:
         from .siglip import siglip_vision_params_to_timm_state_dict
 
         for k, v in siglip_vision_params_to_timm_state_dict(visual).items():
             sd[k] = t(v)
         # hub SigLIP checkpoints are CustomTextCLIP-layout: text.* prefix
+        shared_text_namespace = False
+    elif is_convnext_trunk:
+        from .convnext import convnext_params_to_timm_state_dict
+
+        for k, v in convnext_params_to_timm_state_dict(visual).items():
+            sd[k] = t(v)
         shared_text_namespace = False
     elif is_resnet:
         vstats = (batch_stats or {}).get("visual")
@@ -419,10 +446,10 @@ def flax_params_to_torch_state_dict(
     elif "transformer" not in visual or isinstance(visual.get("proj"), dict):
         raise NotImplementedError(
             "torch-layout export currently covers the standard CLIP ViT, "
-            "ModifiedResNet and SigLIP (timm-trunk) towers; ConvNeXt/EVA "
+            "ModifiedResNet, SigLIP and ConvNeXt (timm-trunk) towers; EVA "
             "towers need their timm-layout exporters"
         )
-    if not is_resnet and not is_siglip_trunk:
+    if not is_resnet and not is_siglip_trunk and not is_convnext_trunk:
         sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
         sd["visual.class_embedding"] = t(visual["class_embedding"])
         sd["visual.positional_embedding"] = t(visual["positional_embedding"])

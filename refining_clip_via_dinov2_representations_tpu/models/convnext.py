@@ -252,3 +252,56 @@ def convert_hf_convnext_state_dict(state_dict: Mapping[str, Any]) -> Dict[str, A
         else:
             raise KeyError(key)
     return p
+
+
+def convnext_params_to_timm_state_dict(
+    visual: Mapping[str, Any], trunk_prefix: str = "visual.trunk.",
+    head_prefix: str = "visual.head.",
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_convnext_state_dict`: flax tower params →
+    timm-layout numpy state dict for torch-interop checkpoint export."""
+    sd: Dict[str, Any] = {}
+
+    def put(key, val):
+        sd[key] = np.asarray(val, np.float32)
+
+    def conv_k(w):  # HWIO → OIHW
+        return np.transpose(np.asarray(w, np.float32), (3, 2, 0, 1))
+
+    put(trunk_prefix + "stem.0.weight", conv_k(visual["stem_conv"]["kernel"]))
+    put(trunk_prefix + "stem.0.bias", visual["stem_conv"]["bias"])
+    put(trunk_prefix + "stem.1.weight", visual["stem_norm"]["scale"])
+    put(trunk_prefix + "stem.1.bias", visual["stem_norm"]["bias"])
+
+    for name in visual:
+        if name.startswith("downsample_norm_"):
+            s = name.split("_")[-1]
+            put(trunk_prefix + f"stages.{s}.downsample.0.weight", visual[name]["scale"])
+            put(trunk_prefix + f"stages.{s}.downsample.0.bias", visual[name]["bias"])
+        elif name.startswith("downsample_conv_"):
+            s = name.split("_")[-1]
+            put(trunk_prefix + f"stages.{s}.downsample.1.weight",
+                conv_k(visual[name]["kernel"]))
+            put(trunk_prefix + f"stages.{s}.downsample.1.bias", visual[name]["bias"])
+        elif name.startswith("stage") and "_block" in name:
+            s, b = name[len("stage"):].split("_block")
+            blk = visual[name]
+            tp = trunk_prefix + f"stages.{s}.blocks.{b}"
+            put(f"{tp}.conv_dw.weight", conv_k(blk["conv_dw"]["kernel"]))
+            put(f"{tp}.conv_dw.bias", blk["conv_dw"]["bias"])
+            put(f"{tp}.norm.weight", blk["norm"]["scale"])
+            put(f"{tp}.norm.bias", blk["norm"]["bias"])
+            put(f"{tp}.mlp.fc1.weight", np.asarray(blk["fc1"]["kernel"]).T)
+            put(f"{tp}.mlp.fc1.bias", blk["fc1"]["bias"])
+            put(f"{tp}.mlp.fc2.weight", np.asarray(blk["fc2"]["kernel"]).T)
+            put(f"{tp}.mlp.fc2.bias", blk["fc2"]["bias"])
+            if "gamma" in blk:
+                put(f"{tp}.gamma", blk["gamma"])
+
+    put(trunk_prefix + "head.norm.weight", visual["head_norm"]["scale"])
+    put(trunk_prefix + "head.norm.bias", visual["head_norm"]["bias"])
+    if "head_proj" in visual:
+        put(head_prefix + "proj.weight", np.asarray(visual["head_proj"]["kernel"]).T)
+        if "bias" in visual["head_proj"]:
+            put(head_prefix + "proj.bias", visual["head_proj"]["bias"])
+    return sd

@@ -284,7 +284,8 @@ class Eva02VisionTower(nn.Module):
 # ---------------------------------------------------------------------------
 
 def convert_timm_eva02_state_dict(
-    state_dict: Mapping[str, Any], cfg: Eva02Cfg, prefix: str = "visual.trunk."
+    state_dict: Mapping[str, Any], cfg: Optional[Eva02Cfg] = None,
+    prefix: str = "visual.trunk.",
 ) -> Dict[str, Any]:
     """Map timm Eva (EVA02) checkpoints. Handles both unfused q/k/v
     projections (base/large; k_proj biasless -> zero slice) and fused qkv
@@ -380,7 +381,10 @@ def convert_timm_eva02_state_dict(
                 raise KeyError(f"unmapped block key {key}")
 
         # fuse q/k/v
-        d = cfg.width
+        # width from cfg, else inferred from the checkpoint's cls_token
+        d = cfg.width if cfg is not None else int(
+            np.asarray(p["class_embedding"]).shape[-1]
+        )
         if "attn.qkv.weight" in raw:
             kernel = raw["attn.qkv.weight"].T  # [D, 3D]
             q_b = raw.get("attn.q_bias")

@@ -1,0 +1,90 @@
+"""Hub-checkpoint trunk-family dispatch (`convert.py:_convert`) and the
+timm-layout exporters' roundtrips.
+
+The reference delegates timm-trunk checkpoints to timm itself
+(`timm_model.py:23-198` + `factory.py:218-277`); here `_convert` sniffs the
+trunk family from its keys and routes to the native converter.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from refining_clip_via_dinov2_representations_tpu.models.convert import (
+    convert_clip_variables,
+)
+
+
+def test_dispatch_convnext_trunk():
+    rng = np.random.default_rng(0)
+    sd = {
+        "visual.trunk.stem.0.weight": rng.normal(size=(8, 3, 4, 4)),
+        "visual.trunk.stem.0.bias": rng.normal(size=(8,)),
+        "visual.trunk.stem.1.weight": np.ones(8),
+        "visual.trunk.stem.1.bias": np.zeros(8),
+        "visual.trunk.stages.0.blocks.0.conv_dw.weight": rng.normal(size=(8, 1, 7, 7)),
+        "visual.trunk.stages.0.blocks.0.conv_dw.bias": rng.normal(size=(8,)),
+        "visual.trunk.stages.0.blocks.0.norm.weight": np.ones(8),
+        "visual.trunk.stages.0.blocks.0.norm.bias": np.zeros(8),
+        "visual.trunk.stages.0.blocks.0.mlp.fc1.weight": rng.normal(size=(32, 8)),
+        "visual.trunk.stages.0.blocks.0.mlp.fc1.bias": rng.normal(size=(32,)),
+        "visual.trunk.stages.0.blocks.0.mlp.fc2.weight": rng.normal(size=(8, 32)),
+        "visual.trunk.stages.0.blocks.0.mlp.fc2.bias": rng.normal(size=(8,)),
+        "visual.trunk.head.norm.weight": np.ones(8),
+        "visual.trunk.head.norm.bias": np.zeros(8),
+        "visual.head.proj.weight": rng.normal(size=(12, 8)),
+        "logit_scale": np.asarray(2.65),
+    }
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    out = convert_clip_variables(sd, strict=False)
+    vis = out["params"]["visual"]
+    assert "stem_conv" in vis and "stage0_block0" in vis and "head_proj" in vis
+
+
+def test_dispatch_eva01_trunk():
+    from tests.test_eva import _fake_timm_eva_sd
+
+    sd = dict(_fake_timm_eva_sd())
+    sd["logit_scale"] = np.asarray(2.65, np.float32)
+    out = convert_clip_variables(sd, strict=False)
+    vis = out["params"]["visual"]
+    blk = vis["transformer"]["resblocks_0"]
+    assert "in_proj_kernel" in blk["attn"]
+    # q/zero-k/v fused bias
+    assert blk["attn"]["in_proj_bias"].shape == (96,)
+    assert np.all(blk["attn"]["in_proj_bias"][32:64] == 0)
+
+
+def test_dispatch_eva02_trunk_infers_width():
+    from tests.test_eva02 import TINY, _timm_state_dict
+
+    rng = np.random.default_rng(2)
+    sd = dict(_timm_state_dict(TINY, fused=True, rng=rng))
+    sd["logit_scale"] = np.asarray(2.65, np.float32)
+    out = convert_clip_variables(sd, strict=False)  # no cfg: width inferred
+    vis = out["params"]["visual"]
+    assert "resblocks_0" in vis
+    assert "fc1_g" in vis["resblocks_0"]["mlp"] or "fc1" in vis["resblocks_0"]["mlp"]
+
+
+def test_convnext_timm_export_import_roundtrip():
+    from refining_clip_via_dinov2_representations_tpu.models.convnext import (
+        ConvNextCfg,
+        ConvNextTower,
+        convert_timm_convnext_state_dict,
+        convnext_params_to_timm_state_dict,
+    )
+
+    tower = ConvNextTower(cfg=ConvNextCfg(depths=(1, 1), dims=(8, 16)), output_dim=12)
+    variables = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda a: np.asarray(rng.normal(size=a.shape), np.float32),
+        variables["params"],
+    )
+    sd = convnext_params_to_timm_state_dict(params)
+    assert "visual.trunk.stages.1.downsample.1.weight" in sd
+    back = convert_timm_convnext_state_dict(sd)
+    import chex
+    chex.assert_trees_all_close(back, params, atol=1e-7)
