@@ -423,6 +423,10 @@ def flax_params_to_torch_state_dict(
     is_resnet = "attnpool" in visual
     is_siglip_trunk = "patch_embedding" in visual and "probe" in visual
     is_convnext_trunk = "stem_conv" in visual
+    is_eva02_trunk = "resblocks_0" in visual  # EVA02: blocks at tree top level
+    is_eva_trunk = (
+        "transformer" in visual and isinstance(visual.get("proj"), dict)
+    )  # EVA01: standard ViT tree with a Dense (timm-head) projection
     if is_siglip_trunk:
         from .siglip import siglip_vision_params_to_timm_state_dict
 
@@ -436,6 +440,18 @@ def flax_params_to_torch_state_dict(
         for k, v in convnext_params_to_timm_state_dict(visual).items():
             sd[k] = t(v)
         shared_text_namespace = False
+    elif is_eva02_trunk:
+        from .eva02 import eva02_params_to_timm_state_dict
+
+        for k, v in eva02_params_to_timm_state_dict(visual).items():
+            sd[k] = t(v)
+        shared_text_namespace = False
+    elif is_eva_trunk:
+        from .eva import eva_params_to_timm_state_dict
+
+        for k, v in eva_params_to_timm_state_dict(visual).items():
+            sd[k] = t(v)
+        shared_text_namespace = False
     elif is_resnet:
         vstats = (batch_stats or {}).get("visual")
         if vstats is None:
@@ -443,13 +459,15 @@ def flax_params_to_torch_state_dict(
                 "ResNet torch export needs batch_stats (BN running statistics)"
             )
         emit_resnet(visual, vstats)
-    elif "transformer" not in visual or isinstance(visual.get("proj"), dict):
+    elif "transformer" not in visual:
         raise NotImplementedError(
-            "torch-layout export currently covers the standard CLIP ViT, "
-            "ModifiedResNet, SigLIP and ConvNeXt (timm-trunk) towers; EVA "
-            "towers need their timm-layout exporters"
+            "torch-layout export covers the standard CLIP ViT, ModifiedResNet "
+            "and the SigLIP/ConvNeXt/EVA01/EVA02 timm-trunk towers; this "
+            "tower family (FastViT/MCi/ViTamin/Swin/...) still needs its "
+            "timm-layout exporter"
         )
-    if not is_resnet and not is_siglip_trunk and not is_convnext_trunk:
+    emitted_trunk = is_siglip_trunk or is_convnext_trunk or is_eva02_trunk or is_eva_trunk
+    if not is_resnet and not emitted_trunk:
         sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
         sd["visual.class_embedding"] = t(visual["class_embedding"])
         sd["visual.positional_embedding"] = t(visual["positional_embedding"])
@@ -461,7 +479,36 @@ def flax_params_to_torch_state_dict(
             emit_block(block, f"visual.transformer.resblocks.{idx}")
         sd["visual.ln_post.weight"] = t(visual["ln_post"]["scale"])
         sd["visual.ln_post.bias"] = t(visual["ln_post"]["bias"])
-        sd["visual.proj"] = t(visual["proj"])
+        if "proj" in visual:
+            sd["visual.proj"] = t(visual["proj"])
+
+        def emit_attn_pool(pool, torch_prefix):
+            """Inverse of `_convert_attn_pooler` (CoCa attentional poolers)."""
+            sd[f"{torch_prefix}.query"] = t(pool["query"])
+            for ln in ("ln_q", "ln_k"):
+                if ln in pool:
+                    sd[f"{torch_prefix}.{ln}.weight"] = t(pool[ln]["scale"])
+                    sd[f"{torch_prefix}.{ln}.bias"] = t(pool[ln]["bias"])
+            # torch MHA fuses same-dim q/k/v into one in_proj_weight [3D, D]
+            sd[f"{torch_prefix}.attn.in_proj_weight"] = t(
+                np.concatenate([
+                    np.asarray(pool[p]["kernel"]).T
+                    for p in ("q_proj", "k_proj", "v_proj")
+                ], axis=0)
+            )
+            sd[f"{torch_prefix}.attn.in_proj_bias"] = t(
+                np.concatenate([
+                    np.asarray(pool[p]["bias"]) for p in ("q_proj", "k_proj", "v_proj")
+                ])
+            )
+            sd[f"{torch_prefix}.attn.out_proj.weight"] = t(
+                pool["out_proj"]["kernel"], transpose=True
+            )
+            sd[f"{torch_prefix}.attn.out_proj.bias"] = t(pool["out_proj"]["bias"])
+
+        for pool_name in ("attn_pool", "attn_pool_contrastive"):
+            if pool_name in visual:
+                emit_attn_pool(visual[pool_name], f"visual.{pool_name}")
 
     text = params["text"]
     tp = "" if shared_text_namespace else "text."
@@ -479,6 +526,21 @@ def flax_params_to_torch_state_dict(
             sd[f"{tp}text_projection.bias"] = t(proj["bias"])
     else:
         sd[f"{tp}text_projection"] = t(proj)
+
+    if "cls_emb" in text:
+        sd[f"{tp}cls_emb"] = t(text["cls_emb"])
+
+    # CoCa multimodal decoder (`coca_model.py` text_decoder: interleaved
+    # self/cross blocks, importer counterpart at `_convert` text_decoder arm)
+    if "text_decoder" in params:
+        dec = params["text_decoder"]
+        for name, block in dec.items():
+            if name.startswith(("resblocks_", "cross_attn_")):
+                kind, idx = name.rsplit("_", 1)
+                emit_block(block, f"text_decoder.{kind}.{idx}")
+        sd["text_decoder.ln_final.weight"] = t(dec["ln_final"]["scale"])
+        sd["text_decoder.ln_final.bias"] = t(dec["ln_final"]["bias"])
+        sd["text_decoder.text_projection"] = t(dec["text_projection"])
 
     sd["logit_scale"] = t(params["logit_scale"])
     if "logit_bias" in params:

@@ -123,3 +123,53 @@ def convert_timm_eva_state_dict(
         bias = np.concatenate([q_b, np.zeros_like(q_b), v_b])
         p["transformer"][name].setdefault("attn", {})["in_proj_bias"] = bias
     return p
+
+
+def eva_params_to_timm_state_dict(
+    visual: Mapping[str, Any], prefix: str = "visual.trunk."
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_eva_state_dict`: flax VisionTransformer
+    params (EVA01 flavor: no ln_pre, Dense proj head, patch-embed bias) →
+    timm `eva_giant_*` layout. QKV bias is emitted fused (`attn.qkv.bias`,
+    a layout timm's Eva supports) so the roundtrip is exact even when the
+    k-slice is nonzero (softmax is invariant to k-bias, but we keep it)."""
+    if "ln_pre" in visual:
+        raise NotImplementedError(
+            "tower has ln_pre: not an EVA01 trunk (timm Eva has no pre-LN); "
+            "no timm-layout exporter for this ViT variant"
+        )
+    sd: Dict[str, Any] = {}
+
+    def put(key, val):
+        sd[prefix + key] = np.asarray(val, np.float32)
+
+    put("cls_token", np.asarray(visual["class_embedding"]).reshape(1, 1, -1))
+    pe = np.asarray(visual["positional_embedding"])
+    put("pos_embed", pe.reshape(1, *pe.shape))
+    put("patch_embed.proj.weight",
+        np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
+    if "bias" in visual["conv1"]:
+        put("patch_embed.proj.bias", visual["conv1"]["bias"])
+
+    for name, blk in visual["transformer"].items():
+        i = name.split("_")[-1]
+        tp = f"blocks.{i}"
+        put(f"{tp}.norm1.weight", blk["ln_1"]["scale"])
+        put(f"{tp}.norm1.bias", blk["ln_1"]["bias"])
+        put(f"{tp}.norm2.weight", blk["ln_2"]["scale"])
+        put(f"{tp}.norm2.bias", blk["ln_2"]["bias"])
+        put(f"{tp}.attn.qkv.weight", np.asarray(blk["attn"]["in_proj_kernel"]).T)
+        put(f"{tp}.attn.qkv.bias", blk["attn"]["in_proj_bias"])
+        put(f"{tp}.attn.proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+        put(f"{tp}.attn.proj.bias", blk["attn"]["out_proj"]["bias"])
+        put(f"{tp}.mlp.fc1.weight", np.asarray(blk["mlp"]["c_fc"]["kernel"]).T)
+        put(f"{tp}.mlp.fc1.bias", blk["mlp"]["c_fc"]["bias"])
+        put(f"{tp}.mlp.fc2.weight", np.asarray(blk["mlp"]["c_proj"]["kernel"]).T)
+        put(f"{tp}.mlp.fc2.bias", blk["mlp"]["c_proj"]["bias"])
+
+    put("norm.weight", visual["ln_post"]["scale"])
+    put("norm.bias", visual["ln_post"]["bias"])
+    put("head.weight", np.asarray(visual["proj"]["kernel"]).T)
+    if "bias" in visual["proj"]:
+        put("head.bias", visual["proj"]["bias"])
+    return sd

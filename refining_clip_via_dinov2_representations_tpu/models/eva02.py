@@ -407,3 +407,72 @@ def convert_timm_eva02_state_dict(
         p[bname] = blk
 
     return p  # blocks live at the tree's top level in this tower
+
+
+def eva02_params_to_timm_state_dict(
+    visual: Mapping[str, Any], prefix: str = "visual.trunk."
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_eva02_state_dict`: flax EVA02 tower params →
+    timm `eva02_*` layout (split q/k/v projections, SwiGLU fc1_g/fc1_x
+    naming, sub-LN `attn.norm`/`mlp.norm`).
+
+    timm's k_proj is biasless; our fused in_proj_bias carries a k slice that
+    is dropped on export. This is exact for attention outputs — adding a
+    constant bias b to every key shifts each logit row by q_i·b, which
+    softmax-over-keys cancels — but makes the roundtrip lossless only up to
+    that slice.
+    """
+    sd: Dict[str, Any] = {}
+
+    def put(key, val):
+        sd[prefix + key] = np.asarray(val, np.float32)
+
+    put("cls_token", np.asarray(visual["class_embedding"]).reshape(1, 1, -1))
+    pe = np.asarray(visual["positional_embedding"])
+    put("pos_embed", pe.reshape(1, *pe.shape))
+    put("patch_embed.proj.weight",
+        np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
+    if "bias" in visual["conv1"]:
+        put("patch_embed.proj.bias", visual["conv1"]["bias"])
+
+    for name in sorted(k for k in visual if k.startswith("resblocks_")):
+        i = name.split("_")[-1]
+        blk, tp = visual[name], f"blocks.{i}"
+        put(f"{tp}.norm1.weight", blk["ln_1"]["scale"])
+        put(f"{tp}.norm1.bias", blk["ln_1"]["bias"])
+        put(f"{tp}.norm2.weight", blk["ln_2"]["scale"])
+        put(f"{tp}.norm2.bias", blk["ln_2"]["bias"])
+        kernel = np.asarray(blk["attn"]["in_proj_kernel"])  # [D, 3D]
+        bias = np.asarray(blk["attn"]["in_proj_bias"])
+        d = kernel.shape[0]
+        put(f"{tp}.attn.q_proj.weight", kernel[:, :d].T)
+        put(f"{tp}.attn.q_proj.bias", bias[:d])
+        put(f"{tp}.attn.k_proj.weight", kernel[:, d:2 * d].T)
+        put(f"{tp}.attn.v_proj.weight", kernel[:, 2 * d:].T)
+        put(f"{tp}.attn.v_proj.bias", bias[2 * d:])
+        if "norm" in blk["attn"]:
+            put(f"{tp}.attn.norm.weight", blk["attn"]["norm"]["scale"])
+            put(f"{tp}.attn.norm.bias", blk["attn"]["norm"]["bias"])
+        put(f"{tp}.attn.proj.weight", np.asarray(blk["attn"]["out_proj"]["kernel"]).T)
+        put(f"{tp}.attn.proj.bias", blk["attn"]["out_proj"]["bias"])
+        mlp = blk["mlp"]
+        if "fc1_g" in mlp:  # SwiGLU
+            put(f"{tp}.mlp.fc1_g.weight", np.asarray(mlp["fc1_g"]["kernel"]).T)
+            put(f"{tp}.mlp.fc1_g.bias", mlp["fc1_g"]["bias"])
+            put(f"{tp}.mlp.fc1_x.weight", np.asarray(mlp["fc1_x"]["kernel"]).T)
+            put(f"{tp}.mlp.fc1_x.bias", mlp["fc1_x"]["bias"])
+        else:
+            put(f"{tp}.mlp.fc1.weight", np.asarray(mlp["fc1"]["kernel"]).T)
+            put(f"{tp}.mlp.fc1.bias", mlp["fc1"]["bias"])
+        if "norm" in mlp:
+            put(f"{tp}.mlp.norm.weight", mlp["norm"]["scale"])
+            put(f"{tp}.mlp.norm.bias", mlp["norm"]["bias"])
+        put(f"{tp}.mlp.fc2.weight", np.asarray(mlp["fc2"]["kernel"]).T)
+        put(f"{tp}.mlp.fc2.bias", mlp["fc2"]["bias"])
+
+    put("norm.weight", visual["ln_post"]["scale"])
+    put("norm.bias", visual["ln_post"]["bias"])
+    put("head.weight", np.asarray(visual["proj"]["kernel"]).T)
+    if "bias" in visual["proj"]:
+        put("head.bias", visual["proj"]["bias"])
+    return sd

@@ -88,3 +88,65 @@ def test_convnext_timm_export_import_roundtrip():
     back = convert_timm_convnext_state_dict(sd)
     import chex
     chex.assert_trees_all_close(back, params, atol=1e-7)
+
+
+def test_eva01_timm_export_import_roundtrip():
+    from tests.test_eva import _fake_timm_eva_sd
+    from refining_clip_via_dinov2_representations_tpu.models.eva import (
+        convert_timm_eva_state_dict,
+        eva_params_to_timm_state_dict,
+    )
+
+    params = convert_timm_eva_state_dict(_fake_timm_eva_sd())
+    sd = eva_params_to_timm_state_dict(params)
+    back = convert_timm_eva_state_dict(sd)
+    import chex
+    chex.assert_trees_all_close(back, params, atol=1e-7)
+
+
+def test_eva02_timm_export_import_roundtrip():
+    from tests.test_eva02 import TINY, _timm_state_dict
+    from refining_clip_via_dinov2_representations_tpu.models.eva02 import (
+        convert_timm_eva02_state_dict,
+        eva02_params_to_timm_state_dict,
+    )
+
+    rng = np.random.default_rng(5)
+    params = convert_timm_eva02_state_dict(_timm_state_dict(TINY, fused=False, rng=rng), TINY)
+    sd = eva02_params_to_timm_state_dict(params)
+    assert any(".attn.q_proj.weight" in k for k in sd)
+    back = convert_timm_eva02_state_dict(sd, TINY)
+    import chex
+    # exact: the source came through the split-proj path, so the k-bias
+    # slice is already zero (timm k_proj is biasless)
+    chex.assert_trees_all_close(back, params, atol=1e-7)
+
+
+def test_coca_torch_export_roundtrip_vs_reference():
+    """torch CoCa sd → flax → export → same tensors under the same keys
+    (completing the interop matrix for the multimodal decoder + poolers)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from tests.ref_loader import reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    from tests.test_coca import _build_pair
+    from refining_clip_via_dinov2_representations_tpu.models.convert import (
+        flax_params_to_torch_state_dict,
+    )
+
+    ref, _, variables = _build_pair()
+    sd = flax_params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        shared_text_namespace=False,
+    )
+    ref_sd = {k: v for k, v in ref.state_dict().items() if "attn_mask" not in k}
+    assert set(sd) == set(ref_sd), (
+        sorted(set(ref_sd) - set(sd))[:8], sorted(set(sd) - set(ref_sd))[:8]
+    )
+    for k in ref_sd:
+        np.testing.assert_allclose(
+            sd[k].float().numpy(), ref_sd[k].float().numpy(), atol=1e-6,
+            err_msg=k,
+        )
