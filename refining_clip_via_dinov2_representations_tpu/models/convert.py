@@ -423,7 +423,14 @@ def flax_params_to_torch_state_dict(
     is_resnet = "attnpool" in visual
     is_siglip_trunk = "patch_embedding" in visual and "probe" in visual
     is_convnext_trunk = "stem_conv" in visual
-    is_eva02_trunk = "resblocks_0" in visual  # EVA02: blocks at tree top level
+    # EVA02: blocks at the tree top level with SwiGLU (fc1_g/fc1_x) or plain
+    # (fc1/fc2) MLPs — distinguishes from ViTamin (w0/w1/w2 GeGLU) and
+    # MCi-B/relpos (c_fc/c_proj) towers which also keep resblocks_* top-level
+    is_eva02_trunk = (
+        "resblocks_0" in visual
+        and isinstance(visual["resblocks_0"].get("mlp"), dict)
+        and ("fc1_g" in visual["resblocks_0"]["mlp"] or "fc1" in visual["resblocks_0"]["mlp"])
+    )
     is_eva_trunk = (
         "transformer" in visual and isinstance(visual.get("proj"), dict)
     )  # EVA01: standard ViT tree with a Dense (timm-head) projection
