@@ -434,6 +434,8 @@ def flax_params_to_torch_state_dict(
     is_eva_trunk = (
         "transformer" in visual and isinstance(visual.get("proj"), dict)
     )  # EVA01: standard ViT tree with a Dense (timm-head) projection
+    is_fastvit_trunk = "final_conv" in visual and "stem_0" in visual
+    is_mci_vit_trunk = "stem_0_conv" in visual  # hybrid MCi-B ViT
     if is_siglip_trunk:
         from .siglip import siglip_vision_params_to_timm_state_dict
 
@@ -459,6 +461,25 @@ def flax_params_to_torch_state_dict(
         for k, v in eva_params_to_timm_state_dict(visual).items():
             sd[k] = t(v)
         shared_text_namespace = False
+    elif is_fastvit_trunk:
+        from .fastvit import fastvit_params_to_timm_state_dict
+
+        vstats = (batch_stats or {}).get("visual")
+        if vstats is None:
+            raise ValueError(
+                "FastViT torch export needs batch_stats (BN running statistics)"
+            )
+        for k, v in fastvit_params_to_timm_state_dict(visual, vstats).items():
+            sd[k] = t(v)
+        shared_text_namespace = False
+    elif is_mci_vit_trunk:
+        from .fastvit import mci_vit_params_to_timm_state_dict
+
+        for k, v in mci_vit_params_to_timm_state_dict(
+            visual, (batch_stats or {}).get("visual")
+        ).items():
+            sd[k] = t(v)
+        shared_text_namespace = False
     elif is_resnet:
         vstats = (batch_stats or {}).get("visual")
         if vstats is None:
@@ -473,7 +494,10 @@ def flax_params_to_torch_state_dict(
             "tower family (FastViT/MCi/ViTamin/Swin/...) still needs its "
             "timm-layout exporter"
         )
-    emitted_trunk = is_siglip_trunk or is_convnext_trunk or is_eva02_trunk or is_eva_trunk
+    emitted_trunk = (
+        is_siglip_trunk or is_convnext_trunk or is_eva02_trunk or is_eva_trunk
+        or is_fastvit_trunk or is_mci_vit_trunk
+    )
     if not is_resnet and not emitted_trunk:
         sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
         sd["visual.class_embedding"] = t(visual["class_embedding"])

@@ -975,3 +975,193 @@ def convert_timm_mci_vit_state_dict(
     if stats:
         out["batch_stats"] = stats
     return out
+
+
+# ---------------------------------------------------------------------------
+# torch-interop export: inverse of convert_timm_fastvit_state_dict
+# ---------------------------------------------------------------------------
+
+def _conv_w_inv(k) -> np.ndarray:
+    return np.asarray(k, np.float32).transpose(3, 2, 0, 1)  # HWIO -> OIHW
+
+
+def _emit_bn_inv(sd, timm_base, p_bn, s_bn):
+    sd[f"{timm_base}.weight"] = np.asarray(p_bn["scale"], np.float32)
+    sd[f"{timm_base}.bias"] = np.asarray(p_bn["bias"], np.float32)
+    sd[f"{timm_base}.running_mean"] = np.asarray(s_bn["mean"], np.float32)
+    sd[f"{timm_base}.running_var"] = np.asarray(s_bn["var"], np.float32)
+
+
+def _emit_mobileone_inv(sd, timm_base, p, s):
+    """Emit a MobileOneBlock subtree (flax naming from `_mobileone_dest`)."""
+    for name in p:
+        if name == "identity":
+            _emit_bn_inv(sd, f"{timm_base}.identity", p[name], s["identity"])
+        elif name == "conv_scale_conv":
+            sd[f"{timm_base}.conv_scale.conv.weight"] = _conv_w_inv(p[name]["kernel"])
+        elif name == "conv_scale_bn":
+            _emit_bn_inv(sd, f"{timm_base}.conv_scale.bn", p[name], s[name])
+        elif name.startswith("conv_kxk_") and name.endswith("_conv"):
+            j = name[len("conv_kxk_"):-len("_conv")]
+            sd[f"{timm_base}.conv_kxk.{j}.conv.weight"] = _conv_w_inv(p[name]["kernel"])
+        elif name.startswith("conv_kxk_") and name.endswith("_bn"):
+            j = name[len("conv_kxk_"):-len("_bn")]
+            _emit_bn_inv(sd, f"{timm_base}.conv_kxk.{j}.bn", p[name], s[name])
+        elif name == "se":
+            for fc in p[name]:
+                sd[f"{timm_base}.se.{fc}.weight"] = _conv_w_inv(p[name][fc]["kernel"])
+                sd[f"{timm_base}.se.{fc}.bias"] = np.asarray(p[name][fc]["bias"], np.float32)
+        else:
+            raise KeyError(f"unexported MobileOne leaf {timm_base}/{name}")
+
+
+def fastvit_params_to_timm_state_dict(
+    visual: Mapping[str, Any],
+    batch_stats: Mapping[str, Any],
+    trunk_prefix: str = "visual.trunk.",
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_fastvit_state_dict`: flax FastViT/MCi tower
+    params + BN running stats → timm `fastvit_mci*` layout (roundtrips
+    losslessly through the importer). Layer-scale gammas are restored to
+    timm's [C, 1, 1] shape."""
+    sd: Dict[str, Any] = {}
+    t = trunk_prefix
+
+    def gamma(v):
+        return np.asarray(v, np.float32).reshape(-1, 1, 1)
+
+    for name in visual:
+        p = visual[name]
+        s = batch_stats.get(name, {})
+        if name.startswith("stem_"):
+            _emit_mobileone_inv(sd, f"{t}stem.{name.split('_')[1]}", p, s)
+        elif name == "final_conv":
+            _emit_mobileone_inv(sd, f"{t}final_conv", p, s)
+        elif name == "head_fc":
+            sd[f"{t}head.fc.weight"] = np.asarray(p["kernel"], np.float32).T
+            if "bias" in p:
+                sd[f"{t}head.fc.bias"] = np.asarray(p["bias"], np.float32)
+        elif name.endswith("_downsample"):
+            stage = name[len("stage"):-len("_downsample")]
+            d = f"{t}stages.{stage}.downsample.proj"
+            p0, s0 = p["proj_0"], s.get("proj_0", {})
+            for sub in p0:
+                if sub.endswith("_conv"):
+                    sd[f"{d}.0.{sub[:-len('_conv')]}.conv.weight"] = _conv_w_inv(
+                        p0[sub]["kernel"]
+                    )
+                elif sub.endswith("_bn"):
+                    _emit_bn_inv(sd, f"{d}.0.{sub[:-len('_bn')]}.bn", p0[sub], s0[sub])
+                elif sub == "se":
+                    for fc in p0[sub]:
+                        sd[f"{d}.0.se.{fc}.weight"] = _conv_w_inv(p0[sub][fc]["kernel"])
+                        sd[f"{d}.0.se.{fc}.bias"] = np.asarray(
+                            p0[sub][fc]["bias"], np.float32
+                        )
+                else:
+                    raise KeyError(f"unexported downsample leaf {name}/{sub}")
+            _emit_mobileone_inv(sd, f"{d}.1", p["proj_1"], s.get("proj_1", {}))
+        elif name.endswith("_pos_emb"):
+            stage = name[len("stage"):-len("_pos_emb")]
+            sd[f"{t}stages.{stage}.pos_emb.pos_enc.weight"] = _conv_w_inv(
+                p["pos_enc"]["kernel"]
+            )
+            sd[f"{t}stages.{stage}.pos_emb.pos_enc.bias"] = np.asarray(
+                p["pos_enc"]["bias"], np.float32
+            )
+        elif "_block" in name and name.startswith("stage"):
+            stage, block = name[len("stage"):].split("_block")
+            bp = f"{t}stages.{stage}.blocks.{block}"
+            for sub in p:
+                if sub == "token_mixer":
+                    tm, tms = p[sub], s.get(sub, {})
+                    for m in tm:
+                        if m in ("norm", "mixer"):
+                            _emit_mobileone_inv(
+                                sd, f"{bp}.token_mixer.{m}", tm[m], tms.get(m, {})
+                            )
+                        elif m == "layer_scale":
+                            sd[f"{bp}.token_mixer.layer_scale.gamma"] = gamma(tm[m])
+                        elif m in ("qkv", "proj"):
+                            sd[f"{bp}.token_mixer.{m}.weight"] = np.asarray(
+                                tm[m]["kernel"], np.float32
+                            ).T
+                            if "bias" in tm[m]:
+                                sd[f"{bp}.token_mixer.{m}.bias"] = np.asarray(
+                                    tm[m]["bias"], np.float32
+                                )
+                        else:
+                            raise KeyError(f"unexported token_mixer leaf {name}/{m}")
+                elif sub == "norm":  # attention-block BN
+                    _emit_bn_inv(sd, f"{bp}.norm", p[sub], s["norm"])
+                elif sub == "mlp":
+                    mlp, mlps = p[sub], s.get(sub, {})
+                    sd[f"{bp}.mlp.conv.conv.weight"] = _conv_w_inv(mlp["conv"]["kernel"])
+                    _emit_bn_inv(sd, f"{bp}.mlp.conv.bn", mlp["conv_bn"], mlps["conv_bn"])
+                    for fc in ("fc1", "fc2"):
+                        sd[f"{bp}.mlp.{fc}.weight"] = _conv_w_inv(mlp[fc]["kernel"])
+                        sd[f"{bp}.mlp.{fc}.bias"] = np.asarray(
+                            mlp[fc]["bias"], np.float32
+                        )
+                elif sub.startswith("layer_scale"):
+                    sd[f"{bp}.{sub}.gamma"] = gamma(p[sub])
+                else:
+                    raise KeyError(f"unexported block leaf {name}/{sub}")
+        else:
+            raise KeyError(f"unexported fastvit tower entry {name}")
+    return sd
+
+
+def mci_vit_params_to_timm_state_dict(
+    visual: Mapping[str, Any],
+    batch_stats: Optional[Mapping[str, Any]] = None,
+    trunk_prefix: str = "visual.trunk.",
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_mci_vit_state_dict` (vit_base_mci_224)."""
+    sd: Dict[str, Any] = {}
+    t = trunk_prefix
+    stats = batch_stats or {}
+
+    def put(key, val):
+        sd[t + key] = np.asarray(val, np.float32)
+
+    for name in visual:
+        p = visual[name]
+        if name.endswith("_conv") and name.startswith("stem_"):
+            i = name[len("stem_"):-len("_conv")]
+            put(f"patch_embed.backbone.{i}.conv.weight", _conv_w_inv(p["kernel"]))
+        elif name.endswith("_bn") and name.startswith("stem_"):
+            i = name[len("stem_"):-len("_bn")]
+            _emit_bn_inv(sd, f"{t}patch_embed.backbone.{i}.bn", p, stats[name])
+        elif name == "class_embedding":
+            put("cls_token", np.asarray(p).reshape(1, 1, -1))
+        elif name == "positional_embedding":
+            pe = np.asarray(p)
+            put("pos_embed", pe.reshape(1, *pe.shape))
+        elif name == "norm":
+            put("norm.weight", p["scale"])
+            put("norm.bias", p["bias"])
+        elif name == "head_fc":
+            put("head.weight", np.asarray(p["kernel"]).T)
+            if "bias" in p:
+                put("head.bias", p["bias"])
+        elif name.startswith("resblocks_"):
+            b = name.split("_")[-1]
+            bp = f"blocks.{b}"
+            put(f"{bp}.norm1.weight", p["ln_1"]["scale"])
+            put(f"{bp}.norm1.bias", p["ln_1"]["bias"])
+            put(f"{bp}.norm2.weight", p["ln_2"]["scale"])
+            put(f"{bp}.norm2.bias", p["ln_2"]["bias"])
+            put(f"{bp}.attn.qkv.weight", np.asarray(p["attn"]["in_proj_kernel"]).T)
+            if "in_proj_bias" in p["attn"]:
+                put(f"{bp}.attn.qkv.bias", p["attn"]["in_proj_bias"])
+            put(f"{bp}.attn.proj.weight", np.asarray(p["attn"]["out_proj"]["kernel"]).T)
+            if "bias" in p["attn"]["out_proj"]:
+                put(f"{bp}.attn.proj.bias", p["attn"]["out_proj"]["bias"])
+            put(f"{bp}.mlp.fc1.weight", np.asarray(p["mlp"]["c_fc"]["kernel"]).T)
+            put(f"{bp}.mlp.fc1.bias", p["mlp"]["c_fc"]["bias"])
+            put(f"{bp}.mlp.fc2.weight", np.asarray(p["mlp"]["c_proj"]["kernel"]).T)
+            put(f"{bp}.mlp.fc2.bias", p["mlp"]["c_proj"]["bias"])
+        else:
+            raise KeyError(f"unexported mci-vit tower entry {name}")
+    return sd

@@ -150,3 +150,67 @@ def test_coca_torch_export_roundtrip_vs_reference():
             sd[k].float().numpy(), ref_sd[k].float().numpy(), atol=1e-6,
             err_msg=k,
         )
+
+
+def test_fastvit_timm_export_import_roundtrip():
+    """timm fastvit sd → flax → export → exactly the original keys/values
+    (MobileOne branches, SE, RepMixer, attention stage, BN stats)."""
+    from tests.test_fastvit import TINY, _timm_fastvit_state_dict
+    from refining_clip_via_dinov2_representations_tpu.models.fastvit import (
+        convert_timm_fastvit_state_dict,
+        fastvit_params_to_timm_state_dict,
+    )
+
+    sd = _timm_fastvit_state_dict(TINY, output_dim=20)
+    conv = convert_timm_fastvit_state_dict(sd)
+    out = fastvit_params_to_timm_state_dict(conv["params"], conv["batch_stats"])
+    assert set(out) == set(sd), (
+        sorted(set(sd) - set(out))[:8], sorted(set(out) - set(sd))[:8]
+    )
+    for k in sd:
+        np.testing.assert_allclose(out[k], np.asarray(sd[k], np.float32), atol=1e-7,
+                                   err_msg=k)
+
+
+def test_mci_vit_timm_export_import_roundtrip():
+    from tests.test_fastvit import _torchlike
+    from refining_clip_via_dinov2_representations_tpu.models.fastvit import (
+        convert_timm_mci_vit_state_dict,
+        mci_vit_params_to_timm_state_dict,
+    )
+
+    t = "visual.trunk."
+    sd = {}
+    # 2-layer conv stem + 1 transformer block hybrid
+    for i in range(2):
+        sd[f"{t}patch_embed.backbone.{i}.conv.weight"] = _torchlike((8, 8 if i else 3, 3, 3))
+        for leaf in ("weight", "bias", "running_mean", "running_var"):
+            sd[f"{t}patch_embed.backbone.{i}.bn.{leaf}"] = _torchlike((8,), positive=leaf == "running_var")
+    sd[f"{t}cls_token"] = _torchlike((1, 1, 8))
+    sd[f"{t}pos_embed"] = _torchlike((1, 5, 8))
+    b = f"{t}blocks.0"
+    sd[f"{b}.norm1.weight"] = _torchlike((8,))
+    sd[f"{b}.norm1.bias"] = _torchlike((8,))
+    sd[f"{b}.norm2.weight"] = _torchlike((8,))
+    sd[f"{b}.norm2.bias"] = _torchlike((8,))
+    sd[f"{b}.attn.qkv.weight"] = _torchlike((24, 8))
+    sd[f"{b}.attn.qkv.bias"] = _torchlike((24,))
+    sd[f"{b}.attn.proj.weight"] = _torchlike((8, 8))
+    sd[f"{b}.attn.proj.bias"] = _torchlike((8,))
+    sd[f"{b}.mlp.fc1.weight"] = _torchlike((32, 8))
+    sd[f"{b}.mlp.fc1.bias"] = _torchlike((32,))
+    sd[f"{b}.mlp.fc2.weight"] = _torchlike((8, 32))
+    sd[f"{b}.mlp.fc2.bias"] = _torchlike((8,))
+    sd[f"{t}norm.weight"] = _torchlike((8,))
+    sd[f"{t}norm.bias"] = _torchlike((8,))
+    sd[f"{t}head.weight"] = _torchlike((16, 8))
+    sd[f"{t}head.bias"] = _torchlike((16,))
+
+    conv = convert_timm_mci_vit_state_dict(sd)
+    out = mci_vit_params_to_timm_state_dict(conv["params"], conv.get("batch_stats"))
+    assert set(out) == set(sd), (
+        sorted(set(sd) - set(out))[:8], sorted(set(out) - set(sd))[:8]
+    )
+    for k in sd:
+        np.testing.assert_allclose(out[k], np.asarray(sd[k], np.float32), atol=1e-7,
+                                   err_msg=k)
