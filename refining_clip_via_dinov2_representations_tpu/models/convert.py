@@ -220,6 +220,14 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
             params["visual"] = vis["params"]
             if vis.get("batch_stats"):
                 batch_stats["visual"] = vis["batch_stats"]
+        elif any(k.startswith("visual.trunk.patch_embed.backbone.stem.") for k in sd):
+            from .vitamin import convert_timm_vitamin_state_dict
+
+            params["visual"] = convert_timm_vitamin_state_dict(sd)
+        elif any(".relative_position_bias_table" in k for k in sd):
+            from .swin import convert_timm_swin_state_dict
+
+            params["visual"] = convert_timm_swin_state_dict(sd)
         elif any(k.startswith("visual.trunk.stages.") for k in sd):
             from .convnext import convert_timm_convnext_state_dict
 
@@ -436,6 +444,8 @@ def flax_params_to_torch_state_dict(
     )  # EVA01: standard ViT tree with a Dense (timm-head) projection
     is_fastvit_trunk = "final_conv" in visual and "stem_0" in visual
     is_mci_vit_trunk = "stem_0_conv" in visual  # hybrid MCi-B ViT
+    is_vitamin_trunk = "stem_conv1" in visual
+    is_swin_trunk = "patch_norm" in visual
     if is_siglip_trunk:
         from .siglip import siglip_vision_params_to_timm_state_dict
 
@@ -480,6 +490,18 @@ def flax_params_to_torch_state_dict(
         ).items():
             sd[k] = t(v)
         shared_text_namespace = False
+    elif is_vitamin_trunk:
+        from .vitamin import vitamin_params_to_timm_state_dict
+
+        for k, v in vitamin_params_to_timm_state_dict(visual).items():
+            sd[k] = t(v)
+        shared_text_namespace = False
+    elif is_swin_trunk:
+        from .swin import swin_params_to_timm_state_dict
+
+        for k, v in swin_params_to_timm_state_dict(visual).items():
+            sd[k] = t(v)
+        shared_text_namespace = False
     elif is_resnet:
         vstats = (batch_stats or {}).get("visual")
         if vstats is None:
@@ -490,13 +512,14 @@ def flax_params_to_torch_state_dict(
     elif "transformer" not in visual:
         raise NotImplementedError(
             "torch-layout export covers the standard CLIP ViT, ModifiedResNet "
-            "and the SigLIP/ConvNeXt/EVA01/EVA02 timm-trunk towers; this "
-            "tower family (FastViT/MCi/ViTamin/Swin/...) still needs its "
+            "and every timm-trunk tower with hub checkpoints (SigLIP, "
+            "ConvNeXt, EVA01/02, FastViT/MCi, ViTamin, Swin); this tower "
+            "(relpos/GAP ViT — no reference pretrained tags exist) has no "
             "timm-layout exporter"
         )
     emitted_trunk = (
         is_siglip_trunk or is_convnext_trunk or is_eva02_trunk or is_eva_trunk
-        or is_fastvit_trunk or is_mci_vit_trunk
+        or is_fastvit_trunk or is_mci_vit_trunk or is_vitamin_trunk or is_swin_trunk
     )
     if not is_resnet and not emitted_trunk:
         sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))

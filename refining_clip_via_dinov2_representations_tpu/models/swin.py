@@ -376,7 +376,8 @@ def convert_hf_swin_state_dict(state_dict: Mapping[str, Any], cfg: SwinCfg) -> D
 
 
 def convert_timm_swin_state_dict(
-    state_dict: Mapping[str, Any], cfg: SwinCfg, prefix: str = "visual.trunk."
+    state_dict: Mapping[str, Any], cfg: Optional[SwinCfg] = None,
+    prefix: str = "visual.trunk.",
 ) -> Dict[str, Any]:
     """timm swin layout (open_clip hub checkpoints, `visual.trunk.*`)."""
     p: Dict[str, Any] = {}
@@ -446,3 +447,57 @@ def convert_timm_swin_state_dict(
         else:
             raise KeyError(key)
     return p
+
+
+def swin_params_to_timm_state_dict(
+    visual: Mapping[str, Any], prefix: str = "visual.trunk."
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_swin_state_dict`: flax Swin tower params →
+    timm swin layout. (`relative_position_index` is a derived buffer and is
+    not emitted; timm recomputes it.)"""
+    sd: Dict[str, Any] = {}
+
+    def put(key, val):
+        sd[prefix + key] = np.asarray(val, np.float32)
+
+    for name in visual:
+        p = visual[name]
+        if name == "patch_embed":
+            put("patch_embed.proj.weight",
+                np.transpose(np.asarray(p["kernel"], np.float32), (3, 2, 0, 1)))
+            put("patch_embed.proj.bias", p["bias"])
+        elif name == "patch_norm":
+            put("patch_embed.norm.weight", p["scale"])
+            put("patch_embed.norm.bias", p["bias"])
+        elif "_block_" in name:
+            si, bi = name[len("stage_"):].split("_block_")
+            bp = f"layers.{si}.blocks.{bi}"
+            put(f"{bp}.norm1.weight", p["ln_1"]["scale"])
+            put(f"{bp}.norm1.bias", p["ln_1"]["bias"])
+            put(f"{bp}.norm2.weight", p["ln_2"]["scale"])
+            put(f"{bp}.norm2.bias", p["ln_2"]["bias"])
+            put(f"{bp}.attn.qkv.weight", np.asarray(p["attn"]["in_proj_kernel"]).T)
+            put(f"{bp}.attn.qkv.bias", p["attn"]["in_proj_bias"])
+            put(f"{bp}.attn.proj.weight", np.asarray(p["attn"]["out_proj"]["kernel"]).T)
+            put(f"{bp}.attn.proj.bias", p["attn"]["out_proj"]["bias"])
+            put(f"{bp}.attn.relative_position_bias_table",
+                p["attn"]["relative_position_bias_table"])
+            for fc in ("fc1", "fc2"):
+                put(f"{bp}.mlp.{fc}.weight", np.asarray(p[fc]["kernel"]).T)
+                put(f"{bp}.mlp.{fc}.bias", p[fc]["bias"])
+        elif name.endswith("_downsample"):
+            si = name[len("stage_"):-len("_downsample")]
+            put(f"layers.{si}.downsample.reduction.weight",
+                np.asarray(p["reduction"]["kernel"]).T)
+            put(f"layers.{si}.downsample.norm.weight", p["norm"]["scale"])
+            put(f"layers.{si}.downsample.norm.bias", p["norm"]["bias"])
+        elif name == "norm":
+            put("norm.weight", p["scale"])
+            put("norm.bias", p["bias"])
+        elif name == "proj":
+            put("head.weight", np.asarray(p["kernel"]).T)
+            if "bias" in p:
+                put("head.bias", p["bias"])
+        else:
+            raise KeyError(f"unexported swin tower entry {name}")
+    return sd

@@ -27,7 +27,7 @@ family. Known-uncertain points are marked UNVERIFIED below.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Mapping, Tuple
+from typing import Any, Dict, Mapping, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -204,7 +204,8 @@ class ViTaminVisionTower(nn.Module):
 
 
 def convert_timm_vitamin_state_dict(
-    state_dict: Mapping[str, Any], cfg: ViTaminCfg, prefix: str = "visual.trunk."
+    state_dict: Mapping[str, Any], cfg: Optional[ViTaminCfg] = None,
+    prefix: str = "visual.trunk.",
 ) -> Dict[str, Any]:
     """Best-effort timm `vitamin_*` layout mapping. Raises KeyError on any
     unknown key rather than silently dropping it (UNVERIFIED vs real
@@ -318,3 +319,80 @@ def convert_timm_vitamin_state_dict(
         else:
             raise KeyError(key)
     return p
+
+
+def vitamin_params_to_timm_state_dict(
+    visual: Mapping[str, Any], prefix: str = "visual.trunk."
+) -> Dict[str, Any]:
+    """Inverse of `convert_timm_vitamin_state_dict`: flax ViTamin tower
+    params → timm `vitamin_*` layout (MBConv-LN stages under
+    `patch_embed.backbone`, GeGLU ViT stage under `blocks`)."""
+    sd: Dict[str, Any] = {}
+
+    def put(key, val):
+        sd[prefix + key] = np.asarray(val, np.float32)
+
+    def conv_w(k):
+        return np.transpose(np.asarray(k, np.float32), (3, 2, 0, 1))  # HWIO->OIHW
+
+    pe = "patch_embed.backbone."
+    for name in visual:
+        p = visual[name]
+        if name in ("stem_conv1", "stem_conv2"):
+            torch_name = {"stem_conv1": "conv1", "stem_conv2": "conv2"}[name]
+            put(f"{pe}stem.{torch_name}.weight", conv_w(p["kernel"]))
+            if "bias" in p:
+                put(f"{pe}stem.{torch_name}.bias", p["bias"])
+        elif name == "stem_norm1":
+            put(f"{pe}stem.norm1.weight", p["scale"])
+            put(f"{pe}stem.norm1.bias", p["bias"])
+        elif name.startswith("stage") and "_block" in name:
+            s, b = name[len("stage"):].split("_block")
+            bp = f"{pe}stages.{s}.blocks.{b}"
+            put(f"{bp}.pre_norm.weight", p["pre_norm"]["scale"])
+            put(f"{bp}.pre_norm.bias", p["pre_norm"]["bias"])
+            for conv in ("conv1_1x1", "conv2_kxk", "conv3_1x1", "shortcut"):
+                if conv in p:
+                    put(f"{bp}.{conv}.weight", conv_w(p[conv]["kernel"]))
+                    if "bias" in p[conv]:
+                        put(f"{bp}.{conv}.bias", p[conv]["bias"])
+        elif name == "embed_norm":
+            put("patch_embed.pool.norm.weight", p["scale"])
+            put("patch_embed.pool.norm.bias", p["bias"])
+        elif name == "embed_conv":
+            put("patch_embed.pool.proj.weight", conv_w(p["kernel"]))
+            if "bias" in p:
+                put("patch_embed.pool.proj.bias", p["bias"])
+        elif name == "positional_embedding":
+            v = np.asarray(p)
+            put("pos_embed", v.reshape(1, *v.shape))
+        elif name.startswith("resblocks_"):
+            i = name.split("_")[-1]
+            bp = f"blocks.{i}"
+            put(f"{bp}.norm1.weight", p["ln_1"]["scale"])
+            put(f"{bp}.norm1.bias", p["ln_1"]["bias"])
+            put(f"{bp}.norm2.weight", p["ln_2"]["scale"])
+            put(f"{bp}.norm2.bias", p["ln_2"]["bias"])
+            put(f"{bp}.attn.qkv.weight", np.asarray(p["attn"]["in_proj_kernel"]).T)
+            if "in_proj_bias" in p["attn"]:
+                put(f"{bp}.attn.qkv.bias", p["attn"]["in_proj_bias"])
+            put(f"{bp}.attn.proj.weight", np.asarray(p["attn"]["out_proj"]["kernel"]).T)
+            if "bias" in p["attn"]["out_proj"]:
+                put(f"{bp}.attn.proj.bias", p["attn"]["out_proj"]["bias"])
+            mlp = p["mlp"]
+            put(f"{bp}.mlp.norm.weight", mlp["norm"]["scale"])
+            put(f"{bp}.mlp.norm.bias", mlp["norm"]["bias"])
+            for w in ("w0", "w1", "w2"):
+                put(f"{bp}.mlp.{w}.weight", np.asarray(mlp[w]["kernel"]).T)
+                if "bias" in mlp[w]:
+                    put(f"{bp}.mlp.{w}.bias", mlp[w]["bias"])
+        elif name == "fc_norm":
+            put("fc_norm.weight", p["scale"])
+            put("fc_norm.bias", p["bias"])
+        elif name == "proj":
+            put("head.weight", np.asarray(p["kernel"]).T)
+            if "bias" in p:
+                put("head.bias", p["bias"])
+        else:
+            raise KeyError(f"unexported vitamin tower entry {name}")
+    return sd

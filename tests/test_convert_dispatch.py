@@ -214,3 +214,49 @@ def test_mci_vit_timm_export_import_roundtrip():
     for k in sd:
         np.testing.assert_allclose(out[k], np.asarray(sd[k], np.float32), atol=1e-7,
                                    err_msg=k)
+
+
+def test_vitamin_timm_export_import_roundtrip():
+    from tests.test_vitamin import TINY
+    from refining_clip_via_dinov2_representations_tpu.models.vitamin import (
+        ViTaminVisionTower,
+        convert_timm_vitamin_state_dict,
+        vitamin_params_to_timm_state_dict,
+    )
+
+    tower = ViTaminVisionTower(cfg=TINY, output_dim=20)
+    variables = tower.init(jax.random.PRNGKey(0), jnp.zeros((1, TINY.image_size, TINY.image_size, 3)))
+    rng = np.random.default_rng(0)
+    params = jax.tree_util.tree_map(
+        lambda a: np.asarray(rng.normal(size=a.shape), np.float32),
+        variables["params"],
+    )
+    sd = vitamin_params_to_timm_state_dict(params)
+    assert any("patch_embed.backbone.stages" in k for k in sd)
+    back = convert_timm_vitamin_state_dict(sd, TINY)
+    import chex
+    chex.assert_trees_all_close(back, params, atol=1e-7)
+
+
+def test_swin_timm_export_import_roundtrip():
+    from tests.test_swin import TINY
+    from refining_clip_via_dinov2_representations_tpu.models.swin import (
+        SwinVisionTower,
+        convert_timm_swin_state_dict,
+        swin_params_to_timm_state_dict,
+    )
+
+    tower = SwinVisionTower(cfg=TINY, output_dim=8)
+    variables = tower.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, TINY.image_size, TINY.image_size, 3))
+    )
+    rng = np.random.default_rng(1)
+    params = jax.tree_util.tree_map(
+        lambda a: np.asarray(rng.normal(size=a.shape), np.float32),
+        variables["params"],
+    )
+    sd = swin_params_to_timm_state_dict(params)
+    assert any(".attn.relative_position_bias_table" in k for k in sd)
+    back = convert_timm_swin_state_dict(sd, TINY)
+    import chex
+    chex.assert_trees_all_close(back, params, atol=1e-7)
