@@ -125,11 +125,16 @@ class ClipInferenceEngine:
         )
 
     def similarity(self, images: np.ndarray, texts: np.ndarray) -> np.ndarray:
-        """Scaled image→text logits (`model.py:435-442` semantics)."""
+        """Scaled image→text logits (`model.py:435-442` semantics: includes
+        the additive logit_bias for SigLIP-style models)."""
         img_f = self.encode_image(images)
         txt_f = self.encode_text(texts)
-        scale = float(np.exp(np.asarray(self.variables["params"]["logit_scale"])))
-        return scale * img_f @ txt_f.T
+        p = self.variables["params"]
+        scale = float(np.exp(np.asarray(p["logit_scale"])))
+        logits = scale * img_f @ txt_f.T
+        if "logit_bias" in p:
+            logits = logits + float(np.asarray(p["logit_bias"]))
+        return logits
 
     def warmup(self) -> None:
         """AOT-compile every bucket for both towers (no device steps wasted

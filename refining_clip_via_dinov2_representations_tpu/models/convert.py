@@ -213,6 +213,12 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
             params["visual"] = vis["params"]
             if vis.get("batch_stats"):
                 batch_stats["visual"] = vis["batch_stats"]
+        elif any(k.startswith("visual.trunk.patch_embed.backbone.stem.") for k in sd):
+            # ViTamin: MUST be sniffed before the MCi branch below — its
+            # "...backbone." prefix is a prefix of this one
+            from .vitamin import convert_timm_vitamin_state_dict
+
+            params["visual"] = convert_timm_vitamin_state_dict(sd)
         elif any(k.startswith("visual.trunk.patch_embed.backbone.") for k in sd):
             from .fastvit import convert_timm_mci_vit_state_dict
 
@@ -220,10 +226,6 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
             params["visual"] = vis["params"]
             if vis.get("batch_stats"):
                 batch_stats["visual"] = vis["batch_stats"]
-        elif any(k.startswith("visual.trunk.patch_embed.backbone.stem.") for k in sd):
-            from .vitamin import convert_timm_vitamin_state_dict
-
-            params["visual"] = convert_timm_vitamin_state_dict(sd)
         elif any(".relative_position_bias_table" in k for k in sd):
             from .swin import convert_timm_swin_state_dict
 
@@ -429,79 +431,86 @@ def flax_params_to_torch_state_dict(
 
     visual = params["visual"]
     is_resnet = "attnpool" in visual
-    is_siglip_trunk = "patch_embedding" in visual and "probe" in visual
-    is_convnext_trunk = "stem_conv" in visual
-    # EVA02: blocks at the tree top level with SwiGLU (fc1_g/fc1_x) or plain
-    # (fc1/fc2) MLPs — distinguishes from ViTamin (w0/w1/w2 GeGLU) and
-    # MCi-B/relpos (c_fc/c_proj) towers which also keep resblocks_* top-level
-    is_eva02_trunk = (
-        "resblocks_0" in visual
-        and isinstance(visual["resblocks_0"].get("mlp"), dict)
-        and ("fc1_g" in visual["resblocks_0"]["mlp"] or "fc1" in visual["resblocks_0"]["mlp"])
-    )
-    is_eva_trunk = (
-        "transformer" in visual and isinstance(visual.get("proj"), dict)
-    )  # EVA01: standard ViT tree with a Dense (timm-head) projection
-    is_fastvit_trunk = "final_conv" in visual and "stem_0" in visual
-    is_mci_vit_trunk = "stem_0_conv" in visual  # hybrid MCi-B ViT
-    is_vitamin_trunk = "stem_conv1" in visual
-    is_swin_trunk = "patch_norm" in visual
-    if is_siglip_trunk:
-        from .siglip import siglip_vision_params_to_timm_state_dict
 
-        for k, v in siglip_vision_params_to_timm_state_dict(visual).items():
-            sd[k] = t(v)
-        # hub SigLIP checkpoints are CustomTextCLIP-layout: text.* prefix
-        shared_text_namespace = False
-    elif is_convnext_trunk:
-        from .convnext import convnext_params_to_timm_state_dict
-
-        for k, v in convnext_params_to_timm_state_dict(visual).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
-    elif is_eva02_trunk:
+    def _eva02_exporter(vis, stats):
         from .eva02 import eva02_params_to_timm_state_dict
 
-        for k, v in eva02_params_to_timm_state_dict(visual).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
-    elif is_eva_trunk:
+        return eva02_params_to_timm_state_dict(vis)
+
+    def _eva_exporter(vis, stats):
         from .eva import eva_params_to_timm_state_dict
 
-        for k, v in eva_params_to_timm_state_dict(visual).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
-    elif is_fastvit_trunk:
+        return eva_params_to_timm_state_dict(vis)
+
+    def _siglip_exporter(vis, stats):
+        from .siglip import siglip_vision_params_to_timm_state_dict
+
+        return siglip_vision_params_to_timm_state_dict(vis)
+
+    def _convnext_exporter(vis, stats):
+        from .convnext import convnext_params_to_timm_state_dict
+
+        return convnext_params_to_timm_state_dict(vis)
+
+    def _fastvit_exporter(vis, stats):
         from .fastvit import fastvit_params_to_timm_state_dict
 
-        vstats = (batch_stats or {}).get("visual")
-        if vstats is None:
+        if stats is None:
             raise ValueError(
                 "FastViT torch export needs batch_stats (BN running statistics)"
             )
-        for k, v in fastvit_params_to_timm_state_dict(visual, vstats).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
-    elif is_mci_vit_trunk:
+        return fastvit_params_to_timm_state_dict(vis, stats)
+
+    def _mci_exporter(vis, stats):
         from .fastvit import mci_vit_params_to_timm_state_dict
 
-        for k, v in mci_vit_params_to_timm_state_dict(
-            visual, (batch_stats or {}).get("visual")
-        ).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
-    elif is_vitamin_trunk:
+        return mci_vit_params_to_timm_state_dict(vis, stats)
+
+    def _vitamin_exporter(vis, stats):
         from .vitamin import vitamin_params_to_timm_state_dict
 
-        for k, v in vitamin_params_to_timm_state_dict(visual).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
-    elif is_swin_trunk:
+        return vitamin_params_to_timm_state_dict(vis)
+
+    def _swin_exporter(vis, stats):
         from .swin import swin_params_to_timm_state_dict
 
-        for k, v in swin_params_to_timm_state_dict(visual).items():
-            sd[k] = t(v)
-        shared_text_namespace = False
+        return swin_params_to_timm_state_dict(vis)
+
+    def _is_eva02(vis):
+        # EVA02: blocks at the tree top level with SwiGLU (fc1_g/fc1_x) or
+        # plain (fc1/fc2) MLPs — distinguishes from ViTamin (w0/w1/w2 GeGLU)
+        # and MCi-B/relpos (c_fc/c_proj) towers, also resblocks_* top-level
+        return (
+            "resblocks_0" in vis
+            and isinstance(vis["resblocks_0"].get("mlp"), dict)
+            and ("fc1_g" in vis["resblocks_0"]["mlp"] or "fc1" in vis["resblocks_0"]["mlp"])
+        )
+
+    # ordered (sniff, timm-layout exporter) table; every emitted trunk uses
+    # the hub CustomTextCLIP layout, so the text tower gets the text.* prefix
+    _TRUNK_EXPORTERS = (
+        (lambda v: "patch_embedding" in v and "probe" in v, _siglip_exporter),
+        (lambda v: "stem_conv" in v, _convnext_exporter),
+        (_is_eva02, _eva02_exporter),
+        # EVA01: standard ViT tree with a Dense (timm-head) projection
+        (lambda v: "transformer" in v and isinstance(v.get("proj"), dict), _eva_exporter),
+        (lambda v: "final_conv" in v and "stem_0" in v, _fastvit_exporter),
+        (lambda v: "stem_0_conv" in v, _mci_exporter),
+        (lambda v: "stem_conv1" in v, _vitamin_exporter),
+        (lambda v: "patch_norm" in v, _swin_exporter),
+    )
+
+    emitted_trunk = False
+    for sniff, exporter in _TRUNK_EXPORTERS:
+        if sniff(visual):
+            for k, v in exporter(visual, (batch_stats or {}).get("visual")).items():
+                sd[k] = t(v)
+            shared_text_namespace = False
+            emitted_trunk = True
+            break
+
+    if emitted_trunk:
+        pass
     elif is_resnet:
         vstats = (batch_stats or {}).get("visual")
         if vstats is None:
@@ -517,10 +526,6 @@ def flax_params_to_torch_state_dict(
             "(relpos/GAP ViT — no reference pretrained tags exist) has no "
             "timm-layout exporter"
         )
-    emitted_trunk = (
-        is_siglip_trunk or is_convnext_trunk or is_eva02_trunk or is_eva_trunk
-        or is_fastvit_trunk or is_mci_vit_trunk or is_vitamin_trunk or is_swin_trunk
-    )
     if not is_resnet and not emitted_trunk:
         sd["visual.conv1.weight"] = t(np.transpose(np.asarray(visual["conv1"]["kernel"]), (3, 2, 0, 1)))
         sd["visual.class_embedding"] = t(visual["class_embedding"])

@@ -1121,6 +1121,10 @@ def mci_vit_params_to_timm_state_dict(
     sd: Dict[str, Any] = {}
     t = trunk_prefix
     stats = batch_stats or {}
+    if any(n.endswith("_bn") for n in visual) and not stats:
+        raise ValueError(
+            "MCi-ViT torch export needs batch_stats (stem BN running statistics)"
+        )
 
     def put(key, val):
         sd[t + key] = np.asarray(val, np.float32)

@@ -104,7 +104,7 @@ _COL_PARALLEL = (
     "fc1/kernel",               # SigLIP / timm-style MLP
     "fc1_g/kernel", "fc1_x/kernel",  # EVA02 SwiGLU gate/value
     "head_fc1/kernel",          # SigLIP MAP head
-    "w1/kernel", "w2/kernel",   # EVA01-style SwiGLU naming
+    "mlp/w0/kernel", "mlp/w1/kernel",  # ViTamin GeGLU gate/value up-proj
 )
 # down-projections (4x hidden -> input) are row-parallel: split the INPUT
 # axis; XLA inserts the one all-reduce per block (Megatron dataflow)
@@ -113,7 +113,7 @@ _ROW_PARALLEL = (
     "attn/out_proj/kernel",
     "fc2/kernel",
     "head_fc2/kernel",
-    "w3/kernel",
+    "mlp/w2/kernel",            # ViTamin GeGLU down-proj
 )
 
 

@@ -260,3 +260,35 @@ def test_swin_timm_export_import_roundtrip():
     back = convert_timm_swin_state_dict(sd, TINY)
     import chex
     chex.assert_trees_all_close(back, params, atol=1e-7)
+
+
+def test_dispatch_vitamin_trunk_import():
+    """ViTamin hub keys route to the ViTamin converter (its
+    patch_embed.backbone.stem prefix must win over the MCi backbone sniff)."""
+    from refining_clip_via_dinov2_representations_tpu.models.vitamin import (
+        vitamin_params_to_timm_state_dict,
+        ViTaminVisionTower,
+    )
+    from tests.test_vitamin import TINY
+
+    tower = ViTaminVisionTower(cfg=TINY, output_dim=20)
+    variables = tower.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, TINY.image_size, TINY.image_size, 3))
+    )
+    sd = dict(vitamin_params_to_timm_state_dict(variables["params"]))
+    sd["logit_scale"] = np.asarray(2.65, np.float32)
+    out = convert_clip_variables(sd, strict=False)
+    vis = out["params"]["visual"]
+    assert "stem_conv1" in vis and "fc_norm" in vis  # ViTamin tree, not MCi
+
+
+def test_mesh_specs_vitamin_geglu():
+    from jax.sharding import PartitionSpec as P
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import _param_spec
+
+    def spec(p):
+        return _param_spec(tuple(p.split("/")), np.zeros((8, 8)))
+
+    assert spec("visual/resblocks_0/mlp/w0/kernel") == P(None, "model")
+    assert spec("visual/resblocks_0/mlp/w1/kernel") == P(None, "model")
+    assert spec("visual/resblocks_0/mlp/w2/kernel") == P("model", None)
