@@ -37,12 +37,14 @@ def save_for_hf(
     save_directory: str,
     preprocess_cfg: Optional[PreprocessCfg] = None,
     safe_serialization: bool = True,
+    batch_stats: Optional[Dict[str, Any]] = None,
 ):
-    """(`push_to_hf_hub.py:58-82`)"""
+    """(`push_to_hf_hub.py:58-82`). Pass ``batch_stats`` for BN towers
+    (ResNet/FastViT) so running statistics export too."""
     save_directory = Path(save_directory)
     save_directory.mkdir(exist_ok=True, parents=True)
 
-    sd = flax_params_to_torch_state_dict(params)
+    sd = flax_params_to_torch_state_dict(params, batch_stats=batch_stats)
     if safe_serialization:
         from safetensors.torch import save_file
 
@@ -95,6 +97,7 @@ def push_to_hf_hub(
     private: bool = False,
     model_card: Optional[Dict[str, Any]] = None,
     safe_serialization: bool = True,
+    batch_stats: Optional[Dict[str, Any]] = None,
 ):
     """(`push_to_hf_hub.py:85-153`)"""
     import tempfile
@@ -108,6 +111,7 @@ def push_to_hf_hub(
         save_for_hf(
             params, model_cfg, tokenizer, tmpdir,
             preprocess_cfg=preprocess_cfg, safe_serialization=safe_serialization,
+            batch_stats=batch_stats,
         )
         model_card = model_card or {}
         model_name = repo_id.split("/")[-1]
