@@ -15,12 +15,13 @@ import json
 import time
 
 
-def _analytic_step_flops(batch: int) -> float:
-    """Analytic FLOPs for one ViT-B/16 CLIP train step (fwd + bwd ≈ 3x fwd).
+def _analytic_step_flops(batch: int, cfg=None) -> float:
+    """Analytic FLOPs for one CLIP train step (fwd + bwd ≈ 3x fwd).
 
     Counts matmul FLOPs (2*m*n*k) of both towers; attention included.
-    Vision: 224/16 -> 197 tokens, width 768, 12 layers. Text: 77 tokens,
-    width 512, 12 layers. Ignores the small DINO-head/loss matmuls.
+    Derived from the model cfg (default ViT-B/16: 197 vision tokens width
+    768 x 12, 77 text tokens width 512 x 12). Ignores the small
+    DINO-head/loss matmuls.
     """
     def tower_flops(tokens, width, layers, mlp_ratio=4):
         per_layer = (
@@ -31,9 +32,24 @@ def _analytic_step_flops(batch: int) -> float:
         )
         return per_layer * layers
 
-    vision = tower_flops(197, 768, 12) + 2 * 197 * 768 * (16 * 16 * 3)  # + patchify
-    vision += 2 * 768 * 512  # proj
-    text = tower_flops(77, 512, 12) + 2 * 512 * 512
+    if cfg is None:
+        v_tokens, v_width, v_layers, patch = 197, 768, 12, 16
+        t_tokens, t_width, t_layers = 77, 512, 12
+        embed = 512
+    else:
+        v = cfg.vision_cfg
+        img = v.image_size if isinstance(v.image_size, int) else v.image_size[0]
+        patch = v.patch_size if isinstance(v.patch_size, int) else v.patch_size[0]
+        v_tokens = (img // patch) ** 2 + 1
+        v_width, v_layers = v.width, v.layers
+        t_tokens = cfg.text_cfg.context_length
+        t_width, t_layers = cfg.text_cfg.width, cfg.text_cfg.layers
+        embed = cfg.embed_dim
+
+    vision = tower_flops(v_tokens, v_width, v_layers)
+    vision += 2 * v_tokens * v_width * (patch * patch * 3)  # patchify
+    vision += 2 * v_width * embed  # proj
+    text = tower_flops(t_tokens, t_width, t_layers) + 2 * t_width * embed
     fwd = batch * (vision + text)
     return 3.0 * fwd
 
@@ -86,15 +102,21 @@ def main():
     # 128→849 (.531), 160→820 (.513), 192→828 (.518). Round-1 sweep peaked at
     # 96 too (788). 96 avoids XLA's fusion-remat regime while keeping the MXU
     # fed; it is the per-chip microbatch (global batch scales with chips).
+    # BENCH_MODEL: any standard-ViT registry config (scaling studies, e.g.
+    # ViT-L-14 at BENCH_BATCH=24); the headline metric stays ViT-B-16@96
+    model_name = os.environ.get("BENCH_MODEL", "ViT-B-16")
     batch = int(os.environ.get("BENCH_BATCH", 96))
     dino_dim = 384  # DINOv2 ViT-S/14 feature dim
-    _log(f"backend={backend} chips={n_chips} batch={batch}")
+    _log(f"backend={backend} chips={n_chips} model={model_name} batch={batch}")
 
-    cfg = parse_model_cfg(get_model_config("ViT-B-16"))
+    cfg = parse_model_cfg(get_model_config(model_name))
     model = build_model(cfg, dtype=jnp.bfloat16, attn_impl="auto")
     rng = jax.random.PRNGKey(0)
-    images = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
-    texts = jnp.zeros((batch, 77), jnp.int32)
+    img_size = cfg.vision_cfg.image_size
+    img_size = img_size if isinstance(img_size, int) else img_size[0]
+    ctx = cfg.text_cfg.context_length
+    images = jnp.zeros((batch, img_size, img_size, 3), jnp.bfloat16)
+    texts = jnp.zeros((batch, ctx), jnp.int32)
     _log("init params...")
     variables = jax.jit(model.init)(rng, images, texts)
     jax.block_until_ready(variables)
@@ -117,8 +139,8 @@ def main():
 
     npr = np.random.default_rng(0)
     batch_data = {
-        "images": jnp.asarray(npr.normal(size=(batch, 224, 224, 3)), jnp.bfloat16),
-        "texts": jnp.asarray(npr.integers(1, 49407, size=(batch, 77)), jnp.int32),
+        "images": jnp.asarray(npr.normal(size=(batch, img_size, img_size, 3)), jnp.bfloat16),
+        "texts": jnp.asarray(npr.integers(1, min(49407, cfg.text_cfg.vocab_size - 1), size=(batch, ctx)), jnp.int32),
         "dino_features": jnp.asarray(npr.normal(size=(batch, dino_dim)), jnp.float32),
     }
 
@@ -142,14 +164,18 @@ def main():
     step_time = dt / n_steps
     ips = batch / step_time / n_chips
 
-    flops = _analytic_step_flops(batch)
+    flops = _analytic_step_flops(batch, cfg)
     peak = {"tpu": 197e12, "cpu": 1e12}.get(backend, 100e12)  # v5e bf16 peak
     mfu = flops / step_time / (peak * n_chips)
 
     print(
         json.dumps(
             {
-                "metric": "vitb16_dino_soft_train_images_per_sec_per_chip",
+                "metric": (
+                    "vitb16_dino_soft_train_images_per_sec_per_chip"
+                    if model_name == "ViT-B-16"
+                    else f"{model_name}_dino_soft_train_images_per_sec_per_chip"
+                ),
                 "value": round(ips, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(mfu / 0.50, 4),
