@@ -89,3 +89,30 @@ def test_export_roundtrip(engine, tmp_path):
     out = np.asarray(fn(jnp.asarray(imgs)))
     expected = engine.encode_image(imgs)
     np.testing.assert_allclose(out, expected, atol=1e-5)
+
+
+def test_engine_bn_tower():
+    """The engine serves BN towers (RN50): batch_stats flow through
+    encode_image in inference mode."""
+    import dataclasses
+
+    import refining_clip_via_dinov2_representations_tpu as oc
+
+    cfg = oc.parse_model_cfg(oc.get_model_config("RN50"))
+    cfg = dataclasses.replace(
+        cfg, vision_cfg=dataclasses.replace(cfg.vision_cfg, image_size=32)
+    )
+    model = oc.build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 77), jnp.int32)
+    )
+    assert "batch_stats" in variables
+    engine = ClipInferenceEngine(
+        model, variables, image_size=(32, 32), context_length=77,
+        buckets=(2,), dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    feats = engine.encode_image(rng.normal(size=(3, 32, 32, 3)).astype(np.float32))
+    assert feats.shape == (3, cfg.embed_dim)
+    assert np.all(np.isfinite(feats))
+    np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
