@@ -148,3 +148,21 @@ def test_int8_weight_only_quantization():
     # quantized similarity still applies logit_scale (and bias when present)
     sims = q8.similarity(imgs, texts)
     assert sims.shape == (3, 3)
+
+
+def test_int8_engine_export_roundtrip(tmp_path):
+    """StableHLO export bakes the int8 weights + scales; reload matches."""
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    eng = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(2,), dtype=jnp.float32, quantize="int8", quantize_min_size=0,
+    )
+    written = eng.export(str(tmp_path))
+    fn = load_exported(written["encode_text_b2"])
+    rng = np.random.default_rng(11)
+    texts = rng.integers(1, 63, size=(2, 12)).astype(np.int32)
+    out = np.asarray(fn(jnp.asarray(texts)))
+    np.testing.assert_allclose(out, eng.encode_text(texts), atol=1e-5)
