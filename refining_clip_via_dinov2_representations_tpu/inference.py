@@ -133,14 +133,12 @@ class ClipInferenceEngine:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         else:
             self.variables = variables
-        # weight dtype after (de)quantization: fp32 keeps the unquantized
-        # path bit-identical to direct model.apply; for int8 the upcast
-        # target is fused into the matmul either way
-        deq_dtype = jnp.float32
 
         def _vars(variables):
             if quantize == "int8":
-                return dequantize_variables(variables, deq_dtype)
+                # fp32 upcast target; XLA fuses the int8 load + scale into
+                # the consuming matmul, so HBM reads stay int8 regardless
+                return dequantize_variables(variables, jnp.float32)
             return variables
 
         def encode_image(variables, images):

@@ -137,6 +137,15 @@ def test_int8_weight_only_quantization():
     # carry fp32 weight copies
     leaves = jax.tree_util.tree_leaves(q8.variables)
     assert any(getattr(x, "dtype", None) == jnp.int8 for x in leaves)
+    # and no fp32 weight matrix survives alongside (min_size=0: every >=2-D
+    # float leaf must have been replaced; the only remaining floats are the
+    # per-channel scales and 0/1-D params)
+    assert not any(
+        getattr(x, "ndim", 0) >= 2
+        and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        and x.shape[0] > 1
+        for x in leaves
+    )
 
     imgs = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
     texts = rng.integers(1, 63, size=(3, 12)).astype(np.int32)
