@@ -175,3 +175,36 @@ def test_int8_engine_export_roundtrip(tmp_path):
     texts = rng.integers(1, 63, size=(2, 12)).astype(np.int32)
     out = np.asarray(fn(jnp.asarray(texts)))
     np.testing.assert_allclose(out, eng.encode_text(texts), atol=1e-5)
+
+
+def test_engine_siglip_similarity_includes_bias():
+    """SigLIP models carry an additive logit_bias; `similarity` must apply
+    it (get_logits semantics, clip.py) — regression for the serving path."""
+    import dataclasses
+
+    import refining_clip_via_dinov2_representations_tpu as oc
+
+    cfg = oc.parse_model_cfg(oc.get_model_config("ViT-B-16-SigLIP"))
+    cfg = dataclasses.replace(
+        cfg, vision_cfg=dataclasses.replace(cfg.vision_cfg, image_size=32)
+    )
+    model = oc.build_model(cfg)
+    ctx = cfg.text_cfg.context_length
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, ctx), jnp.int32)
+    )
+    assert "logit_bias" in variables["params"]
+    engine = ClipInferenceEngine(
+        model, variables, image_size=(32, 32), context_length=ctx,
+        buckets=(2,), dtype=jnp.float32,
+    )
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    txts = rng.integers(1, 100, size=(2, ctx)).astype(np.int32)
+    sims = engine.similarity(imgs, txts)
+
+    img_f = engine.encode_image(imgs)
+    txt_f = engine.encode_text(txts)
+    scale = float(np.exp(np.asarray(variables["params"]["logit_scale"])))
+    bias = float(np.asarray(variables["params"]["logit_bias"]))
+    np.testing.assert_allclose(sims, scale * img_f @ txt_f.T + bias, atol=1e-5)
