@@ -6,7 +6,7 @@ targets). Public API mirrors `open_clip`'s surface
 (reference `src/open_clip/__init__.py:1-18`).
 """
 
-__version__ = "0.1.0"
+from .version import __version__
 
 from .constants import OPENAI_DATASET_MEAN, OPENAI_DATASET_STD
 from .tokenizer import SimpleTokenizer, HFTokenizer, SigLipTokenizer, tokenize, decode
