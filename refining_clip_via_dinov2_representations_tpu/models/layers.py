@@ -181,6 +181,14 @@ class MultiheadAttention(nn.Module):
         k = kv @ kernel[:, d : 2 * d] + bias[d : 2 * d]
         v = kv @ kernel[:, 2 * d :] + bias[2 * d :]
 
+        # Layout study (measured, v5e ViT-B/16 bs96 step): a BLHD-native
+        # variant — q/k/v kept [B,L,H,D], head split folded into the
+        # attention einsums ("bqhd,bkhd->bhqk"), custom bf16 backward in the
+        # same layout — compiled and ran at 109.07 ms/step vs 109.2 ms for
+        # this BHLD path: identical within noise. XLA already folds these
+        # transposes into the surrounding matmuls; the HLO "copy"
+        # instructions around them are the scheduled form of the same work,
+        # not removable overhead. Keep the conventional layout.
         def heads(t, l):
             return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
