@@ -187,8 +187,17 @@ def dino_enhanced_loss(
     out: Dict[str, jnp.ndarray] = {}
 
     # ----- soft KL vs DINO teacher -----
+    # reference gate (`loss.py:356`): lambda_soft > 0 AND kl_teacher AND
+    # teacher features present. soft_mode "none"/"siglip_dino" compute no
+    # soft term (siglip_dino is parsed-but-unimplemented in the reference
+    # too); the static λ gate also keeps the O(B²) KL out of the graph for
+    # weighted-only runs.
     soft = jnp.zeros((), jnp.float32)
-    if dino_features is not None and cfg.soft_mode == "kl_teacher":
+    if (
+        dino_features is not None
+        and cfg.soft_mode == "kl_teacher"
+        and cfg.lambda_soft > 0.0
+    ):
         dn = _normalize(dino_features.astype(jnp.float32))
         tau_s = compute_student_tau(logit_scale)
         tau_t = jnp.asarray(cfg.teacher_temp, jnp.float32)
@@ -214,20 +223,28 @@ def dino_enhanced_loss(
         eye = jnp.eye(b, dtype=bool)
         r = jnp.where(eye, 0.0, r)
 
-        # local column block of the (possibly global) logits rows
-        if axis_name is not None and cfg.local_loss:
-            col0 = b * lax.axis_index(axis_name)
+        # this rank's (row, col) block inside the possibly-global logits:
+        # local_loss keeps local rows (row offset 0, rank column block);
+        # global-loss mode carries every rank's rows, so the rank's own
+        # samples sit at the SAME offset on both axes
+        n_rows, n_cols = logits_i.shape
+        if axis_name is not None:
+            idx = lax.axis_index(axis_name)
+            col0 = b * idx if n_cols != b else 0
+            row0 = b * idx if n_rows != b else 0
         else:
-            col0 = 0
-        n_cols = logits_i.shape[1]
+            col0 = row0 = 0
 
         def modulate(logits, r_mat):
-            """Add Δ = β·r̂ to the local block of `logits` (`loss.py:432-447`)."""
-            block = lax.dynamic_slice(logits, (0, col0), (b, b)) if n_cols != b else logits
+            """Add Δ = β·r̂ to this rank's block of `logits` (`loss.py:432-447`)."""
+            sliced = n_rows != b or n_cols != b
+            block = (
+                lax.dynamic_slice(logits, (row0, col0), (b, b)) if sliced else logits
+            )
             p_base_full = jax.nn.softmax(logits.astype(jnp.float32), axis=1)
             p_block = (
-                lax.dynamic_slice(p_base_full, (0, col0), (b, b))
-                if n_cols != b
+                lax.dynamic_slice(p_base_full, (row0, col0), (b, b))
+                if sliced
                 else p_base_full
             )
             r_hat = r_mat - jnp.sum(p_block * r_mat, axis=1, keepdims=True)
@@ -237,9 +254,9 @@ def dino_enhanced_loss(
             sigma = jnp.maximum(jnp.sort(row_std)[(row_std.shape[0] - 1) // 2], 1e-6)
             beta = lax.stop_gradient(ov.get("rho", cfg.rho) * sigma / cfg.c_clip)
             delta = jnp.where(jnp.eye(b, dtype=bool), 0.0, beta * r_hat)
-            if n_cols != b:
+            if sliced:
                 return lax.dynamic_update_slice(
-                    logits, block + delta.astype(logits.dtype), (0, col0)
+                    logits, block + delta.astype(logits.dtype), (row0, col0)
                 ), delta, p_block
             return logits + delta.astype(logits.dtype), delta, p_block
 

@@ -292,7 +292,10 @@ def main(args=None):
         dino_cfg = DinoLossCfg(
             lambda_original=args.lambda_original,
             lambda_soft=args.lambda_soft,
-            soft_mode=args.soft_mode if args.soft_mode != "none" else "kl_teacher",
+            # pass through verbatim: the reference computes the soft term
+            # only for soft_mode == "kl_teacher" (`loss.py:356`); "none"
+            # (the CLI default) and "siglip_dino" disable it
+            soft_mode=args.soft_mode,
             teacher_temp=args.teacher_temp,
             soft_dino_to_text=args.soft_dino_to_text,
             text_lambda=args.text_lambda,
@@ -318,7 +321,13 @@ def main(args=None):
             coca_contrastive_loss_weight=args.coca_contrastive_loss_weight,
             lambda_cyc_inmodal=args.lambda_cyc_inmodal,
             lambda_cyc_crossmodal=args.lambda_cyc_crossmodal,
-            use_patch_dropout=bool(args.force_patch_dropout),
+            # active when forced via CLI OR baked into the model config
+            # (the torch reference applies PatchDropout whenever the module
+            # exists and the model is in train mode)
+            use_patch_dropout=bool(
+                args.force_patch_dropout
+                or getattr(model.vision_cfg, "patch_dropout", 0.0)
+            ),
             freeze_bn_stats=bool(args.lock_image and args.lock_image_freeze_bn_stats),
             log_grad_norm=bool(args.grad_clip_norm) or args.debug,
             siglip_dist_impl=args.loss_dist_impl or "bidir",

@@ -103,13 +103,13 @@ def create_train_state(
 
 
 def _lambda_overrides(cfg: StepCfg, step: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """λ warm-up (`train.py:120-141`): the reference warms ONLY lambda_soft
+    (plus the unused graph/hard-neg λs) — lambda_weighted stays at full
+    strength from step 0."""
     if not cfg.enable_warmup_dino_hyperparams:
         return {}
     frac = jnp.minimum(1.0, step.astype(jnp.float32) / max(1, cfg.warmup))
-    return {
-        "lambda_soft": frac * cfg.dino.lambda_soft,
-        "lambda_weighted": frac * cfg.dino.lambda_weighted,
-    }
+    return {"lambda_soft": frac * cfg.dino.lambda_soft}
 
 
 def make_loss_fn(
@@ -208,7 +208,11 @@ def make_loss_fn(
             )
         return metrics
 
-    def loss_fn(params, batch, step, rng, batch_stats=None):
+    def encode_fn(params, batch, step, rng, batch_stats=None):
+        """Forward both towers (+ teacher/head extras) → (rows, scalars,
+        new_batch_stats). `rows` leaves are per-sample [B, ...]; `scalars`
+        are batch-independent. Split out from `loss_fn` so gradient
+        accumulation can cache rows and re-assemble full batches."""
         images = batch["images"]
         if cfg.device_preprocess is not None:
             from ..ops.preprocess import preprocess_train_batch
@@ -225,7 +229,12 @@ def make_loss_fn(
         train_bn = batch_stats is not None and not cfg.freeze_bn_stats
         if batch_stats is not None:
             variables["batch_stats"] = batch_stats
-        deterministic = not (cfg.use_patch_dropout or train_bn)
+        # `deterministic` drives BOTH PatchDropout and BN mode
+        # (use_running_average). BN towers have no patch-dropout module, so
+        # the dropout flag must never flip a frozen-BN tower out of
+        # running-average mode (it would mutate an immutable collection).
+        use_pd = cfg.use_patch_dropout and batch_stats is None
+        deterministic = not (use_pd or train_bn)
         rngs = None
         if not deterministic:
             pd_rng, do_rng = jax.random.split(jax.random.fold_in(rng, 1))
@@ -273,6 +282,9 @@ def make_loss_fn(
             rows["logits"] = out["logits"]
             rows["labels"] = out["labels"]
 
+        return rows, scalars, new_stats
+
+    def compute_metrics(rows, scalars):
         if axis_name is not None:
             from jax.sharding import PartitionSpec as P
 
@@ -283,7 +295,7 @@ def make_loss_fn(
             # mode (axis_names={"data"}) miscompiles bf16 all_gather on the
             # CPU backend (XLA AllReducePromotion check-fail), so we stay
             # fully manual here.
-            metrics = jax.shard_map(
+            return jax.shard_map(
                 _compute,
                 mesh=mesh,
                 in_specs=(
@@ -292,11 +304,15 @@ def make_loss_fn(
                 ),
                 out_specs=P(),
             )(rows, scalars)
-        else:
-            metrics = _compute(rows, scalars)
+        return _compute(rows, scalars)
 
+    def loss_fn(params, batch, step, rng, batch_stats=None):
+        rows, scalars, new_stats = encode_fn(params, batch, step, rng, batch_stats)
+        metrics = compute_metrics(rows, scalars)
         return metrics["total_loss"], (metrics, new_stats)
 
+    loss_fn.encode_fn = encode_fn
+    loss_fn.compute_metrics = compute_metrics
     return loss_fn
 
 
@@ -328,35 +344,77 @@ def make_train_step(
         rng, step_rng = jax.random.split(state.rng)
 
         if cfg.accum_freq > 1:
-            # microbatch scan: batch leaves are [accum, B/accum, ...].
-            # Each microbatch folds its index into the rng so stochastic
-            # paths (device-preprocess crops, patch dropout) stay
-            # independent across microbatches. BN running stats thread
-            # through the scan (every microbatch updates them, like torch).
-            def scan_body(carry, inp):
+            # Cached-feature accumulation — the algorithm upstream open_clip
+            # documents and this fork's trial.py preserves (`trial.py:311-360`;
+            # the fork's own train.py lost the re-forward loop, SURVEY §2.6):
+            #
+            #   phase 1: forward every microbatch WITHOUT grad, cache rows;
+            #   phase 2: re-forward each microbatch j with grad, splice its
+            #     live rows into the cached full batch, take the FULL-batch
+            #     loss, accumulate grads.
+            #
+            # Every sample's feature pathway is live exactly once, so the
+            # summed gradients equal the single-big-batch gradient — each
+            # InfoNCE row sees all accum*B negatives, not B/accum. Like the
+            # reference, the per-pass loss is NOT scaled by 1/accum (the
+            # full-batch loss is already a mean over accum*B rows); scalars
+            # (logit_scale/bias) are live in every pass, so their gradient
+            # accumulates accum× — torch-faithful. Each microbatch folds its
+            # index into the rng IN BOTH PHASES, so stochastic paths
+            # (device-preprocess crops, patch dropout) produce identical
+            # pixels for the cached and live computation of the same rows.
+            encode_fn = loss_fn.encode_fn
+            compute_metrics = loss_fn.compute_metrics
+            idxs = jnp.arange(cfg.accum_freq)
+
+            def enc_body(stats, inp):
                 idx, micro = inp
-                acc_grads, acc_metrics, stats = carry
-                _, metrics, grads, stats = _forward_backward(
+                rows, _, stats = encode_fn(
                     state.params, micro, state.step,
                     jax.random.fold_in(step_rng, idx), stats,
                 )
-                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
-                acc_metrics = jax.tree.map(jnp.add, acc_metrics, metrics)
-                return (acc_grads, acc_metrics, stats), None
+                return stats, rows
 
-            micro0 = jax.tree.map(lambda x: x[0], batch)
-            _, metrics0, grads0, stats = _forward_backward(
-                state.params, micro0, state.step,
-                jax.random.fold_in(step_rng, 0), state.batch_stats,
+            stats_p1, stacked = jax.lax.scan(
+                enc_body, state.batch_stats, (idxs, batch)
             )
-            rest = jax.tree.map(lambda x: x[1:], batch)
-            idxs = jnp.arange(1, cfg.accum_freq)
-            (grads, metrics, new_stats), _ = jax.lax.scan(
-                scan_body, (grads0, metrics0, stats), (idxs, rest)
+            cached = jax.tree.map(jax.lax.stop_gradient, stacked)
+
+            def splice(c, r, idx):
+                # replace micro-slot idx (axis 0 of the stacked cache is the
+                # accum axis — unsharded, so the dynamic update stays local)
+                full = jax.lax.dynamic_update_slice(
+                    c, r[None], (idx,) + (0,) * r.ndim
+                )
+                return full.reshape((c.shape[0] * c.shape[1],) + c.shape[2:])
+
+            def grad_body(carry, inp):
+                idx, micro = inp
+                acc_grads, stats = carry
+
+                def loss_j(params):
+                    rows, scalars, st = encode_fn(
+                        params, micro, state.step,
+                        jax.random.fold_in(step_rng, idx), stats,
+                    )
+                    full_rows = jax.tree.map(
+                        lambda c, r: splice(c, r, idx), cached, rows
+                    )
+                    metrics = compute_metrics(full_rows, scalars)
+                    return metrics["total_loss"], (metrics, st)
+
+                (_, (metrics, stats)), grads = jax.value_and_grad(
+                    loss_j, has_aux=True
+                )(state.params)
+                acc_grads = jax.tree.map(jnp.add, acc_grads, grads)
+                return (acc_grads, stats), metrics
+
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, new_stats), metrics_seq = jax.lax.scan(
+                grad_body, (zero_grads, stats_p1), (idxs, batch)
             )
-            k = float(cfg.accum_freq)
-            grads = jax.tree.map(lambda g: g / k, grads)
-            metrics = jax.tree.map(lambda m: m / k, metrics)
+            # full-batch metrics are identical across passes; report the mean
+            metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_seq)
         else:
             _, metrics, grads, new_stats = _forward_backward(
                 state.params, batch, state.step, step_rng, state.batch_stats
