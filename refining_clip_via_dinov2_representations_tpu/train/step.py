@@ -8,9 +8,13 @@ in-step collectives) → grad → param-group AdamW → logit-scale clamp. Under
 the contrastive B×B logits row-block-wise (replacing `local_loss`
 bookkeeping).
 
-Gradient accumulation is a `lax.scan` over microbatches — the correct
-implementation of `--accum-freq` (the reference's accumulation path is broken
-in this fork: it deleted the re-forward loop, SURVEY §2.6).
+Gradient accumulation implements upstream open_clip's cached-feature
+algorithm (`trial.py:311-360`; the fork's own train.py lost the re-forward
+loop, SURVEY §2.6) as two `lax.scan`s: cache rows without grad, then
+re-forward each microbatch spliced into the full batch — every InfoNCE row
+sees all accum×B negatives and the summed gradients equal the
+single-big-batch gradient exactly (asserted in
+tests/test_step_distributed_semantics.py).
 
 λ warm-up for the DINO terms (`train.py:120-141`) is computed in-graph from
 the step counter, so no recompilation per step.
