@@ -77,8 +77,11 @@ def extract_features(
 
     from ..models import create_model_and_transforms, load_checkpoint
 
+    # the reference's build_image_encoder ALWAYS forces QuickGELU
+    # (`extract_features_from_csv.py:13`) — without it, OpenAI-pretrained
+    # towers silently run plain GELU against QuickGELU weights
     model, variables, _, preprocess = create_model_and_transforms(
-        model_name, pretrained, precision=precision
+        model_name, pretrained, precision=precision, force_quick_gelu=True
     )
     if checkpoint:
         variables, _ = load_checkpoint(model, variables, checkpoint, strict=False)

@@ -395,14 +395,31 @@ class Loader:
                 batch["dino_features"] = self.dino_store.take(batch.pop("dino_idx"))
             return batch
 
+        abandoned = threading.Event()
+
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer abandoned
+            iteration — without this, an exception in the train step (or an
+            early-exiting eval) leaves the producer parked in q.put() on a
+            full queue forever, pinning a decoded global batch per leaked
+            daemon thread."""
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for b in batches:
-                    q.put(fetch_batch(b))
+                    if not put(fetch_batch(b)):
+                        return
             except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(stop)
+                put(stop)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -415,6 +432,7 @@ class Loader:
                     raise item
                 yield item
         finally:
+            abandoned.set()
             pool.shutdown(wait=False)
 
 
@@ -465,8 +483,12 @@ def _loader_kwargs(args, is_train: bool) -> Dict[str, Any]:
         # that bypass main() fall back to treating it as the host batch.
         batch_size=getattr(args, "per_host_batch_size", None) or args.batch_size,
         num_workers=getattr(args, "workers", 8),
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        # host-sharding applies to TRAIN loaders only: the reference
+        # evaluates the FULL val set on the master rank (`train.py:593-595`
+        # + unsharded val DataLoader) — sharding val would shrink the
+        # retrieval gallery by process_count and inflate R@K
+        process_index=jax.process_index() if is_train else 0,
+        process_count=jax.process_count() if is_train else 1,
         seed=getattr(args, "seed", 0),
         shuffle=is_train,
         drop_last=is_train,

@@ -76,16 +76,23 @@ def evaluate(
     args,
     tokenizer=None,
     val_key: str = "val",
+    include_zero_shot: bool = True,
 ) -> Dict[str, float]:
     metrics: Dict[str, float] = {}
 
-    # zero-shot ImageNet (frequency-gated inside)
-    try:
-        from .zero_shot import zero_shot_eval
+    # zero-shot ImageNet (frequency-gated inside). The caller iterates
+    # evaluate() once per val key; pass include_zero_shot only on the first
+    # so the classifier build + full ImageNet inference run ONCE per epoch
+    # (the reference's single evaluate() call, `train.py:601`).
+    if include_zero_shot:
+        try:
+            from .zero_shot import zero_shot_eval
 
-        metrics.update(zero_shot_eval(model, variables, data, epoch, args, tokenizer))
-    except ImportError:
-        pass
+            metrics.update(
+                zero_shot_eval(model, variables, data, epoch, args, tokenizer)
+            )
+        except ImportError:
+            pass
 
     # reference train.py:607: val runs only when val_frequency is truthy AND
     # (epoch % val_frequency == 0 or final epoch) — val_frequency=0 skips.

@@ -379,22 +379,28 @@ def main(args=None):
 
     # eval-only path (`main.py:808-822`)
     eval_keys = [k for k in ("val", "flickr30k-val", "mscoco-val") if k in data]
+    # zero-shot data without retrieval val keys must still evaluate
+    # (the reference calls evaluate() unconditionally once per epoch)
+    has_zs = any(k in data for k in ("imagenet-val", "imagenet-v2"))
+    eval_rounds = eval_keys or (["val"] if has_zs else [])
     if "train" not in data:
         variables_eval = {
             k: variables[k] for k in ("params", "batch_stats") if k in variables
         }
-        for key in eval_keys:
-            evaluate(model, variables_eval, data, start_epoch, args, tokenizer, val_key=key)
+        for i, key in enumerate(eval_rounds):
+            evaluate(model, variables_eval, data, start_epoch, args, tokenizer,
+                     val_key=key, include_zero_shot=(i == 0))
         return
 
     # ---- pre-train evaluation over every val key (`main.py:833-859`) ----
-    if start_epoch == 0 and eval_keys:
+    if start_epoch == 0 and eval_rounds:
         variables_eval = {"params": state.params["model"]}
         if state.batch_stats is not None:
             variables_eval["batch_stats"] = state.batch_stats
-        for key in eval_keys:
+        for i, key in enumerate(eval_rounds):
             try:
-                evaluate(model, variables_eval, data, 0, args, tokenizer, val_key=key)
+                evaluate(model, variables_eval, data, 0, args, tokenizer,
+                         val_key=key, include_zero_shot=(i == 0))
             except Exception as e:  # pre-train eval must not kill the run
                 logging.warning("pre-train eval on %s failed: %r", key, e)
 
@@ -415,9 +421,10 @@ def main(args=None):
         if state.batch_stats is not None:
             variables_eval["batch_stats"] = state.batch_stats
         epoch_results = []
-        for key in eval_keys:
+        for i, key in enumerate(eval_rounds):
             m = evaluate(
-                model, variables_eval, data, completed_epoch, args, tokenizer, val_key=key
+                model, variables_eval, data, completed_epoch, args, tokenizer,
+                val_key=key, include_zero_shot=(i == 0),
             )
             if m:
                 epoch_results.append({"val_name": key, "metrics": m})

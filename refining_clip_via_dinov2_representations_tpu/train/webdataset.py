@@ -136,9 +136,18 @@ class WdsLoader:
         self.epoch = epoch
 
     def _epoch_shards(self, epoch: Optional[int] = None) -> List[str]:
-        rng = random.Random(self.seed + (self.epoch if epoch is None else epoch))
-        if self.resampled:
+        e = self.epoch if epoch is None else epoch
+        # resampling is a TRAIN-mode behavior (reference data.py:
+        # `resampled = args.dataset_resampled and is_train`); eval always
+        # reads the full shard list exactly once
+        if self.resampled and self.is_train:
+            # per-host independent draws (reference ResampledShards2 seeds
+            # per rank/worker) — without process_index every host would
+            # emit an identical stream and the global batch would carry
+            # duplicated rows
+            rng = random.Random((self.seed + e) * 1000 + self.process_index)
             return [rng.choice(self.shards) for _ in range(len(self.shards))]
+        rng = random.Random(self.seed + e)
         shards = list(self.shards)
         if self.is_train:
             rng.shuffle(shards)  # deterministic epoch-seeded (detshuffle2)
@@ -199,15 +208,26 @@ class WdsLoader:
             """Raw stream with buffer shuffle + train-mode wraparound."""
             nonlocal buf
             wrap = 0
+            since_wrap = 0
             samples = self._samples()
             while True:
                 try:
                     s = next(samples)
+                    since_wrap += 1
                 except StopIteration:
                     if self.is_train:
+                        if since_wrap == 0:
+                            # a full pass produced nothing: every shard is
+                            # unreadable (bad path/pattern) — fail fast
+                            # instead of spinning forever
+                            raise RuntimeError(
+                                f"webdataset shard list yielded no samples: "
+                                f"{self.shards[:3]}{'...' if len(self.shards) > 3 else ''}"
+                            )
                         # wrap around (fresh shard order) so every host emits
                         # the same batch count even with uneven shards
                         wrap += 1
+                        since_wrap = 0
                         samples = self._samples(self.epoch + 1000000 * wrap)
                         continue
                     break
@@ -233,9 +253,13 @@ class WdsLoader:
             return None
 
         raw_stream = shuffled_raw()
+        # train mode emits exactly num_batches (every host the same count);
+        # eval exhausts the stream — the reference "will just exhaust the
+        # iterator if the size is not specified" and num_batches is metadata
+        limit = self.num_batches if self.is_train else None
         try:
             exhausted = False
-            while emitted < self.num_batches:
+            while limit is None or emitted < limit:
                 while not exhausted and len(pending) < window:
                     try:
                         pending.append(pool.submit(self._decode, next(raw_stream)))
@@ -278,9 +302,11 @@ def get_wds_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_in
         num_samples=num_samples,
         is_train=is_train,
         seed=getattr(args, "seed", 0),
-        resampled=getattr(args, "dataset_resampled", False),
-        process_index=jax.process_index(),
-        process_count=jax.process_count(),
+        # train-only (reference: `resampled = dataset_resampled and is_train`)
+        resampled=getattr(args, "dataset_resampled", False) and is_train,
+        # val reads the FULL shard list on every host (master evaluates)
+        process_index=jax.process_index() if is_train else 0,
+        process_count=jax.process_count() if is_train else 1,
         num_workers=getattr(args, "workers", 8),
     )
     return DataInfo(loader)

@@ -357,3 +357,102 @@ def test_cli_eval_only(tmp_path):
     ])
     log = (tmp_path / "eval-only" / "out.log").read_text()
     assert "text_to_image_R@1" in log
+
+
+def _write_shards(tmp_path, n_shards=2, per_shard=6):
+    rng = np.random.default_rng(0)
+    for shard in range(n_shards):
+        with tarfile.open(tmp_path / f"shard-{shard}.tar", "w") as tf:
+            for i in range(per_shard):
+                key = f"{shard}_{i}"
+                img = Image.fromarray(rng.integers(0, 255, (20, 20, 3), dtype=np.uint8))
+                buf = io.BytesIO()
+                img.save(buf, format="JPEG")
+                data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = f"caption {key}".encode()
+                info = tarfile.TarInfo(f"{key}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+
+
+def test_webdataset_eval_exhausts_without_num_samples(tmp_path):
+    """Eval mode must exhaust the stream — `num_batches` is metadata only
+    (reference: 'Eval will just exhaust the iterator')."""
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SimpleTokenizer
+    from refining_clip_via_dinov2_representations_tpu.train.webdataset import WdsLoader
+    from refining_clip_via_dinov2_representations_tpu.transform import image_transform
+
+    _write_shards(tmp_path)
+    loader = WdsLoader(
+        str(tmp_path / "shard-{0..1}.tar"),
+        preprocess_img=image_transform(16, is_train=False),
+        tokenizer=SimpleTokenizer(context_length=12),
+        batch_size=5,
+        num_samples=0,  # not specified
+        is_train=False,
+    )
+    batches = list(loader)
+    total = sum(b["images"].shape[0] for b in batches)
+    assert total == 12  # all samples, including the partial final batch
+
+
+def test_webdataset_resampled_streams_differ_per_host(tmp_path):
+    """--dataset-resampled: each host draws an independent shard sequence
+    (identical streams would duplicate rows in the global batch)."""
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SimpleTokenizer
+    from refining_clip_via_dinov2_representations_tpu.train.webdataset import WdsLoader
+    from refining_clip_via_dinov2_representations_tpu.transform import image_transform
+
+    _write_shards(tmp_path, n_shards=8, per_shard=1)
+
+    def mk(pi):
+        return WdsLoader(
+            str(tmp_path / "shard-{0..7}.tar"),
+            preprocess_img=image_transform(16, is_train=False),
+            tokenizer=SimpleTokenizer(context_length=12),
+            batch_size=2, num_samples=8, is_train=True, resampled=True,
+            process_index=pi, process_count=2,
+        )
+    s0 = mk(0)._epoch_shards()
+    s1 = mk(1)._epoch_shards()
+    assert s0 != s1
+    # and eval never resamples, even when the flag leaks through: the
+    # shard list it reads has no with-replacement duplicates
+    ev = mk(0)
+    ev.is_train = False
+    ev_shards = ev._epoch_shards()
+    assert len(ev_shards) == len(set(ev_shards))
+
+
+def test_webdataset_dead_shards_fail_fast(tmp_path):
+    """A shard list that yields nothing must raise, not spin forever."""
+    import pytest
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SimpleTokenizer
+    from refining_clip_via_dinov2_representations_tpu.train.webdataset import WdsLoader
+    from refining_clip_via_dinov2_representations_tpu.transform import image_transform
+
+    loader = WdsLoader(
+        str(tmp_path / "missing-{0..1}.tar"),
+        preprocess_img=image_transform(16, is_train=False),
+        tokenizer=SimpleTokenizer(context_length=12),
+        batch_size=2, num_samples=4, is_train=True,
+    )
+    with pytest.raises(RuntimeError, match="yielded no samples"):
+        list(loader)
+
+
+def test_val_loader_kwargs_not_host_sharded(monkeypatch):
+    """Val loaders read the full dataset on every host (reference evaluates
+    the full val set on the master rank)."""
+    from types import SimpleNamespace
+
+    import refining_clip_via_dinov2_representations_tpu.train.data as data_mod
+
+    args = SimpleNamespace(batch_size=4, workers=1, seed=0)
+    kw_train = data_mod._loader_kwargs(args, is_train=True)
+    kw_val = data_mod._loader_kwargs(args, is_train=False)
+    assert kw_val["process_count"] == 1 and kw_val["process_index"] == 0
+    assert kw_train["process_count"] >= 1
