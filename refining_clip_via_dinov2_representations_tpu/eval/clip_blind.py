@@ -28,9 +28,11 @@ from ..train.data import _canon_path
 DEFAULT_THRESHOLDS: List[Tuple[float, float]] = [(0.90, 0.60), (0.85, 0.65), (0.80, 0.65)]
 
 
-def encode_clip_images_and_paths(model, variables, dataloader):
+def encode_clip_images_and_paths(model, variables, dataloader, max_images=None):
     """[M, D] L2-normalized CLIP image features + canonical paths
-    (`helpers.py:114-146`)."""
+    (`helpers.py:114-146`). Stops encoding once `max_images` samples are
+    collected — the train-split check caps at a few thousand images and must
+    not push the whole training set through the tower first."""
 
     @jax.jit
     def encode(images):
@@ -40,6 +42,7 @@ def encode_clip_images_and_paths(model, variables, dataloader):
         )
 
     embs, paths_all = [], []
+    total = 0
     for batch in dataloader:
         if "image_path" not in batch:
             raise RuntimeError(
@@ -47,6 +50,9 @@ def encode_clip_images_and_paths(model, variables, dataloader):
             )
         embs.append(np.asarray(encode(jnp.asarray(batch["images"])), np.float32))
         paths_all.extend(_canon_path(p) for p in batch["image_path"])
+        total += len(batch["image_path"])
+        if max_images and total >= max_images:
+            break
     clip_z = np.concatenate(embs, axis=0) if embs else np.empty((0, 0))
     return clip_z, paths_all
 
@@ -93,11 +99,16 @@ def align_dino_feats_to_paths(
     hit_path = hit_base = miss = 0
     for i, p in enumerate(paths):
         j = path2idx.get(p)
+        via_base = False
         if j is None:
             j = base2idx.get(os.path.basename(p))
-            if j is None:
-                miss += 1
-                continue
+            via_base = j is not None
+        if j is None or not (0 <= int(j) < len(dino_feats)):
+            # unknown path, or a stale/foreign index map pointing past the
+            # feature store: count as a miss instead of crashing
+            miss += 1
+            continue
+        if via_base:
             hit_base += 1
         else:
             hit_path += 1
@@ -174,7 +185,9 @@ def run_clip_blind_on_split(
         logging.info("[clip-blind] split %s not in data; skipping", split_key)
         return None
     clip_z, paths = encode_clip_images_and_paths(
-        model, variables, data[split_key].dataloader
+        model, variables, data[split_key].dataloader,
+        # encode a small margin past the cap so post-dedup we still have it
+        max_images=(2 * max_images) if max_images else None,
     )
     clip_z, paths, _ = dedup_by_path(clip_z, paths)
     if max_images and clip_z.shape[0] > max_images:
@@ -188,6 +201,9 @@ def run_clip_blind_on_split(
         logging.warning("[clip-blind] no DINO alignment on %s (miss=%d)", split_key, miss)
         return None
     clip_z = clip_z[keep_idx]
+    # pair indices below refer to the ALIGNED arrays — remap paths too, or
+    # the top-pairs CSV names the wrong images whenever miss > 0
+    paths = [paths[i] for i in keep_idx]
     logging.info(
         "[clip-blind] %s: %d images (path hits %d, basename hits %d, miss %d)",
         split_key, clip_z.shape[0], hit_path, hit_base, miss,

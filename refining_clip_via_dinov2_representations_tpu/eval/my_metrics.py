@@ -23,7 +23,13 @@ import numpy as np
 
 
 def _canon_key(k: str) -> str:
-    """(`my_metrics.py:24-37`)"""
+    """(`my_metrics.py:24-37`). NOTE (faithful quirk): the reference maps
+    text_to_image_R@* → txt_r* (`my_metrics.py:30`), i.e. the plotted
+    "Text R@1" curve is the text→image recall — the OPPOSITE of the
+    literature's "text retrieval" naming that `flickr_retrieval_eval_`
+    uses for its own txt_r*. Kept byte-identical so plots/CSVs match the
+    reference's artifacts; absent keys likewise fill 0.0 downstream like
+    the reference (`my_metrics.py:103-106`)."""
     if "/" in k:
         k = k.split("/", 1)[1]
     k = k.replace("text_to_image_R@", "txt_r")

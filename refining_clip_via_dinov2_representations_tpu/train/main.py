@@ -511,16 +511,31 @@ def main(args=None):
             variables_final = {k: variables[k] for k in ("params", "batch_stats")
                                if k in variables}
         blind_dir = os.path.join(log_base, "clip_blind")
-        index_obj = {"path_to_index": dino_index_map or {}}
-        run_clip_blind_on_split(
-            "val", data, model, variables_final,
-            np.asarray(dino_store.features), index_obj, blind_dir,
-            max_images=args.clip_blind_max_images,
-        )
+        # VAL split needs its own teacher features + index map
+        # (`main.py:1107-1128`: --dino_fts_path_val / --dino_index_map_path_val;
+        # skip with a warning when absent — the TRAIN map does not cover val
+        # paths and would silently align wrong rows via basename fallback)
+        if getattr(args, "dino_fts_path_val", None) and getattr(
+            args, "dino_index_map_path_val", None
+        ):
+            val_store = DinoFeatureStore(args.dino_fts_path_val)
+            val_map = load_dino_index_map(args.dino_index_map_path_val)
+            run_clip_blind_on_split(
+                "val", data, model, variables_final,
+                np.asarray(val_store.features),
+                {"path_to_index": val_map or {}}, blind_dir,
+                max_images=args.clip_blind_max_images,
+            )
+        else:
+            logging.warning(
+                "[CLIP-blind/val] missing --dino_fts_path_val / "
+                "--dino_index_map_path_val; skipping."
+            )
         try:  # train-split failure is non-fatal (`main.py:1148-1149`)
             run_clip_blind_on_split(
                 "train", data, model, variables_final,
-                np.asarray(dino_store.features), index_obj, blind_dir,
+                np.asarray(dino_store.features),
+                {"path_to_index": dino_index_map or {}}, blind_dir,
                 max_images=args.clip_blind_max_images,
             )
         except Exception as e:

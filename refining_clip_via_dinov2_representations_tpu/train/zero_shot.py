@@ -46,6 +46,9 @@ def run(model, variables, classifier, dataloader, args):
         top1 += acc1
         top5 += acc5
         n += images.shape[0]
+    if n == 0:  # empty/degenerate ImageNet folder: skip, don't kill the run
+        logging.warning("zero-shot loader yielded no samples; skipping")
+        return float("nan"), float("nan")
     return top1 / n, top5 / n
 
 
