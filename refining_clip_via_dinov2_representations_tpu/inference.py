@@ -60,16 +60,29 @@ def _quantize_leaf(w):
     return q, scale.astype(jnp.float32)
 
 
+# Lookup tables (token embedding, positional embedding): the gather reads one
+# row per token, so int8 storage buys no matmul-bandwidth win while spending
+# accuracy headroom — keep them full precision.
+_QUANT_SKIP_KEYS = ("embedding", "pos_embed", "positional_embedding",
+                    "pos_embedding", "rel_pos")
+
+
 def quantize_variables_int8(
     variables: Dict[str, Any], min_size: int = _QUANT_MIN_SIZE
 ) -> Dict[str, Any]:
-    """Quantize every >=2-D large param leaf to (int8, per-channel scale).
+    """Quantize every >=2-D large *matmul* param leaf to (int8, per-channel
+    scale). Embedding/positional tables are skipped (`_QUANT_SKIP_KEYS`).
 
     Returns a variables pytree where quantized leaves are replaced by dicts
     ``{"_q": int8, "_s": scale}`` (other leaves untouched). Use
     `dequantize_variables` inside jit to reconstruct compute-dtype weights.
     """
-    def q(leaf):
+    def q(path, leaf):
+        keys = tuple(
+            str(p.key) if hasattr(p, "key") else str(p) for p in path
+        )
+        if any(s in k for k in keys for s in _QUANT_SKIP_KEYS):
+            return leaf
         if (
             hasattr(leaf, "ndim") and leaf.ndim >= 2
             and leaf.size >= min_size
@@ -79,7 +92,7 @@ def quantize_variables_int8(
             return {"_q": qv, "_s": s}
         return leaf
 
-    return jax.tree.map(q, variables)
+    return jax.tree_util.tree_map_with_path(q, variables)
 
 
 def dequantize_variables(variables: Dict[str, Any], dtype=jnp.bfloat16):

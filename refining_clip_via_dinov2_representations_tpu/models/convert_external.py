@@ -294,7 +294,7 @@ def convert_mobileclip_s_image_state_dict(
                     arr.shape[1], np.float32
                 )
                 continue
-            k = k.replace("head.fc.", "head.fc.").replace("head.weight", "head.fc.weight").replace("head.bias", "head.fc.bias")
+            k = k.replace("head.weight", "head.fc.weight").replace("head.bias", "head.fc.bias")
         out["visual.trunk." + k] = v
     return out
 

@@ -166,24 +166,40 @@ def opt_state_shardings(opt_state: Any, mesh: Mesh, min_size: int = 2**16) -> An
     compute-sharded-then-all-gather (reduce-scatter/all-gather pair), the
     standard ZeRO-1 dataflow.
 
+    When a param is model-axis (TP) sharded, its moments MUST carry the same
+    model-axis placement — a data-only P(DATA) moment would force an
+    all-to-all reshard of the largest leaves on every optimizer update. The
+    moment path inside optax state ends with the param path (e.g.
+    ``0/mu/model/visual/.../mlp/c_fc/kernel``), so `_param_spec` applies
+    directly; ZeRO data-sharding is then layered onto whichever axis the
+    model axis does not occupy.
+
     Leaves that are scalars, too small (< min_size elements — the gather
     latency isn't worth it), or not divisible by the data-axis size stay
-    replicated (e.g. the [197, 768] positional-embedding moment).
+    data-replicated (e.g. the [197, 768] positional-embedding moment).
     """
     data = mesh.shape[DATA_AXIS]
+    model = mesh.shape[MODEL_AXIS]
 
-    def leaf_sharding(x):
-        if (
-            data > 1
-            and hasattr(x, "ndim")
-            and x.ndim >= 1
-            and x.size >= min_size
-            and x.shape[0] % data == 0
-        ):
+    def leaf_sharding(path, x):
+        if not hasattr(x, "ndim") or x.ndim < 1:
+            return replicated(mesh)
+        keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
+        tp = _param_spec(keys, x) if model > 1 else P()
+        big = x.size >= min_size
+        if tp == P(None, MODEL_AXIS):
+            if data > 1 and big and x.shape[0] % data == 0:
+                return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
+            return NamedSharding(mesh, tp)
+        if tp == P(MODEL_AXIS, None):
+            if data > 1 and big and x.shape[1] % data == 0:
+                return NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS))
+            return NamedSharding(mesh, tp)
+        if data > 1 and big and x.shape[0] % data == 0:
             return NamedSharding(mesh, P(DATA_AXIS))
         return replicated(mesh)
 
-    return jax.tree.map(leaf_sharding, opt_state)
+    return jax.tree_util.tree_map_with_path(leaf_sharding, opt_state)
 
 
 def state_shardings(state: Any, mesh: Mesh, shard_opt_state: bool = False) -> Any:

@@ -311,6 +311,19 @@ def main(args=None):
             residual_alpha=args.residual_alpha,
             with_diagnostics=args.dbg_print_every > 0,
         )
+        want_patch_dropout = bool(
+            args.force_patch_dropout
+            or getattr(model.vision_cfg, "patch_dropout", 0.0)
+        )
+        if want_patch_dropout and variables.get("batch_stats") is not None:
+            # the step ties `deterministic` to BN mode; a BN tower (ResNet /
+            # FastViT hybrid) therefore never runs PatchDropout — torch would
+            # still apply it under FrozenBatchNorm + train mode (step.py:240)
+            logging.warning(
+                "--force-patch-dropout has no effect on BatchNorm towers: "
+                "PatchDropout is disabled so BN statistics handling stays "
+                "correct (see train/step.py encode_fn)."
+            )
         step_cfg = StepCfg(
             loss_type=_resolve_loss_type(args),
             dino=dino_cfg,
@@ -324,10 +337,7 @@ def main(args=None):
             # active when forced via CLI OR baked into the model config
             # (the torch reference applies PatchDropout whenever the module
             # exists and the model is in train mode)
-            use_patch_dropout=bool(
-                args.force_patch_dropout
-                or getattr(model.vision_cfg, "patch_dropout", 0.0)
-            ),
+            use_patch_dropout=want_patch_dropout,
             freeze_bn_stats=bool(args.lock_image and args.lock_image_freeze_bn_stats),
             log_grad_norm=bool(args.grad_clip_norm) or args.debug,
             siglip_dist_impl=args.loss_dist_impl or "bidir",

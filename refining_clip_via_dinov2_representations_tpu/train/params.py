@@ -331,6 +331,19 @@ def parse_args(args=None):
             logging.warning("flag --%s is torch-specific; ignored on TPU",
                             torch_only.replace("_", "-"))
 
+    # bug-compat: the reference parses these teacher-truncation knobs but no
+    # loss ever reads them (`src/open_clip_train/params.py` topk/topp_teacher
+    # have zero consumers in `loss.py`); accepted so reference launch scripts
+    # keep working, explicitly inert here too
+    for parity_only in ("topk_teacher", "topp_teacher"):
+        if getattr(ns, parity_only):
+            import logging
+
+            logging.warning(
+                "flag --%s is parsed for reference-parity but unused (the "
+                "reference never consumes it either); no effect", parity_only,
+            )
+
     # reference-vs-native spelling aliases for the retrieval val CSVs
     if ns.flickr30k_val and not ns.flickr_val_data:
         ns.flickr_val_data = ns.flickr30k_val

@@ -137,15 +137,26 @@ def test_int8_weight_only_quantization():
     # carry fp32 weight copies
     leaves = jax.tree_util.tree_leaves(q8.variables)
     assert any(getattr(x, "dtype", None) == jnp.int8 for x in leaves)
-    # and no fp32 weight matrix survives alongside (min_size=0: every >=2-D
+    # and no fp32 matmul weight survives alongside (min_size=0: every >=2-D
     # float leaf must have been replaced; the only remaining floats are the
-    # per-channel scales and 0/1-D params)
-    assert not any(
-        getattr(x, "ndim", 0) >= 2
+    # per-channel scales, 0/1-D params, and lookup tables — embedding /
+    # positional-embedding leaves are deliberately NOT quantized since a
+    # row-gather gets no bandwidth win from int8)
+    from refining_clip_via_dinov2_representations_tpu.inference import _QUANT_SKIP_KEYS
+
+    def _skipped(path):
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        return any(s in k for k in keys for s in _QUANT_SKIP_KEYS)
+
+    float_mats = [
+        path
+        for path, x in jax.tree_util.tree_leaves_with_path(q8.variables)
+        if getattr(x, "ndim", 0) >= 2
         and jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
         and x.shape[0] > 1
-        for x in leaves
-    )
+    ]
+    assert float_mats, "embedding tables should have stayed float"
+    assert all(_skipped(p) for p in float_mats), float_mats
 
     imgs = rng.normal(size=(3, 16, 16, 3)).astype(np.float32)
     texts = rng.integers(1, 63, size=(3, 12)).astype(np.int32)

@@ -37,3 +37,50 @@ def test_replicated_fallbacks():
     assert _spec("visual/conv1/kernel", shape=(16, 16, 3, 8)) == P()
     assert _spec("visual/positional_embedding") == P()
     assert _spec("logit_scale", shape=()) == P()
+
+
+def test_opt_state_moments_follow_tp_sharding():
+    """AdamW moments of a model-axis-sharded param must carry the same
+    model-axis placement (no per-step reshard), with ZeRO data-sharding
+    layered on the free axis (ADVICE r2: parallel/mesh.py:181)."""
+    import jax
+    import optax
+
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        create_mesh,
+        opt_state_shardings,
+    )
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    mesh = create_mesh(data=4, model=2)
+    params = {
+        "model": {
+            "visual": {
+                "resblocks_0": {
+                    "mlp": {
+                        "c_fc": {"kernel": np.zeros((256, 1024), np.float32)},
+                        "c_proj": {"kernel": np.zeros((1024, 256), np.float32)},
+                    }
+                },
+                "positional_embedding": np.zeros((197, 256), np.float32),
+            }
+        }
+    }
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+    sh = opt_state_shardings(opt_state, mesh, min_size=2**10)
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s
+        for path, s in jax.tree_util.tree_leaves_with_path(sh)
+    }
+    for name, s in flat.items():
+        if "c_fc" in name and ("mu" in name or "nu" in name):
+            assert s.spec == P("data", "model"), (name, s.spec)
+        if "c_proj" in name and ("mu" in name or "nu" in name):
+            assert s.spec == P("model", "data"), (name, s.spec)
+        if "positional_embedding" in name and ("mu" in name or "nu" in name):
+            # 197 not divisible by 4 -> replicated over data, no TP match
+            assert s.spec in (P(), P(None)), (name, s.spec)
