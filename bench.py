@@ -70,6 +70,12 @@ def main():
 
     import jax
 
+    # BENCH_FORCE_CPU=1: host-CPU smoke mode (the deployment's sitecustomize
+    # registers the TPU plugin at interpreter start, so the JAX_PLATFORMS env
+    # var alone is too late — pin through the live config)
+    if os.environ.get("BENCH_FORCE_CPU", "") not in ("", "0"):
+        jax.config.update("jax_platforms", "cpu")
+
     # persistent compilation cache: the first bench run on a fresh chip pays
     # the (slow, tunneled) compile; later runs in any process reuse it.
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
@@ -111,11 +117,21 @@ def main():
     # metric stays ViT-B-16@96
     model_name = os.environ.get("BENCH_MODEL", "ViT-B-16")
     batch = int(os.environ.get("BENCH_BATCH", 96))
+    # BENCH_TEACHER=1: run the frozen DINOv2 ViT-S/14 teacher INSIDE the step
+    # (live-teacher mode, BASELINE configs 2-3) instead of feeding precomputed
+    # features; set BENCH_TEACHER to a DINOV2_CONFIGS name for other sizes.
+    teacher_env = os.environ.get("BENCH_TEACHER", "")
+    # BENCH_REMAT=1: per-block activation checkpointing (BASELINE config 5 —
+    # ViT-g-scale student with --grad-checkpointing)
+    use_remat = os.environ.get("BENCH_REMAT", "") not in ("", "0")
     dino_dim = 384  # DINOv2 ViT-S/14 feature dim
-    _log(f"backend={backend} chips={n_chips} model={model_name} batch={batch}")
+    _log(
+        f"backend={backend} chips={n_chips} model={model_name} batch={batch} "
+        f"teacher={teacher_env or 'precomputed'} remat={use_remat}"
+    )
 
     cfg = parse_model_cfg(get_model_config(model_name))
-    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl="auto")
+    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl="auto", remat=use_remat)
     rng = jax.random.PRNGKey(0)
     from refining_clip_via_dinov2_representations_tpu.utils import to_2tuple
 
@@ -127,6 +143,48 @@ def main():
     variables = jax.jit(model.init)(rng, images, texts)
     jax.block_until_ready(variables)
     _log("init done")
+
+    dino_teacher = None
+    teacher_flops = 0.0
+    if teacher_env not in ("", "0"):
+        from refining_clip_via_dinov2_representations_tpu.models.dinov2 import (
+            DINOV2_CONFIGS,
+            Dinov2,
+            Dinov2Cfg,
+        )
+        from refining_clip_via_dinov2_representations_tpu.train.dino_teacher import (
+            LiveDinoTeacher,
+        )
+
+        tname = teacher_env if teacher_env in DINOV2_CONFIGS else "facebook/dinov2-small"
+        t_hidden, t_layers, t_heads, t_swiglu = DINOV2_CONFIGS[tname]
+        tcfg = Dinov2Cfg(
+            hidden_size=t_hidden, layers=t_layers, heads=t_heads,
+            use_swiglu_ffn=t_swiglu,
+        )
+        tmodel = Dinov2(cfg=tcfg, dtype=jnp.bfloat16)
+        # random weights: identical compute/perf to real ones (zero-egress
+        # bench host cannot fetch the HF checkpoint; training uses real ones)
+        tvars = jax.jit(tmodel.init)(
+            jax.random.PRNGKey(2), jnp.zeros((1, img_h, img_w, 3), jnp.bfloat16)
+        )
+        dino_teacher = LiveDinoTeacher(tmodel, tvars)
+        dino_dim = t_hidden
+        # frozen forward only (no bwd): 1x tower FLOPs at the teacher's
+        # patch-14 sequence length
+        t_h = (img_h // tcfg.patch_size) * tcfg.patch_size
+        t_tokens = (t_h // tcfg.patch_size) ** 2 + 1
+        per_layer = (
+            2 * t_tokens * t_hidden * 3 * t_hidden
+            + 2 * t_tokens * t_tokens * t_hidden * 2
+            + 2 * t_tokens * t_hidden * t_hidden
+            + 2 * 2 * t_tokens * t_hidden * 4.0 * t_hidden
+        )
+        teacher_flops = batch * (
+            per_layer * t_layers
+            + 2 * t_tokens * t_hidden * (tcfg.patch_size ** 2 * 3)
+        )
+        _log(f"live teacher {tname}: {t_tokens} tokens, dim {t_hidden}")
 
     head = DinoProjectionHead(dino_dim=dino_dim, projection_type="mlp")
     head_params = head.init(jax.random.PRNGKey(1), jnp.zeros((1, cfg.embed_dim)))[
@@ -141,14 +199,19 @@ def main():
         loss_type="dino",
         dino=DinoLossCfg(lambda_soft=0.5, soft_mode="kl_teacher", lambda_weighted=0.2),
     )
-    train_step = make_train_step(model, tx, step_cfg, head=head)
+    train_step = make_train_step(
+        model, tx, step_cfg, head=head, dino_teacher=dino_teacher
+    )
 
     npr = np.random.default_rng(0)
     batch_data = {
         "images": jnp.asarray(npr.normal(size=(batch, img_h, img_w, 3)), jnp.bfloat16),
         "texts": jnp.asarray(npr.integers(1, min(49407, cfg.text_cfg.vocab_size - 1), size=(batch, ctx)), jnp.int32),
-        "dino_features": jnp.asarray(npr.normal(size=(batch, dino_dim)), jnp.float32),
     }
+    if dino_teacher is None:
+        batch_data["dino_features"] = jnp.asarray(
+            npr.normal(size=(batch, dino_dim)), jnp.float32
+        )
 
     # warmup / compile. NOTE: timing must end on a VALUE FETCH — on the
     # tunneled axon backend `block_until_ready` returns before execution
@@ -170,7 +233,7 @@ def main():
     step_time = dt / n_steps
     ips = batch / step_time / n_chips
 
-    flops = _analytic_step_flops(batch, cfg)
+    flops = _analytic_step_flops(batch, cfg) + teacher_flops
     peak = {"tpu": 197e12, "cpu": 1e12}.get(backend, 100e12)  # v5e bf16 peak
     mfu = flops / step_time / (peak * n_chips)
 
@@ -181,7 +244,9 @@ def main():
                     "vitb16_dino_soft_train_images_per_sec_per_chip"
                     if model_name == "ViT-B-16"
                     else f"{model_name}_dino_soft_train_images_per_sec_per_chip"
-                ),
+                )
+                + ("_live_teacher" if dino_teacher is not None else "")
+                + ("_remat" if use_remat else ""),
                 "value": round(ips, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(mfu / 0.50, 4),

@@ -57,6 +57,42 @@ def encode_clip_images_and_paths(model, variables, dataloader, max_images=None):
     return clip_z, paths_all
 
 
+def encode_clip_and_dino_images(model, variables, dino_teacher, dataloader,
+                                max_images=None):
+    """Live-teacher variant: one pass over the loader produces BOTH the CLIP
+    and the (L2-normalized) DINOv2 embeddings of the same pixels — no path
+    alignment needed. Used when training ran with a live teacher
+    (no --dino_fts_path), where no precomputed feature store exists."""
+
+    @jax.jit
+    def encode(images):
+        feats = model.apply(variables, images, method="encode_image")
+        feats = feats / jnp.maximum(
+            jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
+        )
+        dino = dino_teacher.extract(images).astype(jnp.float32)
+        dino = dino / jnp.maximum(jnp.linalg.norm(dino, axis=-1, keepdims=True), 1e-12)
+        return feats, dino
+
+    clip_all, dino_all, paths_all = [], [], []
+    total = 0
+    for batch in dataloader:
+        if "image_path" not in batch:
+            raise RuntimeError(
+                "Eval batch missing file paths; CsvDataset should return them."
+            )
+        c, d = encode(jnp.asarray(batch["images"]))
+        clip_all.append(np.asarray(c, np.float32))
+        dino_all.append(np.asarray(d, np.float32))
+        paths_all.extend(_canon_path(p) for p in batch["image_path"])
+        total += len(batch["image_path"])
+        if max_images and total >= max_images:
+            break
+    if not clip_all:
+        return np.empty((0, 0)), np.empty((0, 0)), paths_all
+    return np.concatenate(clip_all), np.concatenate(dino_all), paths_all
+
+
 def build_dino_path_maps(dino_index_map_obj: Dict):
     """path→idx + basename→idx maps (`helpers.py:148-173`)."""
     if not isinstance(dino_index_map_obj, dict):
@@ -174,40 +210,61 @@ def run_clip_blind_on_split(
     data: Dict,
     model,
     variables,
-    dino_feats: np.ndarray,
-    dino_index_map_obj: Dict,
+    dino_feats: Optional[np.ndarray],
+    dino_index_map_obj: Optional[Dict],
     out_dir: str,
     thresholds: Sequence[Tuple[float, float]] = DEFAULT_THRESHOLDS,
     max_images: Optional[int] = 2000,
+    dino_teacher=None,
 ) -> Optional[Dict]:
-    """Full split runner + JSON/CSV artifacts (`helpers.py:287-389`)."""
+    """Full split runner + JSON/CSV artifacts (`helpers.py:287-389`).
+
+    Teacher features come from either the precomputed store
+    (`dino_feats` + `dino_index_map_obj`, path-aligned like the reference)
+    or a live `dino_teacher` (frozen flax DINOv2 encoding the same batch —
+    used when training ran without --dino_fts_path)."""
     if split_key not in data:
         logging.info("[clip-blind] split %s not in data; skipping", split_key)
         return None
-    clip_z, paths = encode_clip_images_and_paths(
-        model, variables, data[split_key].dataloader,
-        # encode a small margin past the cap so post-dedup we still have it
-        max_images=(2 * max_images) if max_images else None,
-    )
-    clip_z, paths, _ = dedup_by_path(clip_z, paths)
-    if max_images and clip_z.shape[0] > max_images:
-        clip_z, paths = clip_z[:max_images], paths[:max_images]
+    if dino_teacher is not None:
+        clip_z, dino_z, paths = encode_clip_and_dino_images(
+            model, variables, dino_teacher, data[split_key].dataloader,
+            max_images=(2 * max_images) if max_images else None,
+        )
+        clip_z, paths, keep = dedup_by_path(clip_z, paths)
+        dino_z = dino_z[keep]
+        if max_images and clip_z.shape[0] > max_images:
+            clip_z, dino_z, paths = (
+                clip_z[:max_images], dino_z[:max_images], paths[:max_images]
+            )
+        logging.info(
+            "[clip-blind] %s: %d images (live teacher)", split_key, clip_z.shape[0]
+        )
+    else:
+        clip_z, paths = encode_clip_images_and_paths(
+            model, variables, data[split_key].dataloader,
+            # encode a small margin past the cap so post-dedup we still have it
+            max_images=(2 * max_images) if max_images else None,
+        )
+        clip_z, paths, _ = dedup_by_path(clip_z, paths)
+        if max_images and clip_z.shape[0] > max_images:
+            clip_z, paths = clip_z[:max_images], paths[:max_images]
 
-    path2idx, base2idx = build_dino_path_maps(dino_index_map_obj)
-    dino_z, keep_idx, hit_path, hit_base, miss = align_dino_feats_to_paths(
-        dino_feats, path2idx, base2idx, paths
-    )
-    if dino_z is None:
-        logging.warning("[clip-blind] no DINO alignment on %s (miss=%d)", split_key, miss)
-        return None
-    clip_z = clip_z[keep_idx]
-    # pair indices below refer to the ALIGNED arrays — remap paths too, or
-    # the top-pairs CSV names the wrong images whenever miss > 0
-    paths = [paths[i] for i in keep_idx]
-    logging.info(
-        "[clip-blind] %s: %d images (path hits %d, basename hits %d, miss %d)",
-        split_key, clip_z.shape[0], hit_path, hit_base, miss,
-    )
+        path2idx, base2idx = build_dino_path_maps(dino_index_map_obj)
+        dino_z, keep_idx, hit_path, hit_base, miss = align_dino_feats_to_paths(
+            dino_feats, path2idx, base2idx, paths
+        )
+        if dino_z is None:
+            logging.warning("[clip-blind] no DINO alignment on %s (miss=%d)", split_key, miss)
+            return None
+        clip_z = clip_z[keep_idx]
+        # pair indices below refer to the ALIGNED arrays — remap paths too, or
+        # the top-pairs CSV names the wrong images whenever miss > 0
+        paths = [paths[i] for i in keep_idx]
+        logging.info(
+            "[clip-blind] %s: %d images (path hits %d, basename hits %d, miss %d)",
+            split_key, clip_z.shape[0], hit_path, hit_base, miss,
+        )
 
     stats = pair_stats(clip_z, dino_z, thresholds)
     os.makedirs(out_dir, exist_ok=True)

@@ -30,7 +30,30 @@ def _natural_key(s: str):
 
 
 def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
-    """Newest checkpoint path by natural sort (`helpers.py:74-94`)."""
+    """Newest checkpoint path by natural sort (`helpers.py:74-94`).
+
+    Accepts a local directory or any fsspec URL (``s3://…``, ``file://…``) —
+    the reference's remote discovery shells out to ``aws s3 ls``
+    (`helpers.py:76-89`); here one fsspec listing covers every protocol."""
+    if "://" in checkpoint_dir:
+        import fsspec
+
+        fs, root = fsspec.core.url_to_fs(checkpoint_dir)
+        try:
+            entries = fs.ls(root, detail=False)
+        except FileNotFoundError:
+            return None
+        names = [
+            e.rstrip("/").rsplit("/", 1)[-1]
+            for e in entries
+        ]
+        cands = sorted(
+            (n for n in names if re.match(r"^epoch_\d+$", n)), key=_natural_key
+        )
+        if not cands:
+            return None
+        proto = checkpoint_dir.split("://", 1)[0]
+        return f"{proto}://{root.rstrip('/')}/{cands[-1]}"
     d = Path(checkpoint_dir)
     if not d.is_dir():
         return None
@@ -38,6 +61,21 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     if not cands:
         return None
     return str(sorted(cands, key=lambda p: _natural_key(p.name))[-1])
+
+
+def fetch_remote_checkpoint(remote_path: str, local_dir: str) -> str:
+    """Download a remote orbax checkpoint directory to `local_dir` and return
+    the local path (orbax restores from local filesystems). The reference
+    loads remote .pt files through one fsspec.open (`file_utils.py:69-75`);
+    orbax checkpoints are directories, so this recursively mirrors the tree."""
+    import fsspec
+
+    fs, root = fsspec.core.url_to_fs(remote_path)
+    name = root.rstrip("/").rsplit("/", 1)[-1]
+    dest = os.path.join(local_dir, name)
+    os.makedirs(dest, exist_ok=True)
+    fs.get(root.rstrip("/") + "/", dest + "/", recursive=True)
+    return dest
 
 
 def save_checkpoint(

@@ -28,10 +28,17 @@ from ..models.dinov2 import (
 )
 
 
-def renormalize_clip_to_imagenet(images: jnp.ndarray) -> jnp.ndarray:
-    """CLIP-normalized NHWC pixels → ImageNet-normalized (teacher input)."""
-    clip_mean = jnp.asarray(OPENAI_DATASET_MEAN, images.dtype)
-    clip_std = jnp.asarray(OPENAI_DATASET_STD, images.dtype)
+def renormalize_clip_to_imagenet(
+    images: jnp.ndarray,
+    input_mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
+    input_std: Tuple[float, ...] = OPENAI_DATASET_STD,
+) -> jnp.ndarray:
+    """Student-normalized NHWC pixels → ImageNet-normalized (teacher input).
+
+    `input_mean`/`input_std` are the student pipeline's normalization
+    constants (OpenAI CLIP stats by default; 0.5/0.5 for SigLIP towers)."""
+    clip_mean = jnp.asarray(input_mean, images.dtype)
+    clip_std = jnp.asarray(input_std, images.dtype)
     in_mean = jnp.asarray(IMAGENET_DEFAULT_MEAN, images.dtype)
     in_std = jnp.asarray(IMAGENET_DEFAULT_STD, images.dtype)
     raw = images * clip_std + clip_mean
@@ -52,22 +59,38 @@ def resize_for_teacher(images: jnp.ndarray, patch_size: int = 14) -> jnp.ndarray
 class LiveDinoTeacher:
     """Frozen DINOv2 running on-device inside the training step."""
 
-    def __init__(self, model: Dinov2, variables, from_clip_normalized: bool = True):
+    def __init__(
+        self,
+        model: Dinov2,
+        variables,
+        from_clip_normalized: bool = True,
+        input_mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
+        input_std: Tuple[float, ...] = OPENAI_DATASET_STD,
+    ):
         self.model = model
         self.variables = jax.tree.map(jax.lax.stop_gradient, variables)
         self.from_clip_normalized = from_clip_normalized
+        self.input_mean = tuple(input_mean)
+        self.input_std = tuple(input_std)
 
     @classmethod
-    def from_pretrained(cls, model_name: str = "facebook/dinov2-small", dtype=jnp.float32):
-        model, variables = load_dinov2_model(model_name, dtype=dtype)
-        return cls(model, variables)
+    def from_pretrained(
+        cls,
+        model_name: str = "facebook/dinov2-small",
+        dtype=jnp.float32,
+        cache_dir: Optional[str] = None,
+        input_mean: Tuple[float, ...] = OPENAI_DATASET_MEAN,
+        input_std: Tuple[float, ...] = OPENAI_DATASET_STD,
+    ):
+        model, variables = load_dinov2_model(model_name, dtype=dtype, cache_dir=cache_dir)
+        return cls(model, variables, input_mean=input_mean, input_std=input_std)
 
     def extract(self, images: jnp.ndarray) -> jnp.ndarray:
         """CLS features for a batch (`extract_dino_features`,
         `dino_features_etc.py:17-33`). Input NHWC, CLIP- or [0,1]-normalized."""
         x = images
         if self.from_clip_normalized:
-            x = renormalize_clip_to_imagenet(x)
+            x = renormalize_clip_to_imagenet(x, self.input_mean, self.input_std)
         x = resize_for_teacher(x, self.model.cfg.patch_size)
         feats = self.model.apply(self.variables, x)
         return jax.lax.stop_gradient(feats)

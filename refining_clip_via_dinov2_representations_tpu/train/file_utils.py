@@ -79,11 +79,15 @@ def keep_running_remote_sync(sync_every: int, local_dir: str, remote_dir: str, p
 
 
 def start_sync_process(sync_every: int, local_dir: str, remote_dir: str, protocol: str):
-    """Background sync daemon (`file_utils.py:54-61`); caller starts it."""
-    return multiprocessing.Process(
+    """Background sync daemon (`file_utils.py:54-61`); caller starts it.
+    daemon=True (unlike the reference) so an early-returning run can never
+    hang on join — the final sync still flushes everything."""
+    p = multiprocessing.Process(
         target=keep_running_remote_sync,
         args=(sync_every, local_dir, remote_dir, protocol),
     )
+    p.daemon = True
+    return p
 
 
 def pt_load(file_path: str, map_location=None):

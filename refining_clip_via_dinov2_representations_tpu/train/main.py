@@ -118,6 +118,14 @@ def main(args=None):
         os.path.join(log_base, "out.log"),
         logging.DEBUG if args.debug else logging.INFO,
     )
+    # INVARIANT: every host seeds IDENTICALLY (no `+ rank` offset, unlike the
+    # reference's `random_seed(seed, rank)`) — the map-style loader shards a
+    # SHARED permutation per epoch (data.py Loader._indices), which requires
+    # identical np RNG streams across hosts. Per-host decorrelation where it
+    # matters comes from explicit process_index folds instead: webdataset
+    # resampled streams seed per-host (webdataset.py), and device-side crop
+    # rngs fold the jax step rng. Do not "fix" this back to seed+rank: it
+    # would silently break multi-host CSV sharding.
     random_seed(args.seed)
 
     mesh = create_mesh(model=args.mesh_model_axis)
@@ -204,13 +212,59 @@ def main(args=None):
         dist_variables = jax.tree.map(jnp.asarray, dist_variables)
 
     # ---- DINO teacher features (`main.py:692-741`) ----
+    # Two modes (SURVEY §7 hard part 4):
+    #   * precomputed (--dino_fts_path): the reference's production path —
+    #     features come from the mmap store, joined per-batch by index.
+    #   * live (--dino_model_name, no --dino_fts_path): the frozen flax
+    #     DINOv2 runs INSIDE the pjit'd step on the same batch — the fused
+    #     teacher forward of BASELINE configs 2-3/5, mirroring the
+    #     extraction the reference runs offline
+    #     (`dino_features_etc.py:10-33` consumed like `main.py:692-707`).
+    # Synthetic data with an explicit --synthetic-dino-dim keeps fabricating
+    # random features (hermetic tests) instead of loading a teacher.
     dino_store = None
     dino_index_map = None
+    dino_teacher = None
     if args.use_dino_general:
         if args.dino_fts_path:
             logging.info("[INFO] Loading precomputed DINO features from %s", args.dino_fts_path)
             dino_store = DinoFeatureStore(args.dino_fts_path)
             logging.info("[DINO] feats mmap: shape=%s", dino_store.shape)
+        elif args.dataset_type == "synthetic" and args.synthetic_dino_dim:
+            logging.info(
+                "[DINO] synthetic teacher features (dim %d)", args.synthetic_dino_dim
+            )
+        elif args.dino_model_name:
+            from ..models.factory import _precision_to_dtype
+            from .dino_teacher import LiveDinoTeacher
+
+            compute_dtype, _ = _precision_to_dtype(args.precision)
+            dino_teacher = LiveDinoTeacher.from_pretrained(
+                args.dino_model_name, dtype=compute_dtype,
+                cache_dir=args.cache_dir,
+                # the teacher inverts the STUDENT's normalization (whatever
+                # the transform pipeline applied) before applying its own
+                # ImageNet stats — preprocess_val keeps the pipeline's
+                # mean/std even when --device-preprocess rewires train
+                input_mean=tuple(
+                    getattr(preprocess_val, "mean", None) or OPENAI_DATASET_MEAN
+                ),
+                input_std=tuple(
+                    getattr(preprocess_val, "std", None) or OPENAI_DATASET_STD
+                ),
+            )
+            # frozen teacher params ride the mesh replicated: the per-batch
+            # forward is data-sharded like the student's, XLA fuses it into
+            # the step (no host round-trip, no collectives beyond the loss')
+            from ..parallel.mesh import replicated
+
+            dino_teacher.variables = jax.device_put(
+                dino_teacher.variables, replicated(mesh)
+            )
+            logging.info(
+                "[DINO] live teacher %s (dim %d) runs inside the train step",
+                args.dino_model_name, dino_teacher.model.cfg.hidden_size,
+            )
         if args.dino_index_map_path:
             dino_index_map = load_dino_index_map(args.dino_index_map_path)
 
@@ -260,9 +314,12 @@ def main(args=None):
 
         head = head_params = None
         if args.use_dino_general and args.use_projection:
-            dino_dim = (
-                dino_store.shape[1] if dino_store is not None else args.synthetic_dino_dim
-            )
+            if dino_store is not None:
+                dino_dim = dino_store.shape[1]
+            elif dino_teacher is not None:
+                dino_dim = dino_teacher.model.cfg.hidden_size
+            else:
+                dino_dim = args.synthetic_dino_dim or 384
             head = DinoProjectionHead(
                 dino_dim=dino_dim,
                 projection_type=args.projection_type,
@@ -354,15 +411,39 @@ def main(args=None):
         train_step = make_train_step(
             model, tx, step_cfg,
             head=head, dist_model=dist_model, dist_variables=dist_variables,
-            mesh=mesh,
+            mesh=mesh, dino_teacher=dino_teacher,
         )
 
-    # ---- resume (`main.py:666-686`) ----
+    # ---- resume (`main.py:666-686`; remote discovery `main.py:212-249`) ----
     start_epoch = 0
     if args.resume is not None and state is not None:
-        resume_path = (
-            latest_checkpoint(checkpoint_dir) if args.resume == "latest" else args.resume
-        )
+        if args.resume == "latest":
+            # with --remote-sync the source of truth is the remote dir
+            # (reference main.py:214-227; s3-only there — fsspec URLs work
+            # here too, one listing covers every protocol)
+            if args.remote_sync is not None:
+                if args.save_most_recent:
+                    raise ValueError(
+                        "Cannot use save-most-recent with remote_sync and "
+                        "resume latest."  # reference main.py:218-221
+                    )
+                remote_ckpt_dir = os.path.join(
+                    args.remote_sync, args.name, "checkpoints"
+                )
+                if "://" not in remote_ckpt_dir:
+                    remote_ckpt_dir = "file://" + remote_ckpt_dir
+                resume_path = latest_checkpoint(remote_ckpt_dir)
+                if resume_path:
+                    from .checkpoint import fetch_remote_checkpoint
+
+                    logging.info("=> fetching remote checkpoint %s", resume_path)
+                    resume_path = fetch_remote_checkpoint(
+                        resume_path, checkpoint_dir
+                    )
+            else:
+                resume_path = latest_checkpoint(checkpoint_dir)
+        else:
+            resume_path = args.resume
         if resume_path:
             state, start_epoch = restore_checkpoint(resume_path, state)
             # restored arrays live on one device; re-replicate over the mesh
@@ -378,6 +459,27 @@ def main(args=None):
             logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)
         else:
             logging.info("=> no checkpoint found at %s", args.resume)
+
+    # ---- remote-sync daemon (`main.py:256-275`) ----
+    # verification sync first (fail fast on bad credentials/paths), then a
+    # background process mirrors the run dir every --remote-sync-frequency s
+    remote_sync_process = None
+    if args.remote_sync is not None and jax.process_index() == 0:
+        from .file_utils import remote_sync, start_sync_process
+
+        if not remote_sync(
+            log_base, os.path.join(args.remote_sync, args.name),
+            args.remote_sync_protocol,
+        ):
+            raise RuntimeError("Error: remote sync failed. Exiting.")
+        logging.info("remote sync successful.")
+        remote_sync_process = start_sync_process(
+            args.remote_sync_frequency,
+            log_base,
+            os.path.join(args.remote_sync, args.name),
+            args.remote_sync_protocol,
+        )
+        remote_sync_process.start()
 
     params_file = os.path.join(log_base, "params.txt")
     with open(params_file, "w") as f:
@@ -400,6 +502,7 @@ def main(args=None):
         for i, key in enumerate(eval_rounds):
             evaluate(model, variables_eval, data, start_epoch, args, tokenizer,
                      val_key=key, include_zero_shot=(i == 0))
+        _final_remote_sync(remote_sync_process, args, log_base)
         return
 
     # ---- pre-train evaluation over every val key (`main.py:833-859`) ----
@@ -510,7 +613,9 @@ def main(args=None):
             logging.warning("interop export skipped: %s", e)
 
     # ---- CLIP-blind post-training check (`main.py:1100-1149`) ----
-    if args.run_clip_blind and args.use_dino_general and dino_store is not None:
+    if args.run_clip_blind and args.use_dino_general and (
+        dino_store is not None or dino_teacher is not None
+    ):
         from ..eval.clip_blind import run_clip_blind_on_split
 
         if state is not None:
@@ -521,6 +626,40 @@ def main(args=None):
             variables_final = {k: variables[k] for k in ("params", "batch_stats")
                                if k in variables}
         blind_dir = os.path.join(log_base, "clip_blind")
+        if dino_teacher is not None:
+            # live-teacher mode: both splits get teacher features computed on
+            # the fly from the SAME images the CLIP encoder sees — no
+            # precomputed store, no path alignment, val needs no extra flags
+            run_clip_blind_on_split(
+                "val", data, model, variables_final, None, None, blind_dir,
+                max_images=args.clip_blind_max_images,
+                dino_teacher=dino_teacher,
+            )
+            try:  # train-split failure is non-fatal (`main.py:1148-1149`)
+                # the train loader yields no image paths (train mode); build
+                # an eval-style loader over the train CSV for the check
+                if args.dataset_type == "csv" and args.train_data:
+                    from .data import CsvDataset, DataInfo, Loader
+
+                    blind_ds = CsvDataset(
+                        args.train_data, preprocess_val, args.csv_img_key,
+                        args.csv_caption_key, sep=args.csv_separator,
+                        tokenizer=tokenizer, return_image_id=True,
+                    )
+                    blind_loader = Loader(
+                        blind_ds, batch_size=args.batch_size, shuffle=False,
+                        num_workers=args.workers,
+                    )
+                    run_clip_blind_on_split(
+                        "train", {"train": DataInfo(dataloader=blind_loader)},
+                        model, variables_final, None, None, blind_dir,
+                        max_images=args.clip_blind_max_images,
+                        dino_teacher=dino_teacher,
+                    )
+            except Exception as e:
+                logging.warning("[clip-blind] train-split check failed: %r", e)
+            _final_remote_sync(remote_sync_process, args, log_base)
+            return best
         # VAL split needs its own teacher features + index map
         # (`main.py:1107-1128`: --dino_fts_path_val / --dino_index_map_path_val;
         # skip with a warning when absent — the TRAIN map does not cover val
@@ -550,7 +689,30 @@ def main(args=None):
             )
         except Exception as e:
             logging.warning("[clip-blind] train-split check failed: %r", e)
+
+    # ---- final remote sync (`main.py:1152-1163`) ----
+    _final_remote_sync(remote_sync_process, args, log_base)
     return best
+
+
+def _final_remote_sync(remote_sync_process, args, log_base):
+    """Terminate the sync daemon and flush the run dir one last time
+    (`main.py:1152-1163`)."""
+    if remote_sync_process is None:
+        return
+    import os
+
+    from .file_utils import remote_sync
+
+    logging.info("Final remote sync.")
+    remote_sync_process.terminate()
+    if remote_sync(
+        log_base, os.path.join(args.remote_sync, args.name),
+        args.remote_sync_protocol,
+    ):
+        logging.info("Final remote sync successful.")
+    else:
+        logging.info("Final remote sync failed.")
 
 
 def _copy_codebase(log_base):

@@ -173,9 +173,15 @@ def parse_args(args=None):
     parser.add_argument("--enable_warmup_dino_hyperparams", default=False, action="store_true")
     parser.add_argument("--dino_fts_path", type=str, default=None)
     parser.add_argument("--dino_index_map_path", type=str, default=None)
-    parser.add_argument("--dino_model_name", type=str, default="facebook/dinov2-small")
+    parser.add_argument("--dino_model_name", type=str, default="facebook/dinov2-small",
+                        help="live DINOv2 teacher (HF name or local dir) used when "
+                             "--use_dino_general is set without --dino_fts_path: the "
+                             "frozen teacher runs inside the train step on the same "
+                             "batch (BASELINE configs 2-3, 5)")
     parser.add_argument("--synthetic-dino-dim", dest="synthetic_dino_dim",
-                        type=int, default=384, help="[tpu] teacher dim for synthetic data")
+                        type=int, default=None,
+                        help="[tpu] synthetic data fabricates random teacher features "
+                             "of this dim instead of running a live teacher (tests)")
     parser.add_argument("--dbg_print_every", type=int, default=0)
     parser.add_argument("--dino_fts_path_val", type=str, default=None,
                         help="precomputed DINO features for the val split")

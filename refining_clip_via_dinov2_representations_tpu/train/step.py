@@ -123,6 +123,7 @@ def make_loss_fn(
     dist_model=None,
     dist_variables=None,
     mesh=None,
+    dino_teacher=None,
 ):
     """Build the pure loss closure: (params, batch, step, rng) -> (loss, metrics).
 
@@ -263,6 +264,13 @@ def make_loss_fn(
 
         if cfg.loss_type == "dino":
             dino_feats = batch.get("dino_features")
+            if dino_feats is None and dino_teacher is not None:
+                # live-teacher mode (BASELINE configs 2-3/5): the frozen
+                # DINOv2 forward runs here, inside the compiled step, on the
+                # SAME (device-preprocessed) pixels the student sees —
+                # replacing the reference's offline extraction + per-batch
+                # mmap gather (`dino_features_etc.py:10-33`, `main.py:692-707`)
+                dino_feats = dino_teacher.extract(images)
             if dino_feats is not None:
                 rows["dino_features"] = dino_feats
                 if cfg.dino.use_projection and head is not None:
@@ -328,13 +336,19 @@ def make_train_step(
     dist_model=None,
     dist_variables=None,
     mesh=None,
+    dino_teacher=None,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step. Call with a globally-shaped batch; shard
     inputs over the mesh before calling (parallel.shard_batch). Pass the mesh
     so the loss runs under shard_map with real per-rank semantics (see
     make_loss_fn); without it the loss uses single-device math over whatever
-    GSPMD decides (fine for 1 device)."""
-    loss_fn = make_loss_fn(model, cfg, head, dist_model, dist_variables, mesh=mesh)
+    GSPMD decides (fine for 1 device). `dino_teacher` (a LiveDinoTeacher)
+    makes the frozen DINOv2 forward part of the compiled step when the batch
+    carries no precomputed `dino_features`."""
+    loss_fn = make_loss_fn(
+        model, cfg, head, dist_model, dist_variables, mesh=mesh,
+        dino_teacher=dino_teacher,
+    )
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     def _forward_backward(params, batch, step, rng, batch_stats):
