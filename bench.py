@@ -124,14 +124,20 @@ def main():
     # BENCH_REMAT=1: per-block activation checkpointing (BASELINE config 5 —
     # ViT-g-scale student with --grad-checkpointing)
     use_remat = os.environ.get("BENCH_REMAT", "") not in ("", "0")
+    # BENCH_LOSS=siglip: sigmoid pairwise loss (BASELINE config 4 — the
+    # single-chip microbatch of the 32k-global SigLIP step; per-chip compute
+    # is loss-dominated-identical across ring impls at world=1)
+    loss_kind = os.environ.get("BENCH_LOSS", "dino")
     dino_dim = 384  # DINOv2 ViT-S/14 feature dim
     _log(
         f"backend={backend} chips={n_chips} model={model_name} batch={batch} "
         f"teacher={teacher_env or 'precomputed'} remat={use_remat}"
     )
 
+    # BENCH_ATTN: attention impl override (auto|xla|xla_bf16_bwd|fused|flash)
+    attn_impl = os.environ.get("BENCH_ATTN", "auto")
     cfg = parse_model_cfg(get_model_config(model_name))
-    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl="auto", remat=use_remat)
+    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl=attn_impl, remat=use_remat)
     rng = jax.random.PRNGKey(0)
     from refining_clip_via_dinov2_representations_tpu.utils import to_2tuple
 
@@ -186,19 +192,24 @@ def main():
         )
         _log(f"live teacher {tname}: {t_tokens} tokens, dim {t_hidden}")
 
-    head = DinoProjectionHead(dino_dim=dino_dim, projection_type="mlp")
-    head_params = head.init(jax.random.PRNGKey(1), jnp.zeros((1, cfg.embed_dim)))[
-        "params"
-    ]
-
-    params = {"model": variables["params"], "dino_head": head_params}
-    tx, _ = build_optimizer(params, OptimCfg(lr=5e-4), cosine_lr(5e-4, 100, 10000))
-    state = create_train_state(rng, variables["params"], tx, head_params)
-
-    step_cfg = StepCfg(
-        loss_type="dino",
-        dino=DinoLossCfg(lambda_soft=0.5, soft_mode="kl_teacher", lambda_weighted=0.2),
-    )
+    if loss_kind == "siglip":
+        head = head_params = None
+        params = {"model": variables["params"]}
+        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4), cosine_lr(5e-4, 100, 10000))
+        state = create_train_state(rng, variables["params"], tx)
+        step_cfg = StepCfg(loss_type="siglip")
+    else:
+        head = DinoProjectionHead(dino_dim=dino_dim, projection_type="mlp")
+        head_params = head.init(jax.random.PRNGKey(1), jnp.zeros((1, cfg.embed_dim)))[
+            "params"
+        ]
+        params = {"model": variables["params"], "dino_head": head_params}
+        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4), cosine_lr(5e-4, 100, 10000))
+        state = create_train_state(rng, variables["params"], tx, head_params)
+        step_cfg = StepCfg(
+            loss_type="dino",
+            dino=DinoLossCfg(lambda_soft=0.5, soft_mode="kl_teacher", lambda_weighted=0.2),
+        )
     train_step = make_train_step(
         model, tx, step_cfg, head=head, dino_teacher=dino_teacher
     )
@@ -208,7 +219,7 @@ def main():
         "images": jnp.asarray(npr.normal(size=(batch, img_h, img_w, 3)), jnp.bfloat16),
         "texts": jnp.asarray(npr.integers(1, min(49407, cfg.text_cfg.vocab_size - 1), size=(batch, ctx)), jnp.int32),
     }
-    if dino_teacher is None:
+    if loss_kind != "siglip" and dino_teacher is None:
         batch_data["dino_features"] = jnp.asarray(
             npr.normal(size=(batch, dino_dim)), jnp.float32
         )
@@ -241,12 +252,12 @@ def main():
         json.dumps(
             {
                 "metric": (
-                    "vitb16_dino_soft_train_images_per_sec_per_chip"
-                    if model_name == "ViT-B-16"
-                    else f"{model_name}_dino_soft_train_images_per_sec_per_chip"
-                )
-                + ("_live_teacher" if dino_teacher is not None else "")
-                + ("_remat" if use_remat else ""),
+                    ("vitb16" if model_name == "ViT-B-16" else model_name)
+                    + ("_dino_soft" if loss_kind == "dino" else f"_{loss_kind}")
+                    + "_train_images_per_sec_per_chip"
+                    + ("_live_teacher" if dino_teacher is not None else "")
+                    + ("_remat" if use_remat else "")
+                ),
                 "value": round(ips, 2),
                 "unit": "img/s/chip",
                 "vs_baseline": round(mfu / 0.50, 4),

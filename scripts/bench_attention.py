@@ -42,10 +42,19 @@ def main():
         return dt
 
     rng = np.random.default_rng(0)
-    for (b, h, l, d, causal, name) in [
+    cases = [
         (96, 12, 197, 64, False, "vision 96x12x197x64"),
         (96, 8, 77, 64, True, "text   96x8x77x64 causal"),
-    ]:
+        # BASELINE config 5 / VERDICT r2 Weak #4: EVA-g & ViT-H at 224/14 sit
+        # at L=257, between the measured L=197 and the flash dispatch
+        # threshold (512) — measure instead of assuming
+        (32, 16, 257, 88, False, "eva-g  32x16x257x88"),
+        (96, 12, 257, 64, False, "vision 96x12x257x64 (L-isolated)"),
+    ]
+    if os.environ.get("ATTN_CASE"):
+        b_, h_, l_, d_ = (int(x) for x in os.environ["ATTN_CASE"].split("x"))
+        cases = [(b_, h_, l_, d_, False, f"custom {os.environ['ATTN_CASE']}")]
+    for (b, h, l, d, causal, name) in cases:
         q = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.bfloat16)
         k = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.bfloat16)
         v = jnp.asarray(rng.normal(size=(b, h, l, d)), jnp.bfloat16)
