@@ -253,14 +253,27 @@ def main(args=None):
                     getattr(preprocess_val, "std", None) or OPENAI_DATASET_STD
                 ),
             )
-            # frozen teacher params ride the mesh replicated: the per-batch
-            # forward is data-sharded like the student's, XLA fuses it into
-            # the step (no host round-trip, no collectives beyond the loss')
-            from ..parallel.mesh import replicated
+            # frozen teacher params ride the mesh: replicated on a pure-data
+            # mesh; on a (data, model>1) mesh the teacher's transformer
+            # blocks TP-shard by the same Megatron rules as the student
+            # (dinov2 uses in_proj/out_proj/fc1/fc2 naming — BASELINE
+            # config 5's "sharded teacher": a dinov2-giant teacher
+            # replicated would waste HBM on every model rank). The teacher
+            # forward runs in the GSPMD region of the step, so XLA inserts
+            # the per-block collectives automatically.
+            from ..parallel.mesh import param_shardings, replicated
 
-            dino_teacher.variables = jax.device_put(
-                dino_teacher.variables, replicated(mesh)
-            )
+            if mesh.shape["model"] > 1:
+                dino_teacher.variables = {
+                    "params": jax.device_put(
+                        dino_teacher.variables["params"],
+                        param_shardings(dino_teacher.variables["params"], mesh),
+                    )
+                }
+            else:
+                dino_teacher.variables = jax.device_put(
+                    dino_teacher.variables, replicated(mesh)
+                )
             logging.info(
                 "[DINO] live teacher %s (dim %d) runs inside the train step",
                 args.dino_model_name, dino_teacher.model.cfg.hidden_size,
