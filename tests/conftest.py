@@ -50,7 +50,13 @@ _SLOW_MODULES = {
     # two-process jax.distributed bring-up (slow interpreter spawns)
     "test_multihost",
     # converter roundtrips over every tower family
-    "test_convert_dispatch", "test_hf_hub_export",
+    "test_convert_dispatch", "test_hf_hub_export", "test_convert_external",
+    # multi-step train-step compiles (BN stats, ZeRO, 8-device mesh, accum)
+    "test_bn_train_step", "test_train_step", "test_step_distributed_semantics",
+    "test_grad_parity",
+    # full-model tower builds (one XLA compile each on this 1-CPU host)
+    "test_convnext", "test_swin", "test_vitamin", "test_fastvit",
+    "test_eva", "test_eva02", "test_resnet", "test_coca", "test_siglip_tower",
 }
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",

@@ -233,7 +233,7 @@ def test_accum_under_mesh_matches_single_big_batch_clip():
     assert max(jax.tree_util.tree_leaves(d)) < 5e-4, d
 
 
-def _make_accum(loss_type, mesh, accum):
+def _make_accum(loss_type, mesh, accum, dino_teacher=None):
     model = build_model(parse_model_cfg(TINY_CFG))
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32))
@@ -241,5 +241,54 @@ def _make_accum(loss_type, mesh, accum):
     tx, _ = build_optimizer(params, OptimCfg(lr=1e-3), const_lr(1e-3, 0, 100))
     state = create_train_state(rng, variables["params"], tx)
     cfg = StepCfg(loss_type=loss_type, accum_freq=accum)
-    step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+    if loss_type == "dino":
+        cfg = StepCfg(loss_type=loss_type, accum_freq=accum, dino=DINO_CFG)
+    step_fn = make_train_step(model, tx, cfg, mesh=mesh, dino_teacher=dino_teacher)
     return model, None, state, step_fn
+
+
+def _tiny_teacher():
+    from refining_clip_via_dinov2_representations_tpu.models.dinov2 import (
+        Dinov2,
+        Dinov2Cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.dino_teacher import (
+        LiveDinoTeacher,
+    )
+
+    tcfg = Dinov2Cfg(hidden_size=24, layers=1, heads=2, patch_size=8,
+                     native_image_size=16)
+    tmodel = Dinov2(cfg=tcfg)
+    tvars = tmodel.init(jax.random.PRNGKey(9), jnp.zeros((1, 16, 16, 3)))
+    return LiveDinoTeacher(tmodel, tvars)
+
+
+def test_accum_with_live_teacher_matches_single_big_batch():
+    """The cached-rows accumulation algorithm extends to the live-teacher
+    path: teacher features are cached per microbatch in phase 1 and the
+    deterministic recompute in phase 2 reproduces them exactly, so the
+    2x-accum DINO-soft step equals one full-batch step."""
+    mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+    teacher = _tiny_teacher()
+    _, _, state, step2 = _make_accum("dino", mesh, accum=2, dino_teacher=teacher)
+    _, _, state1, step1 = _make_accum("dino", mesh, accum=1, dino_teacher=teacher)
+    b = {k: v for k, v in _batch(seed=11).items() if k != "dino_features"}
+
+    with jax.set_mesh(mesh):
+        state = jax.device_put(state, replicated(mesh))
+        micro = jax.tree.map(lambda x: x.reshape(2, B // 2, *x.shape[1:]), b)
+        s2, m2 = step2(state, shard_batch(micro, mesh, microbatched=True))
+
+        state1 = jax.device_put(state1, replicated(mesh))
+        s1, m1 = step1(state1, shard_batch(b, mesh))
+
+    # the soft term is live (teacher actually produced features)
+    assert float(m1["soft_loss"]) > 0
+    assert float(m2["total_loss"]) == pytest.approx(float(m1["total_loss"]), rel=1e-4)
+    assert float(m2["soft_loss"]) == pytest.approx(float(m1["soft_loss"]), rel=1e-4)
+    d = jax.tree.map(
+        lambda a, c: float(np.abs(np.asarray(a) - np.asarray(c)).max()),
+        {k: v for k, v in s1.params["model"].items() if k != "logit_scale"},
+        {k: v for k, v in s2.params["model"].items() if k != "logit_scale"},
+    )
+    assert max(jax.tree_util.tree_leaves(d)) < 5e-4, d
