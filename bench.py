@@ -128,6 +128,16 @@ def main():
     # single-chip microbatch of the 32k-global SigLIP step; per-chip compute
     # is loss-dominated-identical across ring impls at world=1)
     loss_kind = os.environ.get("BENCH_LOSS", "dino")
+    if loss_kind not in ("dino", "siglip"):
+        raise SystemExit(
+            f"BENCH_LOSS={loss_kind!r} not supported (dino | siglip) — "
+            "refusing to record a mislabeled metric"
+        )
+    if loss_kind == "siglip" and teacher_env not in ("", "0"):
+        raise SystemExit(
+            "BENCH_TEACHER has no effect on the siglip step (no DINO term); "
+            "refusing to record phantom teacher FLOPs"
+        )
     dino_dim = 384  # DINOv2 ViT-S/14 feature dim
     _log(
         f"backend={backend} chips={n_chips} model={model_name} batch={batch} "
@@ -162,6 +172,12 @@ def main():
             LiveDinoTeacher,
         )
 
+        if teacher_env not in ("1", "true") and teacher_env not in DINOV2_CONFIGS:
+            raise SystemExit(
+                f"BENCH_TEACHER={teacher_env!r} is not a known DINOv2 config "
+                f"({sorted(DINOV2_CONFIGS)}); refusing to silently bench the "
+                "small teacher under a different label"
+            )
         tname = teacher_env if teacher_env in DINOV2_CONFIGS else "facebook/dinov2-small"
         t_hidden, t_layers, t_heads, t_swiglu = DINOV2_CONFIGS[tname]
         tcfg = Dinov2Cfg(

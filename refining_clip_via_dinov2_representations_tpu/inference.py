@@ -62,9 +62,12 @@ def _quantize_leaf(w):
 
 # Lookup tables (token embedding, positional embedding): the gather reads one
 # row per token, so int8 storage buys no matmul-bandwidth win while spending
-# accuracy headroom — keep them full precision.
+# accuracy headroom — keep them full precision. EXACT path-component names
+# (a substring match would also catch real matmuls like SigLIP's
+# "patch_embedding" conv) plus the relative-position table prefix.
 _QUANT_SKIP_KEYS = ("embedding", "pos_embed", "positional_embedding",
-                    "pos_embedding", "rel_pos")
+                    "pos_embedding", "position_embeddings")
+_QUANT_SKIP_PREFIXES = ("rel_pos",)
 
 
 def quantize_variables_int8(
@@ -81,7 +84,10 @@ def quantize_variables_int8(
         keys = tuple(
             str(p.key) if hasattr(p, "key") else str(p) for p in path
         )
-        if any(s in k for k in keys for s in _QUANT_SKIP_KEYS):
+        if any(
+            k in _QUANT_SKIP_KEYS or k.startswith(_QUANT_SKIP_PREFIXES)
+            for k in keys
+        ):
             return leaf
         if (
             hasattr(leaf, "ndim") and leaf.ndim >= 2

@@ -105,6 +105,7 @@ _COL_PARALLEL = (
     "fc1_g/kernel", "fc1_x/kernel",  # EVA02 SwiGLU gate/value
     "head_fc1/kernel",          # SigLIP MAP head
     "mlp/w0/kernel", "mlp/w1/kernel",  # ViTamin GeGLU gate/value up-proj
+    "mlp/weights_in/kernel",    # DINOv2-giant SwiGLU packed gate+value
 )
 # down-projections (4x hidden -> input) are row-parallel: split the INPUT
 # axis; XLA inserts the one all-reduce per block (Megatron dataflow)
@@ -114,6 +115,7 @@ _ROW_PARALLEL = (
     "fc2/kernel",
     "head_fc2/kernel",
     "mlp/w2/kernel",            # ViTamin GeGLU down-proj
+    "mlp/weights_out/kernel",   # DINOv2-giant SwiGLU down-proj
 )
 
 

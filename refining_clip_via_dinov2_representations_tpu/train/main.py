@@ -230,17 +230,21 @@ def main(args=None):
             logging.info("[INFO] Loading precomputed DINO features from %s", args.dino_fts_path)
             dino_store = DinoFeatureStore(args.dino_fts_path)
             logging.info("[DINO] feats mmap: shape=%s", dino_store.shape)
-        elif args.dataset_type == "synthetic" and args.synthetic_dino_dim:
+        elif args.dataset_type == "synthetic" and not args.dino_model_name:
+            # hermetic path (tests/smoke): random teacher features, no HF
+            # download; a live teacher on synthetic data requires naming one
+            args.synthetic_dino_dim = args.synthetic_dino_dim or 384
             logging.info(
                 "[DINO] synthetic teacher features (dim %d)", args.synthetic_dino_dim
             )
-        elif args.dino_model_name:
+        else:
             from ..models.factory import _precision_to_dtype
             from .dino_teacher import LiveDinoTeacher
 
             compute_dtype, _ = _precision_to_dtype(args.precision)
             dino_teacher = LiveDinoTeacher.from_pretrained(
-                args.dino_model_name, dtype=compute_dtype,
+                args.dino_model_name or "facebook/dinov2-small",
+                dtype=compute_dtype,
                 cache_dir=args.cache_dir,
                 # the teacher inverts the STUDENT's normalization (whatever
                 # the transform pipeline applied) before applying its own
@@ -276,7 +280,8 @@ def main(args=None):
                 )
             logging.info(
                 "[DINO] live teacher %s (dim %d) runs inside the train step",
-                args.dino_model_name, dino_teacher.model.cfg.hidden_size,
+                args.dino_model_name or "facebook/dinov2-small",
+                dino_teacher.model.cfg.hidden_size,
             )
         if args.dino_index_map_path:
             dino_index_map = load_dino_index_map(args.dino_index_map_path)
@@ -642,29 +647,35 @@ def main(args=None):
         if dino_teacher is not None:
             # live-teacher mode: both splits get teacher features computed on
             # the fly from the SAME images the CLIP encoder sees — no
-            # precomputed store, no path alignment, val needs no extra flags
-            run_clip_blind_on_split(
-                "val", data, model, variables_final, None, None, blind_dir,
-                max_images=args.clip_blind_max_images,
-                dino_teacher=dino_teacher,
-            )
+            # precomputed store, no path alignment, val needs no extra flags.
+            # Both splits are non-fatal: a loader without image paths
+            # (webdataset/synthetic val) must not kill the finished run or
+            # skip the final remote sync.
+            try:
+                run_clip_blind_on_split(
+                    "val", data, model, variables_final, None, None, blind_dir,
+                    max_images=args.clip_blind_max_images,
+                    dino_teacher=dino_teacher,
+                )
+            except Exception as e:
+                logging.warning("[clip-blind] val-split check failed: %r", e)
             try:  # train-split failure is non-fatal (`main.py:1148-1149`)
-                # the train loader yields no image paths (train mode); build
-                # an eval-style loader over the train CSV for the check
+                # the train loader yields no image paths (train mode); reuse
+                # the production eval-CSV loader path over the train CSV
                 if args.dataset_type == "csv" and args.train_data:
-                    from .data import CsvDataset, DataInfo, Loader
+                    import argparse as _ap
 
-                    blind_ds = CsvDataset(
-                        args.train_data, preprocess_val, args.csv_img_key,
-                        args.csv_caption_key, sep=args.csv_separator,
-                        tokenizer=tokenizer, return_image_id=True,
+                    from .data import get_csv_dataset
+
+                    blind_args = _ap.Namespace(
+                        **{**vars(args), "val_data": args.train_data}
                     )
-                    blind_loader = Loader(
-                        blind_ds, batch_size=args.batch_size, shuffle=False,
-                        num_workers=args.workers,
+                    blind_info = get_csv_dataset(
+                        blind_args, preprocess_val, is_train=False,
+                        tokenizer=tokenizer,
                     )
                     run_clip_blind_on_split(
-                        "train", {"train": DataInfo(dataloader=blind_loader)},
+                        "train", {"train": blind_info},
                         model, variables_final, None, None, blind_dir,
                         max_images=args.clip_blind_max_images,
                         dino_teacher=dino_teacher,

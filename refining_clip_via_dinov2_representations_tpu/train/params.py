@@ -173,11 +173,14 @@ def parse_args(args=None):
     parser.add_argument("--enable_warmup_dino_hyperparams", default=False, action="store_true")
     parser.add_argument("--dino_fts_path", type=str, default=None)
     parser.add_argument("--dino_index_map_path", type=str, default=None)
-    parser.add_argument("--dino_model_name", type=str, default="facebook/dinov2-small",
+    parser.add_argument("--dino_model_name", type=str, default=None,
                         help="live DINOv2 teacher (HF name or local dir) used when "
                              "--use_dino_general is set without --dino_fts_path: the "
                              "frozen teacher runs inside the train step on the same "
-                             "batch (BASELINE configs 2-3, 5)")
+                             "batch (BASELINE configs 2-3, 5). Unset it resolves to "
+                             "facebook/dinov2-small (the reference default) — except "
+                             "on synthetic data, which fabricates random features "
+                             "unless a teacher is named explicitly (hermetic tests)")
     parser.add_argument("--synthetic-dino-dim", dest="synthetic_dino_dim",
                         type=int, default=None,
                         help="[tpu] synthetic data fabricates random teacher features "

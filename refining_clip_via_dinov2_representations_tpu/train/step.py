@@ -409,6 +409,15 @@ def make_train_step(
             def grad_body(carry, inp):
                 idx, micro = inp
                 acc_grads, stats = carry
+                if "dino_features" in cached and "dino_features" not in micro:
+                    # live-teacher mode: the frozen teacher's phase-1 output
+                    # is deterministic and stop-gradient'd — feed the cached
+                    # rows back so phase 2 skips the (possibly giant)
+                    # teacher forward instead of recomputing it
+                    micro = dict(micro)
+                    micro["dino_features"] = jax.lax.dynamic_index_in_dim(
+                        cached["dino_features"], idx, 0, keepdims=False
+                    )
 
                 def loss_j(params):
                     rows, scalars, st = encode_fn(

@@ -92,7 +92,13 @@ def main(argv=None):
     )
 
     if args.models:
-        pairs = [tuple(m.split(":", 1)) for m in args.models]
+        pairs = []
+        for m in args.models:
+            if ":" not in m:
+                print(f"--models entry {m!r} must be model:pretrained_tag "
+                      f"(e.g. EVA02-B-16:merged2b_s8b_b131k)", file=sys.stderr)
+                return 2
+            pairs.append(tuple(m.split(":", 1)))
     else:
         pairs = QUICK_MODELS if args.quick else DEFAULT_MODELS
 

@@ -142,11 +142,17 @@ def test_int8_weight_only_quantization():
     # per-channel scales, 0/1-D params, and lookup tables — embedding /
     # positional-embedding leaves are deliberately NOT quantized since a
     # row-gather gets no bandwidth win from int8)
-    from refining_clip_via_dinov2_representations_tpu.inference import _QUANT_SKIP_KEYS
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        _QUANT_SKIP_KEYS,
+        _QUANT_SKIP_PREFIXES,
+    )
 
     def _skipped(path):
         keys = tuple(str(getattr(p, "key", p)) for p in path)
-        return any(s in k for k in keys for s in _QUANT_SKIP_KEYS)
+        return any(
+            k in _QUANT_SKIP_KEYS or k.startswith(_QUANT_SKIP_PREFIXES)
+            for k in keys
+        )
 
     float_mats = [
         path

@@ -29,6 +29,13 @@ def test_timm_family_rules():
     assert _spec("visual/resblocks_2/mlp/fc1_g/kernel") == P(None, "model")
     assert _spec("visual/resblocks_2/mlp/fc1_x/kernel") == P(None, "model")
     assert _spec("visual/resblocks_2/mlp/fc2/kernel") == P("model", None)
+    # DINOv2 teacher: plain MLP (fc1/fc2 on the block) and the giant's
+    # packed SwiGLU (mlp/weights_in|weights_out) both shard
+    assert _spec("blocks_7/fc1/kernel") == P(None, "model")
+    assert _spec("blocks_7/fc2/kernel") == P("model", None)
+    assert _spec("blocks_7/mlp/weights_in/kernel") == P(None, "model")
+    assert _spec("blocks_7/mlp/weights_out/kernel") == P("model", None)
+    assert _spec("blocks_7/attn/in_proj_kernel") == P(None, "model")
 
 
 def test_replicated_fallbacks():

@@ -78,6 +78,34 @@ def test_cli_dino_synthetic_training(tmp_path):
     assert any("soft_loss" in s for s in steps)
 
 
+def test_cli_dino_synthetic_default_is_hermetic(tmp_path):
+    """Plain `--dataset-type synthetic --use_dino_general` (no dim, no
+    teacher name) must stay hermetic: random 384-dim features, no HF
+    download attempt (round-2 behavior; r3 code-review finding #3)."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    main([
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--warmup", "1",
+        "--precision", "fp32",
+        "--use_dino_general",
+        "--lambda_soft", "0.5",
+        "--soft_mode", "kl_teacher",
+        "--logs", str(tmp_path),
+        "--name", "dino-default-smoke",
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+    ])
+    steps = json.loads(
+        (tmp_path / "dino-default-smoke" / "loss_steps.json").read_text()
+    )
+    assert steps and any(s.get("soft_loss", 0) > 0 for s in steps)
+
+
 def test_cli_live_dino_teacher_training(tmp_path):
     """Live-teacher mode through the CLI (VERDICT r2 Missing #1 /
     BASELINE configs 2-3): --use_dino_general WITHOUT --dino_fts_path and
