@@ -189,7 +189,10 @@ def pair_stats(
 
     k = min(top_k, total_pairs)
     if k > 0:
-        top = np.argsort(-gap)[:k]
+        # top-k selection in linear time (full argsort over the ~n²/2 pair
+        # gaps was the hot spot for large standalone runs)
+        part = np.argpartition(-gap, k - 1)[:k]
+        top = part[np.argsort(-gap[part])]
         out["top_pairs"] = [
             {
                 "i": int(iu[r]),

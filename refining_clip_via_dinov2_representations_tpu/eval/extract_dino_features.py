@@ -22,7 +22,6 @@ import logging
 
 def main(argv=None):
     import numpy as np
-    from PIL import Image
 
     import jax
     import jax.numpy as jnp
@@ -65,18 +64,11 @@ def main(argv=None):
     def encode(images):
         return model.apply(variables, images)
 
-    bs = args.batch_size
-    feats = []
-    for i in range(0, len(uniq), bs):
-        chunk = uniq[i : i + bs]
-        imgs = np.stack([preprocess(Image.open(p).convert("RGB")) for p in chunk])
-        n = imgs.shape[0]
-        if n < bs:
-            imgs = np.concatenate([imgs, np.zeros((bs - n, *imgs.shape[1:]), imgs.dtype)])
-        feats.append(np.asarray(encode(jnp.asarray(imgs)), np.float32)[:n])
-        logging.info("[dino] %d / %d", min(i + bs, len(uniq)), len(uniq))
+    from ._batching import encode_images_padded
 
-    all_feats = np.concatenate(feats)
+    all_feats = encode_images_padded(
+        encode, uniq, preprocess, args.batch_size, log_tag="dino"
+    )
     np.save(args.out_feats, all_feats)
     index_map = {p: i for i, p in enumerate(uniq)}
     with open(args.out_map, "w") as f:

@@ -54,6 +54,28 @@ def _l2n(x: np.ndarray) -> np.ndarray:
     return x / np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
 
 
+def align_label_spaces(ytr, ctr, yva, cva):
+    """Remap two feature files' integer labels onto one shared class space.
+
+    `extract_features` (like the reference's `extract_features_from_csv.py:50`)
+    builds its class→index map per CSV, so a val split missing some train
+    class shifts every subsequent id — train-space predictions would then be
+    compared against val-space labels and accuracy silently deflates. When
+    both files stored their `classes` lists, remap through the sorted union;
+    files without class lists are assumed pre-aligned (reference behavior)."""
+    if not ctr or not cva:
+        return ytr, yva, None
+    ctr = [str(c) for c in ctr]
+    cva = [str(c) for c in cva]
+    if ctr == cva:
+        return ytr, yva, ctr
+    union = sorted(set(ctr) | set(cva))
+    m = {c: i for i, c in enumerate(union)}
+    ytr = np.asarray([m[ctr[int(y)]] for y in ytr], np.int64)
+    yva = np.asarray([m[cva[int(y)]] for y in yva], np.int64)
+    return ytr, yva, union
+
+
 # ---------------------------------------------------------------------------
 # extract_features (`test_scripts/extract_features_from_csv.py`)
 # ---------------------------------------------------------------------------
@@ -71,9 +93,7 @@ def extract_features(
 ):
     """Dump normalized `encode_image` features for a (path, label) CSV."""
     import jax
-    import jax.numpy as jnp
     import pandas as pd
-    from PIL import Image
 
     from ..models import create_model_and_transforms, load_checkpoint
 
@@ -98,23 +118,12 @@ def extract_features(
         feats = model.apply(variables, images, method="encode_image", normalize=True)
         return feats
 
-    all_feats = []
-    for i in range(0, len(paths), batch_size):
-        chunk = paths[i : i + batch_size]
-        imgs = np.stack(
-            [preprocess(Image.open(p).convert("RGB")) for p in chunk]
-        )
-        # pad the trailing batch so the jit signature stays fixed
-        n = imgs.shape[0]
-        if n < batch_size:
-            imgs = np.concatenate(
-                [imgs, np.zeros((batch_size - n, *imgs.shape[1:]), imgs.dtype)]
-            )
-        feats = np.asarray(encode(jnp.asarray(imgs)), np.float32)[:n]
-        all_feats.append(feats)
-        logging.info("[extract] %d / %d", min(i + batch_size, len(paths)), len(paths))
+    from ._batching import encode_images_padded
 
-    save_feats(out_path, np.concatenate(all_feats), labels, classes)
+    all_feats = encode_images_padded(
+        encode, paths, preprocess, batch_size, log_tag="extract"
+    )
+    save_feats(out_path, all_feats, labels, classes)
     return out_path
 
 
@@ -123,8 +132,9 @@ def extract_features(
 # ---------------------------------------------------------------------------
 
 def knn_top1(train_path: str, val_path: str, k: int = 20, block: int = 8192) -> float:
-    xtr, ytr, _ = load_feats(train_path)
-    xva, yva, _ = load_feats(val_path)
+    xtr, ytr, ctr = load_feats(train_path)
+    xva, yva, cva = load_feats(val_path)
+    ytr, yva, _ = align_label_spaces(ytr, ctr, yva, cva)
     xtr, xva = _l2n(xtr), _l2n(xva)
 
     correct = total = 0
@@ -203,9 +213,10 @@ def linear_probe(
     import jax.numpy as jnp
     import optax
 
-    xtr, ytr, _ = load_feats(train_path)
-    xva, yva, _ = load_feats(val_path)
-    n_classes = int(ytr.max()) + 1
+    xtr, ytr, ctr = load_feats(train_path)
+    xva, yva, cva = load_feats(val_path)
+    ytr, yva, union = align_label_spaces(ytr, ctr, yva, cva)
+    n_classes = len(union) if union else int(max(ytr.max(), yva.max())) + 1
     in_dim = xtr.shape[1]
     print(f"[data] train={xtr.shape} val={xva.shape} classes={n_classes}")
 

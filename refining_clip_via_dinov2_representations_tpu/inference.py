@@ -282,9 +282,13 @@ def create_engine(
     buckets: Sequence[int] = DEFAULT_BUCKETS,
     dtype=jnp.bfloat16,
     quantize: Optional[str] = None,
+    warm: bool = True,
 ):
     """Factory: registry name (+ optional pretrained tag / checkpoint path)
-    → warm engine + preprocess + tokenizer, the full serving bundle."""
+    → warm engine + preprocess + tokenizer, the full serving bundle.
+    ``warm=True`` AOT-compiles every (tower, bucket) pair before returning so
+    the first request never pays XLA compile latency; pass ``warm=False`` to
+    defer (e.g. when only exporting StableHLO)."""
     from .models.factory import (
         create_model_and_transforms,
         get_tokenizer,
@@ -305,4 +309,6 @@ def create_engine(
         context_length=model.text_cfg.context_length,
         buckets=buckets, dtype=dtype, quantize=quantize,
     )
+    if warm:
+        engine.warmup()
     return engine, preprocess, get_tokenizer(model_name)

@@ -458,6 +458,13 @@ def main(args=None):
                     resume_path = fetch_remote_checkpoint(
                         resume_path, checkpoint_dir
                     )
+            elif args.save_most_recent:
+                # --save-most-recent resumes from the fixed epoch_latest
+                # artifact (reference main.py:231-236), not the newest
+                # epoch_N — those may be pruned or save-frequency-gated
+                resume_path = os.path.join(checkpoint_dir, "epoch_latest")
+                if not os.path.isdir(resume_path):
+                    resume_path = None
             else:
                 resume_path = latest_checkpoint(checkpoint_dir)
         else:

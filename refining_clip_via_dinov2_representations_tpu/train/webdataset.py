@@ -35,24 +35,42 @@ from PIL import Image
 from .data import DataInfo, _collate
 
 
+_BRACE = re.compile(r"\{([^{}]+)\}")
+
+
+def _expand_braces(url: str) -> List[str]:
+    """Full braceexpand semantics for the subset shard patterns use: numeric
+    ranges `{000..099}` (zero-padded) and comma lists `{a,b}`, applied to
+    EVERY brace group (cartesian product), innermost-first for nesting."""
+    m = _BRACE.search(url)
+    if not m:
+        return [url]
+    body = m.group(1)
+    if re.fullmatch(r"\d+\.\.\d+", body):
+        lo, hi = body.split("..")
+        width = len(lo)
+        parts = [str(i).zfill(width) for i in range(int(lo), int(hi) + 1)]
+    elif "," in body:
+        parts = body.split(",")
+    else:  # not an expansion we understand; keep literally
+        return [url[: m.start()] + body + url[m.end():]]
+    out: List[str] = []
+    for p in parts:
+        out.extend(_expand_braces(url[: m.start()] + p + url[m.end():]))
+    return out
+
+
 def expand_urls(urls) -> List[str]:
     """Brace expansion: 'a-{000..002}.tar' -> [a-000.tar, a-001.tar, a-002.tar].
-    Accepts '::'-joined lists like the reference (`data.py:316-330`)."""
+    Accepts '::'-joined lists like the reference (`data.py:316-330`); multiple
+    brace groups per URL expand like the reference's `braceexpand`."""
     if isinstance(urls, str):
         url_list = urls.split("::")
     else:
         url_list = list(urls)
     out: List[str] = []
-    pat = re.compile(r"\{(\d+)\.\.(\d+)\}")
     for url in url_list:
-        m = pat.search(url)
-        if not m:
-            out.append(url)
-            continue
-        lo, hi = m.group(1), m.group(2)
-        width = len(lo)
-        for i in range(int(lo), int(hi) + 1):
-            out.append(url[: m.start()] + str(i).zfill(width) + url[m.end():])
+        out.extend(_expand_braces(url))
     return out
 
 
@@ -61,8 +79,16 @@ _TXT_EXT = {"txt", "text", "caption"}
 _JSON_EXT = {"json"}
 
 
+# webdataset `base_plus_ext` convention: the sample key is the FULL member
+# path up to the first dot of the basename (directories included, so
+# `a/0001.jpg` and `b/0001.jpg` stay distinct samples); the extension is
+# everything after that first dot (so `0001.en.txt` groups with `0001.jpg`
+# under ext "en.txt")
+_KEY_EXT = re.compile(r"^((?:.*/|)[^.]+)\.(.+)$")
+
+
 def _group_tar_samples(tar_path: str) -> Iterator[Dict[str, bytes]]:
-    """Group tar members by basename key; never raises on a bad member
+    """Group tar members by webdataset key; never raises on a bad member
     (`tarfile_to_samples_nothrow`, `data.py:348-387`)."""
     try:
         tf = tarfile.open(tar_path)
@@ -75,10 +101,10 @@ def _group_tar_samples(tar_path: str) -> Iterator[Dict[str, bytes]]:
         for member in tf:
             if not member.isfile():
                 continue
-            base = os.path.basename(member.name)
-            key, _, ext = base.rpartition(".")
-            if not key:
+            m = _KEY_EXT.match(member.name)
+            if not m:
                 continue
+            key, ext = m.group(1), m.group(2)
             if key != current_key:
                 if sample and current_key is not None:
                     yield sample
@@ -157,24 +183,38 @@ class WdsLoader:
         """Yield RAW (jpeg bytes, caption) pairs; decoding happens in the
         thread pool at emit time (bytes are also ~50x smaller than decoded
         tensors, so the shuffle buffer holds compressed data)."""
+        def find(raw: Dict[str, bytes], exts) -> Optional[bytes]:
+            # webdataset handlers match on the LAST dot-segment of the
+            # extension, so `0001.en.txt` serves as the txt member
+            for k, v in raw.items():
+                if k == "__key__":
+                    continue
+                if k.rsplit(".", 1)[-1] in exts:
+                    return v
+            return None
+
         for shard in self._epoch_shards(epoch):
             for raw in _group_tar_samples(shard):
                 try:
-                    img_bytes = next(
-                        (raw[e] for e in _IMG_EXT if e in raw), None
-                    )
+                    img_bytes = find(raw, _IMG_EXT)
                     if img_bytes is None:
                         continue
-                    caption = None
-                    for e in _TXT_EXT:
-                        if e in raw:
-                            caption = raw[e].decode("utf-8")
-                            break
-                    if caption is None and any(e in raw for e in _JSON_EXT):
-                        import json as _json
+                    txt_bytes = find(raw, _TXT_EXT)
+                    caption = (
+                        txt_bytes.decode("utf-8") if txt_bytes is not None else None
+                    )
+                    if caption is None:
+                        json_bytes = find(raw, _JSON_EXT)
+                        if json_bytes is not None:
+                            import json as _json
 
-                        meta = _json.loads(raw["json"])
-                        caption = meta.get(self.caption_key) or meta.get("caption", "")
+                            meta = _json.loads(json_bytes)
+                            caption = meta.get(self.caption_key)
+                            if caption is None:
+                                # missing key stays None (sample is SKIPPED);
+                                # an explicit empty caption trains like an
+                                # empty .txt member would
+                                caption = meta.get("caption")
                     if caption is None:
                         continue
                     yield (img_bytes, caption)
@@ -232,12 +272,19 @@ class WdsLoader:
                         continue
                     break
                 if self.shuffle_buffer:
-                    buf.append(s)
+                    # bounded reservoir shuffle: fill to capacity, then swap
+                    # the incoming sample with a random slot and yield the
+                    # displaced one. The buffer never exceeds shuffle_buffer
+                    # and every sample enters it exactly once (appending
+                    # before the swap would both grow the buffer unboundedly
+                    # and duplicate each sample — r3 review finding).
                     if len(buf) < self.shuffle_buffer:
+                        buf.append(s)
                         continue
                     idx = rng.randrange(len(buf))
                     buf[idx], s = s, buf[idx]
                 yield s
+            rng.shuffle(buf)
             for s in buf:  # drain (eval / end of stream)
                 yield s
             buf = []
