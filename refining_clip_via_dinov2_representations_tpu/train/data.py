@@ -173,9 +173,12 @@ class CsvDataset:
         if self.return_image_id:
             import pandas as pd
 
-            self.image_ids, _ = pd.factorize(df[img_key], sort=True)
-            self.image_ids = self.image_ids.astype(int).tolist()
-            self._debug_consecutive_ordering()
+            # LOCAL factorize only for the ordering sanity check — retrieval
+            # ids are rebuilt first-occurrence from image_path in evaluate()
+            # (`train.py:624-647`); storing a second, differently-ordered id
+            # scheme invites someone to wire the wrong one into metrics
+            ids, _ = pd.factorize(df[img_key], sort=True)
+            self._debug_consecutive_ordering(ids.astype(int).tolist())
 
     def _validate_dino_map(self):
         """Actionable CSV↔map mismatch error (`data.py:120-153`)."""
@@ -205,13 +208,13 @@ class CsvDataset:
             )
             raise RuntimeError("\n".join(msg))
 
-    def _debug_consecutive_ordering(self):
+    def _debug_consecutive_ordering(self, image_ids):
         """5-consecutive-caption grouping sanity check (`data.py:156-172`)."""
         ok = broken = 0
-        for idx in range(0, min(100, len(self.image_ids)), 5):
-            if idx + 4 >= len(self.image_ids):
+        for idx in range(0, min(100, len(image_ids)), 5):
+            if idx + 4 >= len(image_ids):
                 break
-            group = self.image_ids[idx : idx + 5]
+            group = image_ids[idx : idx + 5]
             if len(set(group)) == 1:
                 ok += 1
             else:
@@ -287,10 +290,19 @@ class ImageFolderDataset:
     def __init__(self, root: str, transform=None):
         self.root = root
         self.transform = transform
-        classes = sorted(
+        classes = [
             d for d in os.listdir(root) if os.path.isdir(os.path.join(root, d))
-        )
-        self.class_to_idx = {c: i for i, c in enumerate(classes)}
+        ]
+        if classes and all(c.isdigit() for c in classes):
+            # ImageNet-V2 layout: dirs named 0..999 ARE the class indices.
+            # A lexicographic sort would map '10'->2 and scramble nearly
+            # every zero-shot label (the reference's ImageNetV2Dataset does
+            # int(folder)); numeric sort keeps folder N == classifier row N.
+            classes = sorted(classes, key=int)
+            self.class_to_idx = {c: int(c) for c in classes}
+        else:
+            classes = sorted(classes)
+            self.class_to_idx = {c: i for i, c in enumerate(classes)}
         self.samples: List[tuple] = []
         exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
         for c in classes:
@@ -519,13 +531,18 @@ def get_csv_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_in
 
 def get_synthetic_dataset(args, preprocess_fn, is_train: bool, tokenizer=None, dino_index_map=None):
     image_size = preprocess_fn.image_size if hasattr(preprocess_fn, "image_size") else (224, 224)
+    n = (
+        args.train_num_samples
+        if is_train
+        else (getattr(args, "val_num_samples", None) or args.train_num_samples or 256)
+    )
     dataset = SyntheticDataset(
         transform=preprocess_fn,
         image_size=image_size,
-        dataset_size=args.train_num_samples,
+        dataset_size=n or 256,
         tokenizer=tokenizer,
         dino_dim=getattr(args, "synthetic_dino_dim", None)
-        if getattr(args, "use_dino_general", False)
+        if (is_train and getattr(args, "use_dino_general", False))
         else None,
     )
     loader = Loader(dataset, **_loader_kwargs(args, is_train))

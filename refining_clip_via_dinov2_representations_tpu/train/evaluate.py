@@ -138,6 +138,12 @@ def evaluate(
                 cumulative_loss / max(1, num_samples),
             )
 
+    if not all_img:
+        # degenerate val set (empty CSV / exhausted stream): report what we
+        # have instead of crashing the run after a full epoch of training
+        logging.warning("evaluate: val loader %r yielded no batches", val_key)
+        return metrics
+
     img_feats_per_cap = np.concatenate(all_img, axis=0)
     txt_feats = np.concatenate(all_txt, axis=0)
 

@@ -92,12 +92,17 @@ def label_params(
 ) -> Dict[str, Any]:
     """Assign each leaf a group label. `params` is the train tree:
     {"model": clip_params, "dino_head": head_params (optional)}."""
+    # count ONLY resblocks_* children: CoCa checkpoints place cross_attn_*
+    # siblings under the same transformer dict, which would inflate the
+    # layer count and break the lock-unlock threshold (r3 review)
     if text_layers is None:
         tf = params.get("model", {}).get("text", {}).get("transformer", {})
-        text_layers = len(tf)
+        text_layers = sum(1 for k in tf if str(k).startswith("resblocks"))
     if vision_layers is None:
         vf = params.get("model", {}).get("visual", {}).get("transformer", {})
-        vision_layers = len(vf) if vf else 0
+        vision_layers = (
+            sum(1 for k in vf if str(k).startswith("resblocks")) if vf else 0
+        )
 
     n_unlock_text = cfg.lock_text_unlocked_layers
     text_start = max(0, text_layers - n_unlock_text)
@@ -111,7 +116,11 @@ def label_params(
             g = cfg.lock_image_unlocked_groups
             if g <= 0:
                 return "frozen"
-            # unlocked: last g blocks + ln_post + proj (`transformer.py:709-739`)
+            # unlocked: last g blocks + ln_post + proj. NOTE: these are the
+            # FORK's patched lock semantics (`transformer.py:709-739`,
+            # installed by `patch_vit_lock`, ref main.py:74-95) — NOT
+            # upstream open_clip's [stem, blocks[:-1], last+ln_post, proj]
+            # group ladder. Parity target is the fork.
             unlocked = (
                 (vb is not None and vb >= vision_layers - g)
                 or p.startswith("model/visual/ln_post")
@@ -214,7 +223,13 @@ def build_optimizer(
             learning_rate=schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
             weight_decay=cfg.wd,
         )
-        labels = jax.tree.map(lambda _: "default", params)
+        # collapse per-group LRs but KEEP tower-lock freezing — the
+        # reference locks via requires_grad on the model, independent of
+        # how the optimizer groups params (r3 review: --no-param-groups
+        # --lock-image silently trained the locked tower)
+        labels = jax.tree.map(
+            lambda lbl: "frozen" if lbl == "frozen" else "default", labels
+        )
         transforms = {"default": tx, "frozen": optax.set_to_zero()}
     else:
         transforms = {g: group_tx(g) for g in GROUP_WD}

@@ -31,17 +31,37 @@ def accuracy(logits: np.ndarray, target: np.ndarray, topk=(1,)):
     return out
 
 
+# one jitted scorer per model (variables + classifier are ARGUMENTS, not
+# closure constants): zero-shot runs once or twice per epoch, and a
+# closure-captured classifier would bake a fresh constant into a brand-new
+# XLA program every call — tens of seconds of recompiles per epoch on TPU
+# (same pattern as evaluate._ENCODE_CACHE)
+_SCORE_CACHE: Dict[int, object] = {}
+
+
+def _score_fn(model):
+    key = id(model)
+    if key not in _SCORE_CACHE:
+        @jax.jit
+        def score(variables, images, classifier):
+            feats = model.apply(
+                variables, images, method="encode_image", normalize=True
+            )
+            return 100.0 * feats @ classifier
+
+        _SCORE_CACHE[key] = score
+    return _SCORE_CACHE[key]
+
+
 def run(model, variables, classifier, dataloader, args):
-    @jax.jit
-    def score(images):
-        feats = model.apply(variables, images, method="encode_image", normalize=True)
-        return 100.0 * feats @ classifier
+    score = _score_fn(model)
+    classifier = jnp.asarray(classifier)
 
     top1 = top5 = n = 0.0
     for batch in dataloader:
         images = jnp.asarray(batch["images"])
         target = np.asarray(batch["labels"])
-        logits = np.asarray(score(images))
+        logits = np.asarray(score(variables, images, classifier))
         acc1, acc5 = accuracy(logits, target, topk=(1, 5))
         top1 += acc1
         top5 += acc5
