@@ -37,7 +37,7 @@ from ..transform import (
     merge_preprocess_dict,
     merge_preprocess_kwargs,
 )
-from .clip import DEFAULT_INIT_LOGIT_SCALE, build_model
+from .clip import build_model
 from .config import get_model_config, list_models, parse_model_cfg, to_2tuple
 from .convert import convert_clip_state_dict, normalize_state_dict_keys
 from .pretrained import (
@@ -203,10 +203,6 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
     else:
         raise ValueError(f"unrecognized checkpoint layout in {checkpoint_path}")
     params, missing, unexpected = _merge_params(variables["params"], loaded["params"])
-    if strict and (missing or unexpected):
-        raise ValueError(
-            f"checkpoint mismatch: missing={missing[:10]} unexpected={unexpected[:10]}"
-        )
     new_vars = dict(variables)
     new_vars["params"] = params
     if "batch_stats" in loaded and "batch_stats" in variables:
@@ -216,6 +212,21 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
         new_vars["batch_stats"] = bs
         missing += bs_missing
         unexpected += bs_unexpected
+    elif "batch_stats" in variables and "batch_stats" not in loaded:
+        # BN tower but the checkpoint carries no running stats: surface the
+        # model's stat leaves as missing so strict=True refuses to load a
+        # model whose eval statistics would silently stay at init (mean 0 /
+        # var 1) — torch load_state_dict(strict=True) errors the same way.
+        missing += [
+            "batch_stats/" + "/".join(str(k.key) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(
+                variables["batch_stats"]
+            )[0]
+        ]
+    if strict and (missing or unexpected):
+        raise ValueError(
+            f"checkpoint mismatch: missing={missing[:10]} unexpected={unexpected[:10]}"
+        )
     return new_vars, (missing, unexpected)
 
 
@@ -243,8 +254,6 @@ def create_model(
     """
     force_preprocess_cfg = force_preprocess_cfg or {}
     preprocess_cfg = PreprocessCfg()
-    model_name = model_name.replace("/", "-")
-    pretrained_cfg = {}
 
     if model_name.startswith(HF_HUB_PREFIX):
         model_id = model_name[len(HF_HUB_PREFIX):]
@@ -260,6 +269,9 @@ def create_model(
         checkpoint_path = download_pretrained_from_hf(model_id, cache_dir=cache_dir)
         pretrained = None
     else:
+        # '/'→'-' only in the non-hub branch — hub repo ids keep their
+        # org/repo slash (reference factory.py:368-372).
+        model_name = model_name.replace("/", "-")
         raw_cfg = get_model_config(model_name)
         if raw_cfg is None:
             raise RuntimeError(
@@ -288,7 +300,6 @@ def create_model(
     if pretrained:
         pcfg = get_pretrained_cfg(model_name, pretrained)
         if pcfg:
-            pretrained_cfg = pcfg
             checkpoint_path = download_pretrained(pcfg, cache_dir=cache_dir)
             preprocess_cfg = PreprocessCfg(**merge_preprocess_dict(preprocess_cfg, pcfg))
             if pcfg.get("quick_gelu") and not raw_cfg.get("quick_gelu"):

@@ -256,15 +256,20 @@ class VisionTransformer(nn.Module):
                 jnp.float32,
             )
         elif self.pos_embed_type == "sin_cos_2d":
-            assert self.grid_size[0] == self.grid_size[1]
-            pos = self.param(
-                "positional_embedding",
-                lambda rng, shape, dtype: jnp.asarray(
-                    get_2d_sincos_pos_embed(self.width, self.grid_size[0], cls_token=True)
-                ),
-                (n_pos, self.width),
-                jnp.float32,
+            # Fixed (non-trainable) embedding: the reference registers it as a
+            # parameter with requires_grad=False (`transformer.py:478-487`);
+            # the flax equivalent is a traced constant — a param would still
+            # receive AdamW weight decay even with zero gradient.
+            assert self.grid_size[0] == self.grid_size[1], (
+                "sin_cos_2d pos embedding only supports square input"
             )
+            pos = jnp.asarray(
+                get_2d_sincos_pos_embed(
+                    self.width, self.grid_size[0], cls_token=self.class_token
+                ),
+                dtype=jnp.float32,
+            )
+            assert pos.shape == (n_pos, self.width)
         else:
             raise ValueError(self.pos_embed_type)
         x = x + pos.astype(x.dtype)

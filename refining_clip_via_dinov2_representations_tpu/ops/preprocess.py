@@ -130,9 +130,7 @@ def preprocess_train_batch(
     """uint8 [B,H,W,3] → augmented normalized [B,th,tw,3]; fully on device."""
     x = images_u8.astype(jnp.float32) / 255.0
     x = batched_random_resized_crop(rng, x, out_size, scale=scale)
-    mean_a = jnp.asarray(mean, jnp.float32)
-    std_a = jnp.asarray(std, jnp.float32)
-    return ((x - mean_a) / std_a).astype(dtype)
+    return normalize_images(x, mean, std).astype(dtype)
 
 
 def preprocess_eval_batch(
@@ -145,6 +143,4 @@ def preprocess_eval_batch(
     """uint8 [B,H,W,3] → center-cropped normalized [B,th,tw,3] on device."""
     x = images_u8.astype(jnp.float32) / 255.0
     x = center_crop_resize(x, out_size)
-    mean_a = jnp.asarray(mean, jnp.float32)
-    std_a = jnp.asarray(std, jnp.float32)
-    return ((x - mean_a) / std_a).astype(dtype)
+    return normalize_images(x, mean, std).astype(dtype)

@@ -264,11 +264,14 @@ class SimpleTokenizer:
         self,
         texts: Union[str, List[str]],
         context_length: Optional[int] = None,
+        rng: Optional[np.random.Generator] = None,
     ) -> np.ndarray:
         """Tokenize to a `[len(texts), context_length]` int32 array.
 
         Framing matches `tokenizer.py:250-265`: `<sot> ids <eot>` padded with
         zeros; over-long sequences truncated with the final slot forced to EOT.
+        `rng` (random/shuffle/simple reduction masks only) pins the kept-token
+        draw; without it the masks seed from the global numpy state.
         """
         if isinstance(texts, str):
             texts = [texts]
@@ -276,12 +279,14 @@ class SimpleTokenizer:
         assert context_length, "Please set a valid context length"
 
         if self.reduction_fn is not None:
+            kwargs = {"rng": rng} if rng is not None else {}
             return self.reduction_fn(
                 texts,
                 context_length=context_length,
                 sot_token_id=self.sot_token_id,
                 eot_token_id=self.eot_token_id,
                 encode_fn=self.encode,
+                **kwargs,
             )
 
         result = np.zeros((len(texts), context_length), dtype=np.int32)
@@ -320,6 +325,16 @@ def decode(output_ids) -> str:
 # texts into the context window during training.
 # ---------------------------------------------------------------------------
 
+def _reduction_rng(rng: Optional[np.random.Generator]) -> np.random.Generator:
+    """Default rng for the reduction masks, seeded from the GLOBAL numpy
+    state: the reference's torch.randperm respects torch.manual_seed, so the
+    equivalent contract here is that np.random.seed (set by
+    train.main.random_seed) makes tokenization reproducible."""
+    if rng is not None:
+        return rng
+    return np.random.default_rng(np.random.randint(0, 2**31 - 1))
+
+
 def random_mask_tokenize(
     texts: List[str],
     context_length: int,
@@ -329,7 +344,7 @@ def random_mask_tokenize(
     shuffle: bool = False,
     rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
-    rng = rng or np.random.default_rng()
+    rng = _reduction_rng(rng)
     result = np.zeros((len(texts), context_length), dtype=np.int32)
     for i, text in enumerate(texts):
         tokens = np.asarray(encode_fn(text), dtype=np.int32)
@@ -356,7 +371,7 @@ def simple_mask_tokenize(
     rng: Optional[np.random.Generator] = None,
 ) -> np.ndarray:
     """Keep a random contiguous span when the caption is over-long."""
-    rng = rng or np.random.default_rng()
+    rng = _reduction_rng(rng)
     result = np.zeros((len(texts), context_length), dtype=np.int32)
     for i, text in enumerate(texts):
         tokens = encode_fn(text)
@@ -548,15 +563,22 @@ class SigLipTokenizer:
         "c4-en": "c4_en_32000.model",
         # used in multilingual models (mT5, PaLI), vocab_size=250000
         "mc4": "mc4_250000.model",
+        # SigLIP2 uses a Gemma vocab (wrong family for T5TokenizerFast) —
+        # resolved via HFTokenizer when the config names one; kept here so
+        # the logical name fails with guidance instead of a file-not-found.
+        "gemma": "gemma_256000.model",
     }
 
     def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
         from transformers import T5TokenizerFast
 
-        if tokenizer_name in self.VOCAB_FILES:
+        if tokenizer_name in self.VOCAB_FILES or not os.path.exists(tokenizer_name):
             raise NotImplementedError(
-                "Bundled SigLIP sentencepiece vocabs require network download; "
-                "pass a local path or HF-cached tokenizer name instead."
+                f"SigLIP tokenizer '{tokenizer_name}' is a logical vocab name or a "
+                "missing path. Bundled sentencepiece vocabs require network "
+                "download; pass a local .model path, or set "
+                "text_cfg.hf_tokenizer_name (SigLIP2's Gemma vocab must come "
+                "through HFTokenizer, not T5TokenizerFast)."
             )
         self.tokenizer = T5TokenizerFast(tokenizer_name, legacy=False)
         self.tokenizer.pad_token_id = 1

@@ -249,3 +249,79 @@ def test_every_registry_config_parses_and_builds():
     for name in names:
         cfg = parse_model_cfg(get_model_config(name))
         build_model(cfg)  # module construction must never raise
+
+
+def test_hf_hub_model_id_keeps_slash(monkeypatch):
+    """`hf-hub:org/repo` ids must keep their slash — the '/'→'-' model-name
+    normalization applies only to registry names (reference factory.py:368-372)."""
+    from refining_clip_via_dinov2_representations_tpu.models import factory as F
+
+    seen = []
+
+    def fake_download(model_id, filename=None, cache_dir=None):
+        seen.append(model_id)
+        raise RuntimeError("stop-after-capture")
+
+    monkeypatch.setattr(F, "download_pretrained_from_hf", fake_download)
+    with pytest.raises(RuntimeError, match="stop-after-capture"):
+        F.create_model("hf-hub:laion/CLIP-ViT-B-32-laion2B-s34B-b79K")
+    assert seen == ["laion/CLIP-ViT-B-32-laion2B-s34B-b79K"]
+
+
+def test_sin_cos_2d_pos_embed_is_fixed_constant():
+    """sin_cos_2d positional embeddings are non-trainable (reference registers
+    them requires_grad=False, transformer.py:478-487) — a flax param would
+    still receive AdamW weight decay, so they must not appear in params."""
+    from refining_clip_via_dinov2_representations_tpu.models.transformer import (
+        VisionTransformer,
+    )
+
+    model = VisionTransformer(
+        image_size=(32, 32), patch_size=(8, 8), width=48, layers=1,
+        heads=4, mlp_ratio=2.0, output_dim=32, pos_embed_type="sin_cos_2d",
+    )
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    assert "positional_embedding" not in v["params"]
+    out = model.apply(v, jnp.zeros((2, 32, 32, 3)))
+    assert out.shape == (2, 32)
+
+
+def test_load_checkpoint_strict_requires_bn_stats(tmp_path):
+    """A BN tower loaded from a checkpoint without running stats must fail
+    strict=True (mirrors torch load_state_dict strict missing-keys) instead of
+    silently evaluating with init statistics."""
+    import dataclasses
+    import torch
+
+    from refining_clip_via_dinov2_representations_tpu.models.convert import (
+        flax_params_to_torch_state_dict,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models.factory import (
+        load_checkpoint,
+    )
+
+    cfg = oc.parse_model_cfg(oc.get_model_config("RN50"))
+    cfg = dataclasses.replace(
+        cfg, vision_cfg=dataclasses.replace(cfg.vision_cfg, image_size=32)
+    )
+    model = oc.build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 77), jnp.int32)
+    )
+    sd = flax_params_to_torch_state_dict(
+        jax.tree_util.tree_map(np.asarray, variables["params"]),
+        batch_stats=jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+    )
+    stripped = {
+        k: torch.as_tensor(np.asarray(v))
+        for k, v in sd.items()
+        if "running_mean" not in k and "running_var" not in k
+    }
+    path = tmp_path / "no_stats.pt"
+    torch.save(stripped, path)
+
+    with pytest.raises(ValueError, match="batch_stats"):
+        load_checkpoint(model, variables, str(path), strict=True)
+    # non-strict load succeeds and reports the stat leaves as missing
+    _, (missing, _) = load_checkpoint(model, variables, str(path), strict=False)
+    assert any(m.startswith("batch_stats/") for m in missing)

@@ -114,3 +114,36 @@ def test_syntax_mask_tokenize_prioritizes_content_words():
     base = SimpleTokenizer()(["a photo of a cat"], context_length=77)
     import numpy as np
     assert np.array_equal(np.asarray(short), np.asarray(base))
+
+
+def test_reduction_masks_respect_global_numpy_seed():
+    """random/simple reduction masks must be reproducible under the global
+    numpy seed (the reference's torch.randperm respects torch.manual_seed;
+    train.main.random_seed seeds np.random the same way)."""
+    long_text = "word " * 200
+    for mask in ("random", "simple", "shuffle"):
+        tok = SimpleTokenizer(reduction_mask=mask)
+        np.random.seed(1234)
+        a = np.asarray(tok([long_text], context_length=16))
+        np.random.seed(1234)
+        b = np.asarray(tok([long_text], context_length=16))
+        assert np.array_equal(a, b), mask
+        # and an explicit rng pins the draw regardless of global state
+        r1 = np.asarray(
+            tok([long_text], context_length=16, rng=np.random.default_rng(7))
+        )
+        r2 = np.asarray(
+            tok([long_text], context_length=16, rng=np.random.default_rng(7))
+        )
+        assert np.array_equal(r1, r2), mask
+
+
+def test_siglip_tokenizer_logical_names_raise_guidance():
+    """Logical vocab names (incl. SigLIP2's gemma) fail with guidance, not a
+    T5 file-not-found crash."""
+    pytest.importorskip("transformers")
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SigLipTokenizer
+
+    for name in ("c4-en", "mc4", "gemma", "/nonexistent/path.model"):
+        with pytest.raises(NotImplementedError):
+            SigLipTokenizer(name)
