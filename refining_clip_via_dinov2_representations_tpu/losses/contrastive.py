@@ -184,14 +184,23 @@ def siglip_loss(
                 image_features, block, logit_scale, logit_bias, negative_only=True
             )
     elif dist_impl == "gather":
+        # One [b, n*b] matmul against the full gathered text block with the
+        # local diagonal block masked out elementwise — same sum as the
+        # reference's per-block loop (`loss.py:742-751`, which computes the
+        # own-rank block and zero-weights it), but as a single large MXU
+        # matmul with no wasted block. SPMD can't skip the local block
+        # statically (axis_index is traced), so masking is the fast form.
         all_text = lax.all_gather(text_features, axis_name)  # [n, b, d]
         my = lax.axis_index(axis_name)
-        for i in range(n):
-            other = all_text[i]
-            neg = _siglip_pair_loss(
-                image_features, other, logit_scale, logit_bias, negative_only=True
-            )
-            loss = loss + jnp.where(i == my, 0.0, 1.0) * neg
+        b = image_features.shape[0]
+        flat = all_text.reshape(n * b, -1)
+        logits = logit_scale * image_features @ flat.T  # [b, n*b]
+        if logit_bias is not None:
+            logits = logits + logit_bias
+        # all gathered pairs are negatives (positives were scored above)
+        per_pair = -jax.nn.log_sigmoid(-logits.astype(jnp.float32))
+        col_mask = (jnp.arange(n * b) // b != my).astype(jnp.float32)
+        loss = loss + jnp.sum(per_pair * col_mask) / b
     elif dist_impl == "reduce":
         # masked all_reduce broadcast (reference `loss.py:730-742`): W rounds,
         # round i psums `text * (rank == i)` so every device receives rank i's
@@ -250,7 +259,14 @@ def cyclip_loss(
     axis_name: Optional[str] = None,
     local_loss: bool = True,
 ):
-    """CLIP CE + cyclic consistency penalties (`CyCLIPLoss`, `loss.py:814-905`)."""
+    """CLIP CE + cyclic consistency penalties (`CyCLIPLoss`, `loss.py:814-905`).
+
+    With `local_loss=True` the consistency terms cover only LOCAL pairs —
+    reference-exact: `CyCLIPLoss._get_global_features` (`loss.py:843-848`)
+    keeps features local under world_size>1 + local_loss, so per-rank
+    consistency coverage shrinking with world size is the reference's own
+    (documented) semantics, not a deviation.
+    """
     base = clip_loss(image_features, text_features, logit_scale, axis_name, local_loss)
 
     if axis_name is not None and not local_loss:

@@ -39,8 +39,9 @@ def dot_product_attention_xla(
     head_dim = q.shape[-1]
     if scale is None:
         scale = head_dim ** -0.5
-    acc_dtype = jnp.float32 if q.dtype == jnp.float32 else q.dtype
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=acc_dtype)
+    # logits stay in the input dtype (fp32 in → fp32, bf16 in → bf16); the
+    # fp32 upgrade happens only at the softmax below — see docstring.
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=q.dtype)
     logits = logits * jnp.asarray(scale, logits.dtype)
     if mask is not None:
         logits = logits + mask.astype(logits.dtype)
@@ -133,8 +134,12 @@ def multi_head_attention(
       mask: optional additive mask broadcastable to [B, H, Lq, Lk]. When
         ``causal`` is set and no mask is given, a causal mask is applied
         inside the kernel (cheaper than materializing one).
-      impl: "xla" | "flash" | "auto". "auto" picks flash on TPU backends when
-        the shape is kernel-friendly.
+      impl: "xla" | "xla_bf16_bwd" | "fused" | "flash" | "auto". "auto"
+        resolves to the measured-fastest path: the bf16-custom-backward XLA
+        attention on TPU with non-fp32 inputs, plain XLA otherwise. The
+        pallas kernels ("fused"/"flash") are explicit opt-ins only — measured
+        slower end-to-end at every sequence length this model family reaches
+        (policy note below).
     """
     if impl == "auto":
         on_tpu = jax.default_backend() == "tpu"

@@ -7,9 +7,10 @@ O(L²) logits matrix, and the QKᵀ/PV matmuls stay on the MXU.
 
 Scope (matches this framework's needs — SURVEY §5 "long-context: absent by
 design"): sequence lengths are short (50-757 vision tokens, 77 text tokens),
-head_dim 64-128. Supported masks: none, causal, or a [B,1,1,Lk]-broadcast
-additive key mask (covers the CLS-padding mask). Arbitrary dense masks fall
-back to the XLA path at the dispatch layer.
+head_dim 64-128. Supported masks: none or causal (in-kernel iota
+comparison). Any explicit mask array — including key-padding masks — falls
+back to the XLA path at the dispatch layer (`flash_attention_compatible`
+returns False for mask is not None).
 
 Backward: custom_vjp whose backward recomputes attention with the XLA
 einsum implementation. At these sequence lengths the O(L²) backward buffer
@@ -42,9 +43,13 @@ NEG_INF = -1e30
 
 def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, out_ref, *, scale: float, causal: bool,
-    block_k: int, kv_len: int, q_len: int,
+    block_k: int, kv_len: int,
 ):
-    """One (batch*head, q-tile) program: stream key tiles with online softmax."""
+    """One (batch*head, q-tile) program: stream key tiles with online softmax.
+
+    Padded QUERY rows are not masked here — they produce garbage rows that
+    the wrapper discards with its `out[:, :lq]` slice. Padded KEY columns are
+    masked in-kernel (they would corrupt every row's softmax)."""
     qi = pl.program_id(1)
     block_q = q_ref.shape[0]
     head_dim = q_ref.shape[1]
@@ -125,7 +130,7 @@ def _flash_forward(q, k, v, scale, causal, block_q, block_k):
     grid = (b * h, lq_pad // block_q)
     kernel = functools.partial(
         _flash_fwd_kernel,
-        scale=scale, causal=causal, block_k=block_k, kv_len=lk, q_len=lq,
+        scale=scale, causal=causal, block_k=block_k, kv_len=lk,
     )
     out = pl.pallas_call(
         kernel,

@@ -31,9 +31,25 @@ MODEL_AXIS = "model"
 
 def init_distributed(coordinator_address: Optional[str] = None) -> None:
     """Join the multi-host job (replaces `init_process_group`,
-    `distributed.py:157-178`). No-op single-host."""
-    if coordinator_address or int(jax.process_count()) > 1:
-        jax.distributed.initialize(coordinator_address=coordinator_address)
+    `distributed.py:157-178`). No-op single-host.
+
+    Must run before ANY backend query: `jax.process_count()`/`jax.devices()`
+    initialize XLA and make joining the job impossible afterwards, so world
+    size comes from launcher env vars, never from the backend.
+    """
+    if jax.distributed.is_initialized():
+        return
+    # lazy import: function-level to keep parallel/ importable without train/
+    from ..train.distributed import is_using_distributed, world_info_from_env
+
+    if coordinator_address is None and not is_using_distributed():
+        return
+    _, global_rank, world_size = world_info_from_env()
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=world_size if world_size > 1 else None,
+        process_id=global_rank if world_size > 1 else None,
+    )
 
 
 def create_mesh(

@@ -282,14 +282,31 @@ def make_loss_fn(
             if "logit_bias" in out:
                 scalars["logit_bias"] = out["logit_bias"]
         elif cfg.loss_type == "distill":
-            # the teacher must see the SAME (device-preprocessed) pixels as
-            # the student, not the raw uint8 batch
-            t_out = dist_model.apply(dist_variables, images, batch["texts"])
-            rows["dist_image_features"] = jax.lax.stop_gradient(
-                t_out["image_features"]
-            )
-            rows["dist_text_features"] = jax.lax.stop_gradient(t_out["text_features"])
-            scalars["dist_logit_scale"] = jax.lax.stop_gradient(t_out["logit_scale"])
+            if "dist_image_features" in batch:
+                # accum phase 2: phase-1 teacher rows re-injected via the
+                # batch (the frozen teacher is deterministic and
+                # stop-gradient'd — same skip as the live-DINO branch)
+                rows["dist_image_features"] = batch["dist_image_features"]
+                rows["dist_text_features"] = batch["dist_text_features"]
+                # every CLIP built here exposes the log-scale as the
+                # top-level `logit_scale` param and returns it exp'd
+                # (`models/clip.py:422`) — recompute it without the forward
+                scalars["dist_logit_scale"] = jnp.exp(
+                    dist_variables["params"]["logit_scale"]
+                )
+            else:
+                # the teacher must see the SAME (device-preprocessed) pixels
+                # as the student, not the raw uint8 batch
+                t_out = dist_model.apply(dist_variables, images, batch["texts"])
+                rows["dist_image_features"] = jax.lax.stop_gradient(
+                    t_out["image_features"]
+                )
+                rows["dist_text_features"] = jax.lax.stop_gradient(
+                    t_out["text_features"]
+                )
+                scalars["dist_logit_scale"] = jax.lax.stop_gradient(
+                    t_out["logit_scale"]
+                )
         elif cfg.loss_type == "coca":
             rows["logits"] = out["logits"]
             rows["labels"] = out["labels"]
@@ -409,15 +426,23 @@ def make_train_step(
             def grad_body(carry, inp):
                 idx, micro = inp
                 acc_grads, stats = carry
-                if "dino_features" in cached and "dino_features" not in micro:
-                    # live-teacher mode: the frozen teacher's phase-1 output
-                    # is deterministic and stop-gradient'd — feed the cached
-                    # rows back so phase 2 skips the (possibly giant)
-                    # teacher forward instead of recomputing it
+                # frozen-teacher rows (live DINOv2 / distill CLIP teacher)
+                # are deterministic and stop-gradient'd — feed the cached
+                # phase-1 output back so phase 2 skips the (possibly giant)
+                # teacher forward instead of recomputing it
+                teacher_keys = (
+                    "dino_features", "dist_image_features", "dist_text_features"
+                )
+                inject = [
+                    key for key in teacher_keys
+                    if key in cached and key not in micro
+                ]
+                if inject:
                     micro = dict(micro)
-                    micro["dino_features"] = jax.lax.dynamic_index_in_dim(
-                        cached["dino_features"], idx, 0, keepdims=False
-                    )
+                    for key in inject:
+                        micro[key] = jax.lax.dynamic_index_in_dim(
+                            cached[key], idx, 0, keepdims=False
+                        )
 
                 def loss_j(params):
                     rows, scalars, st = encode_fn(

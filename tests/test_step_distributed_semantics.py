@@ -292,3 +292,52 @@ def test_accum_with_live_teacher_matches_single_big_batch():
         {k: v for k, v in s2.params["model"].items() if k != "logit_scale"},
     )
     assert max(jax.tree_util.tree_leaves(d)) < 5e-4, d
+
+
+def test_accum_with_distill_teacher_matches_single_big_batch():
+    """The distill CLIP teacher gets the same phase-2 cache re-injection as
+    the live DINO teacher: its frozen forward runs once per microbatch
+    (phase 1) and the cached rows + recomputed exp(logit_scale) reproduce the
+    live values exactly, so 2x-accum distill equals one full-batch step."""
+    mesh = create_mesh(data=4, model=1, devices=jax.devices()[:4])
+    t_model = build_model(parse_model_cfg(TINY_CFG))
+    t_vars = t_model.init(
+        jax.random.PRNGKey(21), jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32)
+    )
+
+    def make(accum):
+        model = build_model(parse_model_cfg(TINY_CFG))
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(
+            rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32)
+        )
+        params = {"model": variables["params"]}
+        tx, _ = build_optimizer(params, OptimCfg(lr=1e-3), const_lr(1e-3, 0, 100))
+        state = create_train_state(rng, variables["params"], tx)
+        cfg = StepCfg(loss_type="distill", accum_freq=accum)
+        step_fn = make_train_step(
+            model, tx, cfg, dist_model=t_model, dist_variables=t_vars, mesh=mesh
+        )
+        return state, step_fn
+
+    state2, step2 = make(2)
+    state1, step1 = make(1)
+    b = {k: v for k, v in _batch(seed=13).items() if k != "dino_features"}
+
+    with jax.set_mesh(mesh):
+        state2 = jax.device_put(state2, replicated(mesh))
+        micro = jax.tree.map(lambda x: x.reshape(2, B // 2, *x.shape[1:]), b)
+        s2, m2 = step2(state2, shard_batch(micro, mesh, microbatched=True))
+
+        state1 = jax.device_put(state1, replicated(mesh))
+        s1, m1 = step1(state1, shard_batch(b, mesh))
+
+    assert float(m1["distill_loss"]) > 0
+    assert float(m2["total_loss"]) == pytest.approx(float(m1["total_loss"]), rel=1e-4)
+    assert float(m2["distill_loss"]) == pytest.approx(float(m1["distill_loss"]), rel=1e-4)
+    d = jax.tree.map(
+        lambda a, c: float(np.abs(np.asarray(a) - np.asarray(c)).max()),
+        {k: v for k, v in s1.params["model"].items() if k != "logit_scale"},
+        {k: v for k, v in s2.params["model"].items() if k != "logit_scale"},
+    )
+    assert max(jax.tree_util.tree_leaves(d)) < 5e-4, d
