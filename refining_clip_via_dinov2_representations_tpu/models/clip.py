@@ -291,12 +291,15 @@ def _build_text_tower(
         from .hf_model import build_hf_text_tower
 
         try:
+            # weight-free construction — create_model overlays the hub
+            # weights post-init (factory.load_hf_pretrained_text_params)
+            # when cfg.hf_model_pretrained is set
             tower, _ = build_hf_text_tower(
                 cfg.hf_model_name,
                 output_dim=embed_dim,
                 proj_type=cfg.hf_proj_type,
                 pooler_type=cfg.hf_pooler_type if cfg.hf_pooler_type else None,
-                pretrained=cfg.hf_model_pretrained,
+                pretrained=False,
                 dtype=dtype,
             )
         except OSError as e:

@@ -195,7 +195,7 @@ def generate(
     def body(carry, t):
         tokens, finished, rng = carry
         rng, key = jax.random.split(rng)
-        logits = decode_step(tokens)[:, :, :]  # [B, L', V]
+        logits = decode_step(tokens)  # [B, L', V]
         # position t-1 predicts token t; clamp into the decoder's range
         pos = jnp.minimum(t - 1, logits.shape[1] - 1)
         step_logits = logits[:, pos, :].astype(jnp.float32) / max(temperature, 1e-6)
@@ -267,7 +267,6 @@ def generate_beam(
     _, image_embs = model.apply(
         variables, image, method=lambda m, im: m._encode_image(im)
     )
-    d = image_embs.shape[-1]
     # replicate image tokens per beam: [B*W, T, D]
     image_embs_rep = jnp.repeat(image_embs, w, axis=0)
 

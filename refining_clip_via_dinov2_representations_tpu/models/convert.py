@@ -174,6 +174,29 @@ def _convert_resnet_leaf(rest, tensor, params, batch_stats):
             raise KeyError(".".join(rest))
 
 
+def _convert_hf_text_leaf(rest, tensor, params):
+    """Map one `text.transformer.*` leaf of an HF-arch text tower
+    (reference `HFTextEncoder.transformer`, an HF torch encoder) to the flax
+    tower tree (`HFTextEncoder` scope: text/transformer/...).
+
+    Same rules as transformers' own pt→flax converter for encoder archs
+    (bert/roberta/xlm-roberta): Dense `weight`→`kernel`ᵀ, 1-D `weight`
+    (LayerNorm)→`scale`, `*_embeddings.weight`→`embedding`."""
+    arr = _np(tensor)
+    *path, leaf = rest
+    if leaf == "weight":
+        parent = path[-1] if path else ""
+        if arr.ndim == 1:
+            leaf = "scale"
+        elif parent.endswith("embeddings") or parent == "relative_attention_bias":
+            leaf = "embedding"
+        elif arr.ndim == 2:
+            leaf, arr = "kernel", arr.T
+        else:
+            leaf, arr = "kernel", arr.transpose(2, 3, 1, 0)
+    _set(params, ["text", "transformer", *path, leaf], arr)
+
+
 def convert_clip_variables(state_dict: Mapping[str, Any], strict: bool = True) -> Dict[str, Any]:
     """Convert to a full flax variables dict {'params': ..., 'batch_stats'?}."""
     params, batch_stats = _convert(state_dict, strict)
@@ -203,6 +226,19 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
 
     is_resnet = any(k.startswith("visual.layer1.") for k in sd)
     is_timm_trunk = any(k.startswith("visual.trunk.") for k in sd)
+    # HF text tower (roberta/xlm-roberta/bert hub checkpoints, e.g.
+    # laion/CLIP-ViT-B-32-roberta-base): HF encoder keys instead of
+    # open_clip resblocks
+    is_hf_text = any(k.startswith("text.transformer.embeddings.") for k in sd)
+    if any(
+        k.startswith(("text.transformer.shared.", "text.transformer.block."))
+        for k in sd
+    ):
+        raise NotImplementedError(
+            "t5/mt5 HF text towers use a different flax parameter layout; "
+            "no hub checkpoints exist for them — convert via "
+            "transformers.FlaxAutoModel if needed"
+        )
     if is_timm_trunk:
         # hub checkpoint with a timm vision trunk + custom text tower;
         # sniff the trunk family from its keys
@@ -314,6 +350,9 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
                     val = _np(tensor).T if rest[1] == "weight" else _np(tensor)
                     _set(params, ["text", "text_projection", leaf], val)
                 elif rest[0] == "transformer":
+                    if is_hf_text:
+                        _convert_hf_text_leaf(rest[1:], tensor, params)
+                        continue
                     m = block_re.match(".".join(rest[1:]))
                     if not m:
                         raise KeyError(key)
@@ -322,6 +361,16 @@ def _convert(state_dict: Mapping[str, Any], strict: bool = True):
                         leaf.split("."), tensor, params,
                         ["text", "transformer", f"resblocks_{idx}"],
                     )
+                elif rest[0] == "proj":
+                    # HFTextEncoder projection head (`hf_model.py:145-151`):
+                    # Linear -> proj; Sequential(Linear,GELU,Linear) -> 0/2
+                    if rest[1] == "weight":
+                        _set(params, ["text", "proj", "kernel"], _np(tensor).T)
+                    elif rest[1] in ("0", "2") and rest[2] == "weight":
+                        name = "proj_fc1" if rest[1] == "0" else "proj_fc2"
+                        _set(params, ["text", name, "kernel"], _np(tensor).T)
+                    else:
+                        raise KeyError(key)
                 elif rest[0] == "attn_mask":
                     continue  # buffer, not a parameter
                 else:
@@ -570,24 +619,51 @@ def flax_params_to_torch_state_dict(
                 emit_attn_pool(visual[pool_name], f"visual.{pool_name}")
 
     text = params["text"]
-    tp = "" if shared_text_namespace else "text."
-    sd[f"{tp}token_embedding.weight"] = t(text["token_embedding"]["embedding"])
-    sd[f"{tp}positional_embedding"] = t(text["positional_embedding"])
-    for name, block in text["transformer"].items():
-        idx = name.split("_")[-1]
-        emit_block(block, f"{tp}transformer.resblocks.{idx}")
-    sd[f"{tp}ln_final.weight"] = t(text["ln_final"]["scale"])
-    sd[f"{tp}ln_final.bias"] = t(text["ln_final"]["bias"])
-    proj = text["text_projection"]
-    if isinstance(proj, dict):
-        sd[f"{tp}text_projection.weight"] = t(proj["kernel"], transpose=True)
-        if "bias" in proj:
-            sd[f"{tp}text_projection.bias"] = t(proj["bias"])
-    else:
-        sd[f"{tp}text_projection"] = t(proj)
+    if "token_embedding" not in text:
+        # HF text tower (HFTextEncoder scope) — inverse of
+        # `_convert_hf_text_leaf`; the reference stores these only as
+        # CustomTextCLIP, so the `text.` prefix is unconditional
+        def emit_hf_text(tree, prefix):
+            for k, v in tree.items():
+                if isinstance(v, dict):
+                    emit_hf_text(v, f"{prefix}.{k}")
+                elif k == "kernel":
+                    arr = np.asarray(v)
+                    sd[f"{prefix}.weight"] = t(
+                        arr.T if arr.ndim == 2 else arr.transpose(3, 2, 0, 1)
+                    )
+                elif k in ("scale", "embedding"):
+                    sd[f"{prefix}.weight"] = t(v)
+                elif k == "bias":
+                    sd[f"{prefix}.bias"] = t(v)
+                else:
+                    raise KeyError(f"unhandled hf text leaf {prefix}.{k}")
 
-    if "cls_emb" in text:
-        sd[f"{tp}cls_emb"] = t(text["cls_emb"])
+        emit_hf_text(text["transformer"], "text.transformer")
+        if "proj" in text:
+            sd["text.proj.weight"] = t(text["proj"]["kernel"], transpose=True)
+        if "proj_fc1" in text:
+            sd["text.proj.0.weight"] = t(text["proj_fc1"]["kernel"], transpose=True)
+            sd["text.proj.2.weight"] = t(text["proj_fc2"]["kernel"], transpose=True)
+    else:
+        tp = "" if shared_text_namespace else "text."
+        sd[f"{tp}token_embedding.weight"] = t(text["token_embedding"]["embedding"])
+        sd[f"{tp}positional_embedding"] = t(text["positional_embedding"])
+        for name, block in text["transformer"].items():
+            idx = name.split("_")[-1]
+            emit_block(block, f"{tp}transformer.resblocks.{idx}")
+        sd[f"{tp}ln_final.weight"] = t(text["ln_final"]["scale"])
+        sd[f"{tp}ln_final.bias"] = t(text["ln_final"]["bias"])
+        proj = text["text_projection"]
+        if isinstance(proj, dict):
+            sd[f"{tp}text_projection.weight"] = t(proj["kernel"], transpose=True)
+            if "bias" in proj:
+                sd[f"{tp}text_projection.bias"] = t(proj["bias"])
+        else:
+            sd[f"{tp}text_projection"] = t(proj)
+
+        if "cls_emb" in text:
+            sd[f"{tp}cls_emb"] = t(text["cls_emb"])
 
     # CoCa multimodal decoder (`coca_model.py` text_decoder: interleaved
     # self/cross blocks, importer counterpart at `_convert` text_decoder arm)

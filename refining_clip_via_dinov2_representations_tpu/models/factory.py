@@ -230,6 +230,47 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
     return new_vars, (missing, unexpected)
 
 
+def load_hf_pretrained_text_params(
+    variables, text_cfg, cache_dir: Optional[str] = None, text_scope: str = "text"
+):
+    """Overlay hub-pretrained HF encoder weights under
+    `params[text_scope]['transformer']`.
+
+    The reference loads them inside the tower constructor
+    (`hf_model.py:121-127`); here module construction is weight-free, so
+    `create_model` calls this after `model.init` whenever
+    `text_cfg.hf_model_pretrained` is set and no full CLIP checkpoint
+    supersedes it."""
+    from transformers import AutoConfig
+
+    from .hf_model import ARCH_DICT, _instantiate_hf
+
+    config = AutoConfig.from_pretrained(text_cfg.hf_model_name, cache_dir=cache_dir)
+    pooler_type = text_cfg.hf_pooler_type or ARCH_DICT.get(
+        config.model_type, {}
+    ).get("pooler", "mean_pooler")
+    hf_model = _instantiate_hf(
+        text_cfg.hf_model_name, config, pooler_type, True, cache_dir
+    )
+    merged, missing, unexpected = _merge_params(
+        variables["params"][text_scope]["transformer"],
+        hf_model.params,
+        path=f"{text_scope}/transformer",
+    )
+    if missing or unexpected:
+        logging.warning(
+            "hf pretrained overlay (%s): missing=%s unexpected=%s",
+            text_cfg.hf_model_name, missing[:5], unexpected[:5],
+        )
+    params = dict(variables["params"])
+    text = dict(params[text_scope])
+    text["transformer"] = merged
+    params[text_scope] = text
+    new_vars = dict(variables)
+    new_vars["params"] = params
+    return new_vars
+
+
 def create_model(
     model_name: str,
     pretrained: Optional[str] = None,
@@ -328,6 +369,17 @@ def create_model(
             variables = model.init(init_rng, dummy_img, dummy_txt)
         if checkpoint_path:
             variables, _ = load_checkpoint(model, variables, checkpoint_path)
+        elif cfg.text_cfg.hf_model_name and cfg.text_cfg.hf_model_pretrained:
+            try:
+                variables = load_hf_pretrained_text_params(
+                    variables, cfg.text_cfg, cache_dir=cache_dir
+                )
+            except OSError as e:
+                raise RuntimeError(
+                    f"pretrained HF text weights {cfg.text_cfg.hf_model_name!r} "
+                    f"need hub-cached files (zero-egress environments must "
+                    f"pre-download, or set hf_model_pretrained=false): {e}"
+                ) from e
         if param_dtype != jnp.float32:
             variables = jax.tree.map(lambda x: x.astype(param_dtype), variables)
 

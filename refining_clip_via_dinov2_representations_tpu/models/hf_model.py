@@ -8,8 +8,18 @@ CLIP text tower with a pooler + projection head. The reference wraps torch
 tree — no torch in the compute path.
 
 Poolers (`hf_model.py:46-94`): mean_pooler (attention-masked mean),
-max_pooler, cls_pooler (first token). Projection: 'linear' or 'mlp' with
-hidden (d+out)//2 (`hf_model.py:139-151`).
+max_pooler, cls_pooler (model pooler_output when present, else first
+token — reference `ClsPooler.forward`), cls_last_hidden_state_pooler
+(always first token). Projection (`hf_model.py:142-158`): no proj when the
+hidden dim equals `output_dim` and no proj type is configured (reference
+nn.Identity); 'linear'; or 'mlp' with hidden (d+out)//2 — built whenever
+configured, regardless of dims.
+
+Pretrained weights: the reference loads them inside the tower constructor
+(`hf_model.py:121-127`). Here module construction is weight-free; the
+factory overlays hub weights onto the initialized variables
+(`factory.load_hf_pretrained_text_params`) so `create_model` matches the
+reference's from-pretrained semantics.
 """
 
 from __future__ import annotations
@@ -30,27 +40,44 @@ ARCH_DICT = {
 }
 
 
-def mean_pooler(hidden: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+def mean_pooler(out, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    hidden = out.last_hidden_state
     mask = attention_mask[..., None].astype(hidden.dtype)
     return jnp.sum(hidden * mask, axis=1) / jnp.maximum(jnp.sum(mask, axis=1), 1e-6)
 
 
-def max_pooler(hidden: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
+def max_pooler(out, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    hidden = out.last_hidden_state
     neg = jnp.finfo(hidden.dtype).min
     masked = jnp.where(attention_mask[..., None] > 0, hidden, neg)
     return jnp.max(masked, axis=1)
 
 
-def cls_pooler(hidden: jnp.ndarray, attention_mask: jnp.ndarray) -> jnp.ndarray:
-    return hidden[:, 0]
+def cls_pooler(out, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """Model pooler head (tanh-dense over CLS) when the architecture has one,
+    else the raw CLS hidden state — reference `ClsPooler.forward`
+    (`hf_model.py:72-80`, use_pooler_output=True)."""
+    pooled = getattr(out, "pooler_output", None)
+    if pooled is not None:
+        return pooled
+    return out.last_hidden_state[:, 0]
+
+
+def cls_last_hidden_state_pooler(out, attention_mask: jnp.ndarray) -> jnp.ndarray:
+    return out.last_hidden_state[:, 0]
 
 
 POOLERS = {
     "mean_pooler": mean_pooler,
     "max_pooler": max_pooler,
     "cls_pooler": cls_pooler,
-    "cls_last_hidden_state_pooler": cls_pooler,
+    "cls_last_hidden_state_pooler": cls_last_hidden_state_pooler,
 }
+
+# pooler types whose CLS position is stripped from the returned token stream
+# (reference strips for `type(self.pooler) == ClsPooler` ONLY,
+# `hf_model.py:160-164` — ClsLastHiddenStatePooler keeps the full stream)
+_CLS_STRIPPED = ("cls_pooler",)
 
 
 class HFTextEncoder(nn.Module):
@@ -63,17 +90,28 @@ class HFTextEncoder(nn.Module):
     hf_module: Any
     output_dim: int
     pooler_type: str = "mean_pooler"
-    proj_type: str = "linear"  # 'linear' | 'mlp' | 'none'
-    pad_id: int = 0
+    proj_type: Optional[str] = None  # None | 'linear' | 'mlp' | 'none'
+    pad_id: Optional[int] = None  # None → the HF config's pad_token_id
     output_tokens: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, input_ids: jnp.ndarray, deterministic: bool = True):
-        attention_mask = (input_ids != self.pad_id).astype(jnp.int32)
+        pad_id = self.pad_id
+        if pad_id is None:
+            # reference masks on the config's pad id (`hf_model.py:156`):
+            # roberta pads with 1 (0 is <s>), bert/t5 with 0
+            pad_id = getattr(self.hf_module.config, "pad_token_id", None)
+            if pad_id is None:
+                pad_id = 0
+        attention_mask = (input_ids != pad_id).astype(jnp.int32)
         Wrapped = type(self.hf_module)
+        wrap_kwargs = {}
+        if hasattr(self.hf_module, "add_pooling_layer"):
+            wrap_kwargs["add_pooling_layer"] = self.hf_module.add_pooling_layer
         transformer = Wrapped(
-            config=self.hf_module.config, dtype=self.dtype, name="transformer"
+            config=self.hf_module.config, dtype=self.dtype, name="transformer",
+            **wrap_kwargs,
         )
         out = transformer(
             input_ids=input_ids,
@@ -81,21 +119,62 @@ class HFTextEncoder(nn.Module):
             deterministic=deterministic,
         )
         hidden = out.last_hidden_state
-        pooled = POOLERS[self.pooler_type](hidden, attention_mask)
+        pooled = POOLERS[self.pooler_type](out, attention_mask)
 
         d = pooled.shape[-1]
-        if self.proj_type == "linear" or (self.proj_type != "none" and d != self.output_dim):
-            if self.proj_type == "mlp":
-                hidden_size = (d + self.output_dim) // 2
-                pooled = nn.Dense(hidden_size, use_bias=False, dtype=self.dtype, name="proj_fc1")(pooled)
-                pooled = nn.gelu(pooled)
-                pooled = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, name="proj_fc2")(pooled)
-            else:
-                pooled = nn.Dense(self.output_dim, use_bias=False, dtype=self.dtype, name="proj")(pooled)
+        # reference proj resolution (`hf_model.py:142-158`): Identity only
+        # for (dims equal AND proj unset); 'linear'/'mlp' always build.
+        # 'none' is this port's explicit no-proj (the reference has no such
+        # value — unset+mismatched dims crashes there; here it's an error).
+        if self.proj_type == "linear":
+            pooled = nn.Dense(
+                self.output_dim, use_bias=False, dtype=self.dtype, name="proj"
+            )(pooled)
+        elif self.proj_type == "mlp":
+            hidden_size = (d + self.output_dim) // 2
+            pooled = nn.Dense(
+                hidden_size, use_bias=False, dtype=self.dtype, name="proj_fc1"
+            )(pooled)
+            pooled = nn.gelu(pooled, approximate=False)
+            pooled = nn.Dense(
+                self.output_dim, use_bias=False, dtype=self.dtype, name="proj_fc2"
+            )(pooled)
+        elif self.proj_type in (None, "none"):
+            if self.proj_type is None and d != self.output_dim:
+                raise ValueError(
+                    f"hf text tower pools to {d} but embed_dim={self.output_dim} "
+                    "and no hf_proj_type is configured (the reference builds no "
+                    "projection here either — set hf_proj_type to 'linear' or "
+                    "'mlp')"
+                )
+        else:
+            raise ValueError(f"unknown proj_type {self.proj_type!r}")
 
         if self.output_tokens:
-            return pooled, hidden
+            tokens = hidden[:, 1:] if self.pooler_type in _CLS_STRIPPED else hidden
+            return pooled, tokens
         return pooled
+
+
+def _instantiate_hf(model_name, config, pooler_type, pretrained, cache_dir):
+    """Build the FlaxAutoModel with reference-matching pooling-head layout:
+    the tanh pooler head exists only for cls_pooler towers (reference passes
+    `add_pooling_layer=uses_transformer_pooler`, `hf_model.py:126`) so
+    converted checkpoints carry no orphan pooler weights."""
+    from transformers import FlaxAutoModel
+
+    kwargs = {"add_pooling_layer": pooler_type == "cls_pooler"}
+    try:
+        if pretrained:
+            return FlaxAutoModel.from_pretrained(
+                model_name, cache_dir=cache_dir, **kwargs
+            )
+        return FlaxAutoModel.from_config(config, **kwargs)
+    except TypeError:
+        # architecture without a pooling-layer knob (t5/mt5/m2m)
+        if pretrained:
+            return FlaxAutoModel.from_pretrained(model_name, cache_dir=cache_dir)
+        return FlaxAutoModel.from_config(config)
 
 
 def build_hf_text_tower(
@@ -109,27 +188,26 @@ def build_hf_text_tower(
 ):
     """Resolve an HF model name to (HFTextEncoder, pretrained_params|None).
 
+    With `pretrained=True` the returned params must be overlaid onto the
+    initialized variable tree (the factory does this via
+    `load_hf_pretrained_text_params`); the module itself is weight-free.
     Requires the model to be hub-cached or a local directory (zero-egress
     environments must pre-download).
     """
-    from transformers import AutoConfig, FlaxAutoModel
+    from transformers import AutoConfig
 
     config = AutoConfig.from_pretrained(model_name, cache_dir=cache_dir)
     if pooler_type is None:
         pooler_type = ARCH_DICT.get(config.model_type, {}).get("pooler", "mean_pooler")
 
-    if pretrained:
-        hf_model = FlaxAutoModel.from_pretrained(model_name, cache_dir=cache_dir)
-        hf_params = hf_model.params
-    else:
-        hf_model = FlaxAutoModel.from_config(config)
-        hf_params = None
+    hf_model = _instantiate_hf(model_name, config, pooler_type, pretrained, cache_dir)
+    hf_params = hf_model.params if pretrained else None
 
     tower = HFTextEncoder(
         hf_module=hf_model.module,
         output_dim=output_dim,
         pooler_type=pooler_type,
-        proj_type=proj_type or "linear",
+        proj_type=proj_type,
         dtype=dtype,
     )
     return tower, hf_params

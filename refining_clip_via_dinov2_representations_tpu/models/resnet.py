@@ -85,7 +85,10 @@ class AttentionPool2d(nn.Module):
         )
         tokens = tokens + pos.astype(tokens.dtype)
 
-        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(tokens)
+        # only the mean token is queried (reference `modified_resnet.py:88`
+        # passes `query=x[:1]`) — projecting all HW+1 queries and keeping
+        # row 0 would waste ~HW x the attention FLOPs for identical output
+        q = nn.Dense(self.embed_dim, dtype=self.dtype, name="q_proj")(tokens[:, :1])
         k = nn.Dense(self.embed_dim, dtype=self.dtype, name="k_proj")(tokens)
         v = nn.Dense(self.embed_dim, dtype=self.dtype, name="v_proj")(tokens)
 
@@ -95,7 +98,7 @@ class AttentionPool2d(nn.Module):
             return t.reshape(b, -1, self.num_heads, head_dim).transpose(0, 2, 1, 3)
 
         out = multi_head_attention(heads(q), heads(k), heads(v))
-        out = out.transpose(0, 2, 1, 3).reshape(b, -1, self.embed_dim)
+        out = out.transpose(0, 2, 1, 3).reshape(b, 1, self.embed_dim)
         out = nn.Dense(
             self.output_dim or self.embed_dim, dtype=self.dtype, name="c_proj"
         )(out)
@@ -121,10 +124,13 @@ class ModifiedResNet(nn.Module):
         bn = lambda name: nn.BatchNorm(
             use_running_average=deterministic, dtype=self.dtype, name=name
         )
-        # 3-conv stem
+        # 3-conv stem. conv1 is stride 2, where flax 'SAME' pads
+        # asymmetrically (0,1) but torch `padding=1` pads (1,1) — the
+        # explicit symmetric padding keeps the feature grid aligned with
+        # reference checkpoints (`modified_resnet.py:100`).
         x = nn.relu(bn("bn1")(nn.Conv(
             self.width // 2, (3, 3), strides=(2, 2), use_bias=False,
-            dtype=self.dtype, name="conv1",
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="conv1",
         )(x)))
         x = nn.relu(bn("bn2")(nn.Conv(
             self.width // 2, (3, 3), use_bias=False, dtype=self.dtype, name="conv2"

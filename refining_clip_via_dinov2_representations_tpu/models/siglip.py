@@ -34,7 +34,7 @@ _SIGLIP_FAMILY_DIMS = {
     "giantopt": (1536, 40, 16, 6144),
 }
 
-_TIMM_RE = re.compile(r"^vit_(base|large|so400m|giantopt)_patch(\d+)_siglip(?:_gap)?_(\d+)$")
+_TIMM_RE = re.compile(r"^vit_(base|large|so400m|giantopt)_patch(\d+)_siglip(_gap)?_(\d+)$")
 
 
 def parse_siglip_timm_name(name: str) -> Optional[Dict[str, int]]:
@@ -43,7 +43,15 @@ def parse_siglip_timm_name(name: str) -> Optional[Dict[str, int]]:
     if not m:
         # names without trailing resolution, e.g. vit_base_patch16_siglip_224
         return None
-    family, patch, res = m.group(1), int(m.group(2)), int(m.group(3))
+    if m.group(3):
+        # `_gap` checkpoints use global average pooling and carry no MAP-head
+        # weights — silently building the MAP tower would leave its
+        # probe/head params randomly initialized on load
+        raise NotImplementedError(
+            f"{name}: timm `_gap` SigLIP variants (global-average-pooled, no "
+            "attention-pool head) are not ported; use the MAP-head variant"
+        )
+    family, patch, res = m.group(1), int(m.group(2)), int(m.group(4))
     width, layers, heads, mlp = _SIGLIP_FAMILY_DIMS[family]
     return {
         "width": width, "layers": layers, "heads": heads, "mlp_dim": mlp,

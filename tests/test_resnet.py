@@ -62,3 +62,33 @@ def test_rn50_config_builds():
     out = model.apply(variables, jnp.zeros((1, 224, 224, 3)), method="encode_image")
     assert out.shape == (1, 1024)
     assert "batch_stats" in variables
+
+
+def test_stem_conv1_padding_matches_torch():
+    """Stride-2 stem conv1 must pad symmetrically like torch `padding=1`
+    (`modified_resnet.py:100`) — flax 'SAME' pads (0,1) and shifts the whole
+    feature grid by one pixel, which the full-model parity test above cannot
+    see (an untrained mean-query attnpool is nearly shift-invariant)."""
+    import flax.linen as nn
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(3, 3, 3, 8)).astype(np.float32)  # HWIO
+    x = rng.normal(size=(1, 16, 16, 3)).astype(np.float32)  # NHWC
+
+    conv = nn.Conv(8, (3, 3), strides=(2, 2), use_bias=False,
+                   padding=((1, 1), (1, 1)))
+    got = conv.apply({"params": {"kernel": jnp.asarray(w)}}, jnp.asarray(x))
+
+    tw = torch.from_numpy(w).permute(3, 2, 0, 1)  # OIHW
+    tx = torch.from_numpy(x).permute(0, 3, 1, 2)  # NCHW
+    want = F.conv2d(tx, tw, stride=2, padding=1).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+    # and the model's stem actually uses that padding
+    model = build_model(parse_model_cfg(TINY_RN))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), jnp.zeros((1, 16), jnp.int32)
+    )
+    bound = model.bind(variables)
+    assert bound.visual.__class__.__name__ == "ModifiedResNet"
