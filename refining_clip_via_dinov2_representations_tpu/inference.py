@@ -127,6 +127,10 @@ class ClipInferenceEngine:
       buckets: ascending batch-size ladder; requests pad up to the next
         bucket, larger requests are chunked by the top bucket.
       dtype: compute dtype for image inputs (params stay as stored).
+      mesh: optional `(data, model)` jax Mesh for multi-device serving —
+        weights are TP-sharded by the Megatron rules (`parallel.mesh`),
+        request batches sharded over `data` (buckets round up to multiples
+        of the data-axis size). None = single-device.
     """
 
     def __init__(
@@ -139,6 +143,7 @@ class ClipInferenceEngine:
         dtype=jnp.bfloat16,
         quantize: Optional[str] = None,  # None | "int8" (weight-only)
         quantize_min_size: int = _QUANT_MIN_SIZE,
+        mesh=None,
     ):
         self.model = model
         self.image_size = tuple(image_size)
@@ -146,12 +151,57 @@ class ClipInferenceEngine:
         self.buckets = tuple(sorted(set(int(b) for b in buckets)))
         self.dtype = dtype
         self.quantize = quantize
+        self.mesh = mesh
         if quantize == "int8":
             self.variables = quantize_variables_int8(variables, quantize_min_size)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         else:
             self.variables = variables
+
+        # Multi-device serving: a (data, model) mesh shards the weights by
+        # the Megatron TP rules (model axis — ViT-g-scale checkpoints that
+        # don't fit one chip) and the padded request batch over the data
+        # axis. Buckets are rounded up to multiples of the data-axis size so
+        # every shard gets equal rows. mesh=None keeps the single-device
+        # path byte-identical.
+        if mesh is not None:
+            from .parallel.mesh import DATA_AXIS, param_shardings, replicated
+
+            ndata = int(mesh.shape[DATA_AXIS])
+            if ndata > 1:
+                self.buckets = tuple(sorted(set(
+                    max(ndata, -(-b // ndata) * ndata) for b in self.buckets
+                )))
+            self._batch_sharding = jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec(DATA_AXIS)
+            )
+
+            def shard_vars(tree):
+                if "params" not in tree:
+                    return jax.device_put(tree, replicated(mesh))
+                sh = dict(tree)
+                # quantized leaves are {"_q","_s"} dicts hanging off the
+                # param path — the TP spec of the underlying param applies
+                # to "_q"; scales are tiny, replicate them
+                sh["params"] = jax.tree.map(
+                    lambda x, s: jax.device_put(x, s),
+                    tree["params"],
+                    param_shardings(tree["params"], mesh),
+                )
+                for k, v in tree.items():
+                    if k != "params":
+                        sh[k] = jax.device_put(v, replicated(mesh))
+                return sh
+
+            if quantize == "int8":
+                # shard after quantization: _q carries the param's spec only
+                # when shapes divide; keep it simple — replicate quantized
+                # trees (int8 weights are 4x smaller; TP+int8 can be layered
+                # later if a checkpoint demands both)
+                self.variables = jax.device_put(self.variables, replicated(mesh))
+            else:
+                self.variables = shard_vars(self.variables)
 
         def _vars(variables):
             if quantize == "int8":
@@ -183,9 +233,18 @@ class ClipInferenceEngine:
 
     def _image_spec(self, b: int):
         h, w = self.image_size
+        if self.mesh is not None:
+            return jax.ShapeDtypeStruct(
+                (b, h, w, 3), jnp.float32, sharding=self._batch_sharding
+            )
         return jax.ShapeDtypeStruct((b, h, w, 3), jnp.float32)
 
     def _text_spec(self, b: int):
+        if self.mesh is not None:
+            return jax.ShapeDtypeStruct(
+                (b, self.context_length), jnp.int32,
+                sharding=self._batch_sharding,
+            )
         return jax.ShapeDtypeStruct((b, self.context_length), jnp.int32)
 
     def _run_bucketed(self, fn, x: np.ndarray, pad_value=0) -> np.ndarray:
@@ -202,7 +261,10 @@ class ClipInferenceEngine:
         if b != n:
             pad = np.full((b - n, *x.shape[1:]), pad_value, x.dtype)
             x = np.concatenate([x, pad], axis=0)
-        out = np.asarray(fn(self.variables, jnp.asarray(x)))
+        xd = jnp.asarray(x)
+        if self.mesh is not None:
+            xd = jax.device_put(xd, self._batch_sharding)
+        out = np.asarray(fn(self.variables, xd))
         return out[:n]
 
     # -- public API ---------------------------------------------------------
@@ -245,6 +307,13 @@ class ClipInferenceEngine:
         baked into the artifact as constants (a serving host reloads with
         `load_exported`, no flax/model code needed). Returns {name: path}.
         """
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "export() serializes a single-device executable; a "
+                "mesh-sharded engine serves in-process (StableHLO export of "
+                "GSPMD-partitioned functions pins the exact device topology "
+                "into the artifact). Build an engine without `mesh` to export."
+            )
         os.makedirs(out_dir, exist_ok=True)
         written = {}
         for b in self.buckets:
@@ -283,6 +352,7 @@ def create_engine(
     dtype=jnp.bfloat16,
     quantize: Optional[str] = None,
     warm: bool = True,
+    mesh=None,
 ):
     """Factory: registry name (+ optional pretrained tag / checkpoint path)
     → warm engine + preprocess + tokenizer, the full serving bundle.
@@ -307,7 +377,7 @@ def create_engine(
         model, variables,
         image_size=tuple(image_size),
         context_length=model.text_cfg.context_length,
-        buckets=buckets, dtype=dtype, quantize=quantize,
+        buckets=buckets, dtype=dtype, quantize=quantize, mesh=mesh,
     )
     if warm:
         engine.warmup()

@@ -118,3 +118,91 @@ class NativeBPE:
                 self._lib.bpe_destroy(self._handle)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Native JPEG decode (jpeg_decoder.cpp) — separate shared object so a host
+# without libjpeg dev files degrades ONLY the decode fast path, not the BPE
+# core. Same cache/ownership discipline as the BPE build.
+# ---------------------------------------------------------------------------
+
+_JPEG_SRC = os.path.join(_DIR, "jpeg_decoder.cpp")
+
+
+def _jpeg_so_path() -> str:
+    with open(_JPEG_SRC, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()[:12]
+    return os.path.join(os.path.dirname(_so_path()), f"_native_jpeg-{h}.so")
+
+
+def _build_jpeg(so_path: str) -> bool:
+    try:
+        tmp = so_path + f".tmp{os.getpid()}"
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _JPEG_SRC,
+             "-o", tmp, "-ljpeg"],
+            check=True, capture_output=True, timeout=120,
+        )
+        os.replace(tmp, so_path)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+        logging.debug("native jpeg build failed: %r", e)
+        return False
+
+
+_jpeg_lib = None
+_jpeg_lib_tried = False
+
+
+def load_native_jpeg():
+    """Load (building if needed) the JPEG decode library, or None."""
+    global _jpeg_lib, _jpeg_lib_tried
+    if _jpeg_lib is not None or _jpeg_lib_tried:
+        return _jpeg_lib
+    _jpeg_lib_tried = True
+    so = _jpeg_so_path()
+    if not os.path.exists(so):
+        if not _build_jpeg(so):
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.rcd_jpeg_decode.restype = ctypes.c_int
+        lib.rcd_jpeg_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_ubyte)),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.rcd_jpeg_free.restype = None
+        lib.rcd_jpeg_free.argtypes = [ctypes.POINTER(ctypes.c_ubyte)]
+        _jpeg_lib = lib
+        return lib
+    except OSError as e:
+        logging.debug("native jpeg load failed: %r", e)
+        return None
+
+
+def decode_jpeg(data: bytes, target_min: int = 0):
+    """Decode JPEG bytes to a uint8 [H,W,3] RGB array, DCT-downscaled so the
+    shortest edge is the smallest M/8 multiple still >= `target_min`
+    (`target_min <= 0` = full size). Returns None when the native library is
+    unavailable or the stream is unsupported (CMYK) / corrupt — callers fall
+    back to PIL."""
+    lib = load_native_jpeg()
+    if lib is None or len(data) < 4 or data[:2] != b"\xff\xd8":
+        return None
+    import numpy as np
+
+    out = ctypes.POINTER(ctypes.c_ubyte)()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.rcd_jpeg_decode(
+        data, len(data), int(target_min),
+        ctypes.byref(out), ctypes.byref(w), ctypes.byref(h),
+    )
+    if rc != 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(h.value, w.value, 3)).copy()
+    finally:
+        lib.rcd_jpeg_free(out)
+    return arr

@@ -228,8 +228,13 @@ class CsvDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:
         path = self.images[idx]
-        with Image.open(path) as img:
-            image = self.transforms(img.convert("RGB"))
+        if getattr(self.transforms, "decode_min_dim", None) is not None:
+            # raw-uint8 host path: native DCT-scaled JPEG decode (PIL
+            # fallback inside) — see transform.ImageTransform.load_and_apply
+            image = self.transforms.load_and_apply(path)
+        else:
+            with Image.open(path) as img:
+                image = self.transforms(img.convert("RGB"))
         sample: Dict[str, Any] = {
             "images": image,
             "texts": self.tokenize([self.captions[idx]])[0]

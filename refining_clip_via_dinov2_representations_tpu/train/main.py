@@ -803,6 +803,18 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
     samples = 0
     accum = max(1, args.accum_freq)
     micro = []
+    # Host-side step counter: fetching `state.step` from the device every
+    # iteration would sync the host to step completion and serialize data
+    # loading with device compute. One fetch here, then host arithmetic —
+    # the dispatch of step t overlaps the host assembling batch t+1.
+    host_step = int(state.step)
+    # lag-1 backpressure: without any sync the host can queue an unbounded
+    # number of in-flight steps (each pinning a full device batch); blocking
+    # on step t-1 right after dispatching step t bounds run-ahead to one
+    # step while keeping the compute/input overlap.
+    prev_sync = None
+    window_samples = 0
+    window_t0 = time.time()
 
     profiling = bool(getattr(args, "profile", False)) and epoch == 0
     if profiling:
@@ -835,8 +847,12 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
         with jax.set_mesh(mesh):
             sharded = shard_batch(batch, mesh, microbatched=accum > 1)
             state, metrics = train_step(state, sharded)
+        if prev_sync is not None:
+            jax.block_until_ready(prev_sync)
+        prev_sync = metrics["total_loss"]
 
-        step = int(state.step)
+        host_step += 1
+        step = host_step
         if profiling and step >= getattr(args, "profile_steps", 5):
             import jax.profiler
 
@@ -844,12 +860,17 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
             profiling = False
         bsz = batch["images"].shape[-4] * accum
         samples += bsz
-        batch_time = time.time() - t_end
+        window_samples += bsz
         t_end = time.time()
 
         if step % args.log_every_n_steps == 0 or (num_batches and i == num_batches - 1):
             m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
-            ips = bsz / max(batch_time, 1e-9)
+            # window-averaged samples/s since the last log line (the fetch of
+            # `m` above is the sync point; per-step wall times are dispatch
+            # times under async execution and would over-read)
+            now = time.time()
+            ips = window_samples / max(now - window_t0, 1e-9)
+            window_samples, window_t0 = 0, now
             logging.info(
                 "Train Epoch: %d [%d] total_loss: %.5f logit_scale: %.3f "
                 "%.1f samples/s (data %.3fs)",

@@ -224,8 +224,13 @@ class WdsLoader:
 
     def _decode(self, raw: tuple) -> Dict[str, Any]:
         img_bytes, caption = raw
-        with Image.open(io.BytesIO(img_bytes)) as img:
-            image = self.preprocess_img(img.convert("RGB"))
+        if getattr(self.preprocess_img, "decode_min_dim", None) is not None:
+            # raw-uint8 host path: native DCT-scaled JPEG decode straight
+            # from the tar bytes (PIL fallback inside apply_bytes)
+            image = self.preprocess_img.apply_bytes(img_bytes)
+        else:
+            with Image.open(io.BytesIO(img_bytes)) as img:
+                image = self.preprocess_img(img.convert("RGB"))
         text = self.tokenizer([caption])[0] if self.tokenizer else caption
         return {"images": image, "texts": text}
 

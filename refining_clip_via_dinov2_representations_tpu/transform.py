@@ -204,17 +204,48 @@ def _finalize(img: Image.Image, mean: np.ndarray, std: np.ndarray) -> np.ndarray
 
 
 class ImageTransform:
-    """A picklable preprocessing callable: PIL.Image | ndarray → HWC float32."""
+    """A picklable preprocessing callable: PIL.Image | ndarray → HWC float32.
+
+    Transforms that tolerate DCT-prescaled decode (the raw-uint8 device-
+    preprocess host path) set `decode_min_dim` to their staging size; the
+    dataset loaders then route file/tar bytes through `apply_bytes`, which
+    uses the native libjpeg core (`native.decode_jpeg`) to decode JPEGs at
+    the smallest M/8 scale covering that size — ~2-5x less host decode work
+    — and falls back to PIL for everything else.
+    """
 
     def __init__(self, fn: Callable[[Image.Image], np.ndarray], image_size, is_train: bool):
         self._fn = fn
         self.image_size = image_size
         self.is_train = is_train
+        self.decode_min_dim: Optional[int] = None
 
     def __call__(self, img) -> np.ndarray:
         if isinstance(img, np.ndarray):
             img = Image.fromarray(img)
         return self._fn(img)
+
+    def apply_bytes(self, data: bytes) -> np.ndarray:
+        """Decode encoded image bytes and apply the transform. JPEGs take the
+        native DCT-scaled fast path when `decode_min_dim` is set."""
+        if self.decode_min_dim is not None:
+            from .native import decode_jpeg
+
+            arr = decode_jpeg(data, self.decode_min_dim)
+            if arr is not None:
+                return self._fn(Image.fromarray(arr))
+        import io
+
+        with Image.open(io.BytesIO(data)) as img:
+            return self._fn(img.convert("RGB"))
+
+    def load_and_apply(self, path: str) -> np.ndarray:
+        """Open `path` and apply the transform (fast JPEG path when enabled)."""
+        if self.decode_min_dim is not None:
+            with open(path, "rb") as f:
+                return self.apply_bytes(f.read())
+        with Image.open(path) as img:
+            return self._fn(img.convert("RGB"))
 
 
 def image_transform(
@@ -314,6 +345,10 @@ def raw_uint8_transform(raw_size: int = 256) -> ImageTransform:
 
     t = ImageTransform(_raw, size, is_train=True)
     t.is_raw_uint8 = True
+    # JPEGs may decode at the smallest M/8 DCT scale covering raw_size (the
+    # final bicubic + crop still run): this path already trades bit-exactness
+    # for throughput, and the device-side RRC consumes the result.
+    t.decode_min_dim = raw_size
     return t
 
 

@@ -48,6 +48,15 @@ def _build_pair():
         vision_cfg=dict(TINY_COCA["vision_cfg"]),
     )
     ref.eval()
+    # reference quirk: MultimodalTransformer.text_projection is torch.empty
+    # and its init_parameters is never invoked (`transformer.py:1275-1295`) —
+    # the tensor is uninitialized HEAP MEMORY. Fresh-process runs see zeroed
+    # pages (benign), but mid-suite the recycled heap can hold extreme values
+    # where torch-vs-XLA summation-order noise exceeds any tolerance
+    # (order-dependent flake). Give it sane seeded values BEFORE conversion
+    # so both sides share a well-conditioned matrix.
+    with torch.no_grad():
+        ref.text_decoder.text_projection.normal_(std=32 ** -0.5)
     model = build_model(parse_model_cfg(TINY_COCA))
     params = convert_clip_state_dict(ref.state_dict())
     return ref, model, {"params": params}
@@ -90,14 +99,8 @@ def test_coca_loss_integration():
     from refining_clip_via_dinov2_representations_tpu.losses import coca_loss
 
     _, model, variables = _build_pair()
-    # reference quirk: MultimodalTransformer.text_projection is torch.empty
-    # and its init_parameters is never invoked (`coca_model.py` /
-    # `transformer.py:1275,1277-1295`) — the converted tensor is
-    # uninitialized memory. Replace it with a sane matrix for the loss check.
-    rng = np.random.default_rng(0)
-    variables["params"]["text_decoder"]["text_projection"] = jnp.asarray(
-        rng.normal(scale=32 ** -0.5, size=(32, 64)).astype(np.float32)
-    )
+    # (_build_pair already replaces the reference's uninitialized
+    # text_projection with a sane seeded matrix)
     images, texts = _batch()
     out = model.apply(variables, jnp.asarray(images), jnp.asarray(texts.astype(np.int32)))
     losses = coca_loss(

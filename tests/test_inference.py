@@ -225,3 +225,44 @@ def test_engine_siglip_similarity_includes_bias():
     scale = float(np.exp(np.asarray(variables["params"]["logit_scale"])))
     bias = float(np.asarray(variables["params"]["logit_bias"]))
     np.testing.assert_allclose(sims, scale * img_f @ txt_f.T + bias, atol=1e-5)
+
+
+def test_engine_mesh_sharded_serving():
+    """Multi-device serving: a (data=4, model=2) mesh TP-shards the weights
+    and data-shards request batches; outputs must match the single-device
+    engine bit-for-bit (same math, GSPMD-partitioned)."""
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        create_mesh,
+    )
+
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    single = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(2, 8), dtype=jnp.float32,
+    )
+    mesh = create_mesh(data=4, model=2)
+    sharded = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(2, 8), dtype=jnp.float32, mesh=mesh,
+    )
+    # buckets round up to multiples of the data-axis size (4)
+    assert sharded.buckets == (4, 8)
+
+    rng = np.random.default_rng(7)
+    imgs = rng.normal(size=(5, 16, 16, 3)).astype(np.float32)  # pads 5 -> 8
+    texts = rng.integers(1, 63, size=(3, 12)).astype(np.int32)  # pads 3 -> 4
+
+    np.testing.assert_allclose(
+        sharded.encode_image(imgs), single.encode_image(imgs), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        sharded.encode_text(texts), single.encode_text(texts), atol=1e-5
+    )
+    # warmup compiles the sharded buckets without error
+    sharded.warmup()
+    # export is single-device-only: clear error instead of a broken artifact
+    with pytest.raises(NotImplementedError):
+        sharded.export("/tmp/never-written")
