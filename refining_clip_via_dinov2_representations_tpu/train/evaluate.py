@@ -29,8 +29,10 @@ def _build_encode(model):
     @jax.jit
     def encode(variables, images, texts):
         out = model.apply(variables, images, texts)
-        gen_loss = maybe_compute_generative_loss(out)
-        return out["image_features"], out["text_features"], out["logit_scale"], gen_loss
+        # per-ROW generative loss so the caller can drop padding rows added
+        # for data-axis sharding before averaging
+        gen_rows = maybe_compute_generative_loss(out, per_row=True)
+        return out["image_features"], out["text_features"], out["logit_scale"], gen_rows
 
     return encode
 
@@ -57,14 +59,20 @@ def _encode_fn(model):
     return fn
 
 
-def maybe_compute_generative_loss(model_out):
-    """CoCa caption CE when logits/labels present (`train.py:869-873`)."""
+def maybe_compute_generative_loss(model_out, per_row: bool = False):
+    """CoCa caption CE when logits/labels present (`train.py:869-873`).
+    `per_row=True` returns a [B] vector (mean over sequence positions per
+    sample) so padding rows can be dropped before the batch average."""
     if "logits" in model_out and "labels" in model_out:
         logits = model_out["logits"].astype(jnp.float32)
         labels = model_out["labels"]
         logp = jax.nn.log_softmax(logits, axis=-1)
         picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+        if per_row:
+            return -jnp.mean(picked, axis=tuple(range(1, picked.ndim)))
         return -jnp.mean(picked)
+    if per_row:
+        return jnp.zeros((model_out["image_features"].shape[0],))
     return jnp.zeros(())
 
 
@@ -77,7 +85,14 @@ def evaluate(
     tokenizer=None,
     val_key: str = "val",
     include_zero_shot: bool = True,
+    mesh=None,
 ) -> Dict[str, float]:
+    """When `mesh` is given, val batches are padded to a multiple of the
+    data-axis size and sharded over it, so the encode runs GSPMD-partitioned
+    across all chips (the reference evaluates on the master rank only,
+    `train.py:593-595` — wasting world_size-1 accelerators); padding rows are
+    sliced off before metrics, so results are identical to the 1-device path.
+    """
     metrics: Dict[str, float] = {}
 
     # zero-shot ImageNet (frequency-gated inside). The caller iterates
@@ -89,7 +104,8 @@ def evaluate(
             from .zero_shot import zero_shot_eval
 
             metrics.update(
-                zero_shot_eval(model, variables, data, epoch, args, tokenizer)
+                zero_shot_eval(model, variables, data, epoch, args, tokenizer,
+                               mesh=mesh)
             )
         except ImportError:
             pass
@@ -113,12 +129,31 @@ def evaluate(
     num_samples = 0
     logit_scale = 1.0
 
+    ndata = 1
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, batch_sharding
+
+        ndata = int(mesh.shape[DATA_AXIS])
+        shard = batch_sharding(mesh)
+
     for i, batch in enumerate(loader):
-        images = jnp.asarray(batch["images"])
-        texts = jnp.asarray(batch["texts"])
-        img_f, txt_f, scale, gen_loss = encode(variables, images, texts)
+        images = np.asarray(batch["images"])
+        texts = np.asarray(batch["texts"])
+        b = images.shape[0]
+        pad = (-b) % ndata
+        if pad:
+            # repeat the final row: every shard gets equal rows; outputs for
+            # the padding rows are discarded below
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+            texts = np.concatenate([texts, np.repeat(texts[-1:], pad, 0)])
+        images, texts = jnp.asarray(images), jnp.asarray(texts)
+        if mesh is not None:
+            images = jax.device_put(images, shard)
+            texts = jax.device_put(texts, shard)
+        img_f, txt_f, scale, gen_rows = encode(variables, images, texts)
         logit_scale = float(scale)
-        cumulative_gen_loss += float(gen_loss) * images.shape[0]
+        img_f, txt_f = img_f[:b], txt_f[:b]
+        cumulative_gen_loss += float(jnp.sum(gen_rows[:b]))
 
         all_img.append(np.asarray(img_f, np.float32))
         all_txt.append(np.asarray(txt_f, np.float32))
@@ -128,7 +163,6 @@ def evaluate(
                     path2id[p] = len(path2id)
                 all_ids.append(path2id[p])
 
-        b = images.shape[0]
         cumulative_loss += float(clip_loss(img_f, txt_f, scale)) * b
         num_samples += b
         if i % 100 == 0:

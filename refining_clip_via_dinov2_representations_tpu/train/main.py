@@ -526,7 +526,7 @@ def main(args=None):
         }
         for i, key in enumerate(eval_rounds):
             evaluate(model, variables_eval, data, start_epoch, args, tokenizer,
-                     val_key=key, include_zero_shot=(i == 0))
+                     val_key=key, include_zero_shot=(i == 0), mesh=mesh)
         _final_remote_sync(remote_sync_process, args, log_base)
         return
 
@@ -538,7 +538,7 @@ def main(args=None):
         for i, key in enumerate(eval_rounds):
             try:
                 evaluate(model, variables_eval, data, 0, args, tokenizer,
-                         val_key=key, include_zero_shot=(i == 0))
+                         val_key=key, include_zero_shot=(i == 0), mesh=mesh)
             except Exception as e:  # pre-train eval must not kill the run
                 logging.warning("pre-train eval on %s failed: %r", key, e)
 
@@ -562,7 +562,7 @@ def main(args=None):
         for i, key in enumerate(eval_rounds):
             m = evaluate(
                 model, variables_eval, data, completed_epoch, args, tokenizer,
-                val_key=key, include_zero_shot=(i == 0),
+                val_key=key, include_zero_shot=(i == 0), mesh=mesh,
             )
             if m:
                 epoch_results.append({"val_name": key, "metrics": m})

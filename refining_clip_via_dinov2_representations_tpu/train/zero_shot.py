@@ -53,26 +53,44 @@ def _score_fn(model):
     return _SCORE_CACHE[key]
 
 
-def run(model, variables, classifier, dataloader, args):
+def run(model, variables, classifier, dataloader, args, mesh=None):
+    """`mesh` shards each (padded) image batch over the data axis so the
+    50k-image ImageNet sweep runs on every chip instead of one (the
+    reference's zero-shot is master-rank-only); padded rows are sliced off
+    before accuracy, so results match the 1-device path exactly."""
     score = _score_fn(model)
     classifier = jnp.asarray(classifier)
 
+    ndata = 1
+    if mesh is not None:
+        from ..parallel.mesh import DATA_AXIS, batch_sharding
+
+        ndata = int(mesh.shape[DATA_AXIS])
+        shard = batch_sharding(mesh)
+
     top1 = top5 = n = 0.0
     for batch in dataloader:
-        images = jnp.asarray(batch["images"])
+        images = np.asarray(batch["images"])
         target = np.asarray(batch["labels"])
-        logits = np.asarray(score(variables, images, classifier))
+        b = images.shape[0]
+        pad = (-b) % ndata
+        if pad:
+            images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
+        images = jnp.asarray(images)
+        if mesh is not None:
+            images = jax.device_put(images, shard)
+        logits = np.asarray(score(variables, images, classifier))[:b]
         acc1, acc5 = accuracy(logits, target, topk=(1, 5))
         top1 += acc1
         top5 += acc5
-        n += images.shape[0]
+        n += b
     if n == 0:  # empty/degenerate ImageNet folder: skip, don't kill the run
         logging.warning("zero-shot loader yielded no samples; skipping")
         return float("nan"), float("nan")
     return top1 / n, top5 / n
 
 
-def zero_shot_eval(model, variables, data, epoch, args, tokenizer=None) -> Dict[str, float]:
+def zero_shot_eval(model, variables, data, epoch, args, tokenizer=None, mesh=None) -> Dict[str, float]:
     if "imagenet-val" not in data and "imagenet-v2" not in data:
         return {}
     if args.zeroshot_frequency == 0:
@@ -98,11 +116,11 @@ def zero_shot_eval(model, variables, data, epoch, args, tokenizer=None) -> Dict[
 
     results = {}
     if "imagenet-val" in data:
-        top1, top5 = run(model, variables, classifier, data["imagenet-val"].dataloader, args)
+        top1, top5 = run(model, variables, classifier, data["imagenet-val"].dataloader, args, mesh=mesh)
         results["imagenet-zeroshot-val-top1"] = top1
         results["imagenet-zeroshot-val-top5"] = top5
     if "imagenet-v2" in data:
-        top1, top5 = run(model, variables, classifier, data["imagenet-v2"].dataloader, args)
+        top1, top5 = run(model, variables, classifier, data["imagenet-v2"].dataloader, args, mesh=mesh)
         results["imagenetv2-zeroshot-val-top1"] = top1
         results["imagenetv2-zeroshot-val-top5"] = top5
     logging.info("Finished zero-shot imagenet.")
