@@ -155,17 +155,59 @@ def _param_spec(path: Tuple[str, ...], value) -> P:
     return P()
 
 
-def param_shardings(params: Any, mesh: Mesh) -> Any:
-    """NamedShardings for a param tree; model-axis sharding only when the
-    mesh actually has a model dimension > 1."""
-    if mesh.shape[MODEL_AXIS] == 1:
+def _data_layered_spec(tp: P, x, data: int, min_size: int) -> P:
+    """Layer data-axis (ZeRO/FSDP) sharding onto a possibly-TP spec.
+
+    The one rule shared by FSDP param sharding and ZeRO-1 moment sharding —
+    using the SAME function for both guarantees a param and its AdamW moments
+    always carry identical placements, so the optimizer update never reshards.
+    Column-parallel leaves take data on axis 0, row-parallel on axis 1,
+    unsharded leaves on axis 0; leaves that are scalars, small (< min_size
+    elements — the gather latency isn't worth it), or not divisible stay as
+    they were.
+    """
+    if not hasattr(x, "ndim") or x.ndim < 1 or data <= 1 or x.size < min_size:
+        return tp
+    if tp == P(None, MODEL_AXIS):
+        if x.shape[0] % data == 0:
+            return P(DATA_AXIS, MODEL_AXIS)
+        return tp
+    if tp == P(MODEL_AXIS, None):
+        if x.ndim >= 2 and x.shape[1] % data == 0:
+            return P(MODEL_AXIS, DATA_AXIS)
+        return tp
+    if tp == P() and x.shape[0] % data == 0:
+        return P(DATA_AXIS)
+    return tp
+
+
+def param_shardings(
+    params: Any, mesh: Mesh, fsdp: bool = False, min_size: int = 2**16
+) -> Any:
+    """NamedShardings for a param tree.
+
+    Model-axis (TP) sharding applies when the mesh has a model dimension > 1.
+    `fsdp=True` additionally shards every large leaf over the *data* axis
+    (ZeRO-3 / FSDP): XLA all-gathers each layer's params just before use and
+    reduce-scatters its grads — per-device param memory drops to ~1/data.
+    This is what lets BASELINE config 5's ViT-g-14 student (1.37B params,
+    ~16.4 GB fp32 params+moments replicated) train on 16 GB v5e chips: at
+    data=8 the param+moment footprint is ~2 GB/chip plus one layer's gathered
+    weights at a time.
+    """
+    data = mesh.shape[DATA_AXIS]
+    model = mesh.shape[MODEL_AXIS]
+    if model == 1 and not fsdp:
         return jax.tree.map(lambda _: replicated(mesh), params)
 
     def to_sharding(path, value):
         keys = tuple(
             p.key if hasattr(p, "key") else str(p) for p in path
         )
-        return NamedSharding(mesh, _param_spec(keys, value))
+        spec = _param_spec(keys, value) if model > 1 else P()
+        if fsdp:
+            spec = _data_layered_spec(spec, value, data, min_size)
+        return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(to_sharding, params)
 
@@ -204,31 +246,30 @@ def opt_state_shardings(opt_state: Any, mesh: Mesh, min_size: int = 2**16) -> An
             return replicated(mesh)
         keys = tuple(p.key if hasattr(p, "key") else str(p) for p in path)
         tp = _param_spec(keys, x) if model > 1 else P()
-        big = x.size >= min_size
-        if tp == P(None, MODEL_AXIS):
-            if data > 1 and big and x.shape[0] % data == 0:
-                return NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
-            return NamedSharding(mesh, tp)
-        if tp == P(MODEL_AXIS, None):
-            if data > 1 and big and x.shape[1] % data == 0:
-                return NamedSharding(mesh, P(MODEL_AXIS, DATA_AXIS))
-            return NamedSharding(mesh, tp)
-        if data > 1 and big and x.shape[0] % data == 0:
-            return NamedSharding(mesh, P(DATA_AXIS))
-        return replicated(mesh)
+        return NamedSharding(mesh, _data_layered_spec(tp, x, data, min_size))
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, opt_state)
 
 
-def state_shardings(state: Any, mesh: Mesh, shard_opt_state: bool = False) -> Any:
-    """Shardings for a full TrainState: params by the model-axis rules,
-    optimizer state optionally ZeRO-1 sharded over data, everything else
-    replicated."""
+def state_shardings(
+    state: Any,
+    mesh: Mesh,
+    shard_opt_state: bool = False,
+    fsdp: bool = False,
+    min_size: int = 2**16,
+) -> Any:
+    """Shardings for a full TrainState: params by the model-axis rules
+    (plus data-axis FSDP when `fsdp`), optimizer state ZeRO-1 sharded over
+    data when `shard_opt_state` or `fsdp` (FSDP'd params with replicated
+    moments would all-gather the moments every update — ZeRO-3 implies
+    ZeRO-1), everything else replicated."""
     shardings = jax.tree.map(lambda _: replicated(mesh), state)
-    shardings = shardings.replace(params=param_shardings(state.params, mesh))
-    if shard_opt_state:
+    shardings = shardings.replace(
+        params=param_shardings(state.params, mesh, fsdp=fsdp, min_size=min_size)
+    )
+    if shard_opt_state or fsdp:
         shardings = shardings.replace(
-            opt_state=opt_state_shardings(state.opt_state, mesh)
+            opt_state=opt_state_shardings(state.opt_state, mesh, min_size=min_size)
         )
     return shardings
 

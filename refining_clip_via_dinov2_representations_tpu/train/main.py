@@ -356,12 +356,25 @@ def main(args=None):
             jax.random.PRNGKey(args.seed), variables["params"], tx, head_params,
             batch_stats=variables.get("batch_stats"),
         )
-        if getattr(args, "shard_opt_state", False):
-            # ZeRO-1: AdamW moments sharded over the data axis (mesh.py)
+        fsdp = getattr(args, "fsdp", False)
+        if (
+            getattr(args, "shard_opt_state", False)
+            or fsdp
+            or mesh.shape.get("model", 1) > 1
+        ):
+            # ZeRO-1 (--shard-opt-state): AdamW moments sharded over data;
+            # ZeRO-3 (--fsdp): params themselves sharded over data;
+            # model axis > 1: Megatron TP specs must be placed explicitly
+            # at creation (jit propagation alone won't reshard) (mesh.py)
             from ..parallel.mesh import state_shardings
 
             state = jax.device_put(
-                state, state_shardings(state, mesh, shard_opt_state=True)
+                state,
+                state_shardings(
+                    state, mesh,
+                    shard_opt_state=getattr(args, "shard_opt_state", False),
+                    fsdp=fsdp,
+                ),
             )
 
         dino_cfg = DinoLossCfg(
@@ -479,6 +492,7 @@ def main(args=None):
                 state_shardings(
                     state, mesh,
                     shard_opt_state=getattr(args, "shard_opt_state", False),
+                    fsdp=getattr(args, "fsdp", False),
                 ),
             )
             logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)

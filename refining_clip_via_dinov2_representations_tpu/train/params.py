@@ -314,6 +314,12 @@ def parse_args(args=None):
     parser.add_argument("--shard-opt-state", default=False, action="store_true",
                         help="[tpu] ZeRO-1: shard AdamW moments over the data "
                              "axis (per-device optimizer memory / data_size)")
+    parser.add_argument("--fsdp", default=False, action="store_true",
+                        help="[tpu] ZeRO-3/FSDP: shard the parameters "
+                             "themselves over the data axis (XLA all-gathers "
+                             "per layer, reduce-scatters grads); implies "
+                             "--shard-opt-state. Required for ViT-g-scale "
+                             "students on 16 GB chips (BASELINE config 5)")
     parser.add_argument("--attn-impl", type=str, default="auto",
                         choices=["auto", "xla", "flash"],
                         help="[tpu] attention kernel selection")

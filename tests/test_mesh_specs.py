@@ -91,3 +91,71 @@ def test_opt_state_moments_follow_tp_sharding():
         if "positional_embedding" in name and ("mu" in name or "nu" in name):
             # 197 not divisible by 4 -> replicated over data, no TP match
             assert s.spec in (P(), P(None)), (name, s.spec)
+
+
+def test_fsdp_param_specs():
+    """FSDP layers the data axis onto param specs: column-parallel leaves on
+    axis 0, row-parallel on axis 1, unsharded big leaves on axis 0;
+    non-divisible or small leaves keep their TP-only spec."""
+    import jax
+    import pytest
+
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        create_mesh,
+        param_shardings,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    params = {
+        "visual": {
+            "resblocks_0": {
+                "mlp": {
+                    "c_fc": {"kernel": np.zeros((256, 1024), np.float32)},
+                    "c_proj": {"kernel": np.zeros((1024, 256), np.float32)},
+                },
+                "ln_1": {"scale": np.zeros((256,), np.float32)},
+            },
+            "positional_embedding": np.zeros((197, 256), np.float32),
+            "conv1": {"kernel": np.zeros((16, 16, 3, 256), np.float32)},
+        },
+        "logit_scale": np.zeros((), np.float32),
+    }
+
+    mesh = create_mesh(data=4, model=2)
+    sh = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+        for path, s in jax.tree_util.tree_leaves_with_path(
+            param_shardings(params, mesh, fsdp=True, min_size=0)
+        )
+    }
+    assert sh["visual/resblocks_0/mlp/c_fc/kernel"] == P("data", "model")
+    assert sh["visual/resblocks_0/mlp/c_proj/kernel"] == P("model", "data")
+    # unmatched 4-D conv kernel: data on axis 0 (16 % 4 == 0)
+    assert sh["visual/conv1/kernel"] == P("data")
+    # 197 rows not divisible by 4 -> stays replicated
+    assert sh["visual/positional_embedding"] == P()
+    # 1-D scale: 256 % 4 == 0 and min_size=0 -> data-sharded
+    assert sh["visual/resblocks_0/ln_1/scale"] == P("data")
+    assert sh["logit_scale"] == P()
+
+    # default min_size (2**16) keeps small leaves whole
+    sh_default = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+        for path, s in jax.tree_util.tree_leaves_with_path(
+            param_shardings(params, mesh, fsdp=True)
+        )
+    }
+    assert sh_default["visual/resblocks_0/ln_1/scale"] == P()
+    assert sh_default["visual/resblocks_0/mlp/c_fc/kernel"] == P("data", "model")
+
+    # data-parallel-only mesh: pure ZeRO-3, no model axis anywhere
+    mesh_dp = create_mesh(data=8, model=1)
+    sh_dp = {
+        "/".join(str(getattr(p, "key", p)) for p in path): s.spec
+        for path, s in jax.tree_util.tree_leaves_with_path(
+            param_shardings(params, mesh_dp, fsdp=True, min_size=0)
+        )
+    }
+    assert sh_dp["visual/resblocks_0/mlp/c_fc/kernel"] == P("data")
+    assert sh_dp["visual/resblocks_0/mlp/c_proj/kernel"] == P("data")
