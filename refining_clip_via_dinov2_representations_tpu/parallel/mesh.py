@@ -52,25 +52,50 @@ def init_distributed(coordinator_address: Optional[str] = None) -> None:
     )
 
 
+def _device_array(data: int, model: int, devices: Sequence[Any]) -> np.ndarray:
+    """Arrange devices into a (data, model) array.
+
+    Multi-slice pods (devices carrying distinct `slice_index`, i.e. TPU
+    slices joined by DCN): the slow DCN axis lands on the OUTER blocks of
+    the `data` dimension and the `model` (TP) axis stays inside one slice —
+    TP all-reduces and the per-block FSDP/ZeRO gathers ride ICI; only the
+    gradient all-reduce crosses DCN, once per step. Single slice: ICI-aware
+    `create_device_mesh` when both axes are >1, plain reshape otherwise.
+    """
+    n = len(devices)
+    slices = {getattr(d, "slice_index", 0) for d in devices}
+    if len(slices) > 1:
+        from jax.experimental import mesh_utils
+
+        n_slices = len(slices)
+        assert data % n_slices == 0, (
+            f"data axis {data} must be divisible by the {n_slices} slices "
+            f"(the model axis never spans DCN)"
+        )
+        return mesh_utils.create_hybrid_device_mesh(
+            (data // n_slices, model), (n_slices, 1), devices=devices
+        )
+    if model == 1 or data == 1:
+        return np.asarray(devices).reshape(data, model)
+    from jax.experimental import mesh_utils
+
+    return mesh_utils.create_device_mesh((data, model), devices=devices)
+
+
 def create_mesh(
     data: Optional[int] = None,
     model: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build the 2-D (data, model) mesh. `data=None` → all devices / model."""
+    """Build the 2-D (data, model) mesh. `data=None` → all devices / model.
+    Spans multiple TPU slices (ICI+DCN) automatically — see _device_array."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data is None:
         assert n % model == 0, f"{n} devices not divisible by model={model}"
         data = n // model
     assert data * model == n, f"mesh {data}x{model} != {n} devices"
-    if model == 1 or data == 1:
-        dev_array = np.asarray(devices).reshape(data, model)
-    else:
-        from jax.experimental import mesh_utils
-
-        dev_array = mesh_utils.create_device_mesh((data, model), devices=devices)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(_device_array(data, model, devices), (DATA_AXIS, MODEL_AXIS))
 
 
 def batch_sharding(mesh: Mesh, microbatched: bool = False) -> NamedSharding:

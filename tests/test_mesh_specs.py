@@ -159,3 +159,40 @@ def test_fsdp_param_specs():
     }
     assert sh_dp["visual/resblocks_0/mlp/c_fc/kernel"] == P("data")
     assert sh_dp["visual/resblocks_0/mlp/c_proj/kernel"] == P("data")
+
+
+def test_multislice_device_array():
+    """Multi-slice pods (distinct `slice_index`, ICI+DCN): the DCN axis lands
+    on the outer blocks of the data dimension and the model (TP) axis stays
+    inside one slice — TP all-reduces never cross DCN."""
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        _device_array,
+    )
+
+    class FakeDev:
+        def __init__(self, i, sl):
+            self.id = i
+            self.slice_index = sl
+            self.process_index = sl
+            self.platform = "cpu"
+            self.device_kind = "cpu"
+
+    devs = [FakeDev(i, i // 4) for i in range(8)]  # 2 slices x 4 devices
+
+    arr = _device_array(8, 1, devs)
+    assert arr.shape == (8, 1)
+    # pure DP: slice 0's devices fill the first data block
+    assert [d.slice_index for d in arr.ravel()] == [0] * 4 + [1] * 4
+
+    arr2 = _device_array(4, 2, devs)
+    assert arr2.shape == (4, 2)
+    for row in arr2:
+        # each TP pair lives in ONE slice
+        assert row[0].slice_index == row[1].slice_index
+    assert [row[0].slice_index for row in arr2] == [0, 0, 1, 1]
+
+    # model axis may never span DCN: TP=8 > one slice's 4 devices -> error
+    import pytest
+
+    with pytest.raises(AssertionError):
+        _device_array(1, 8, devs)
