@@ -374,6 +374,7 @@ def main(args=None):
                     state, mesh,
                     shard_opt_state=getattr(args, "shard_opt_state", False),
                     fsdp=fsdp,
+                    min_size=getattr(args, "fsdp_min_size", 2**16),
                 ),
             )
 
@@ -493,6 +494,7 @@ def main(args=None):
                     state, mesh,
                     shard_opt_state=getattr(args, "shard_opt_state", False),
                     fsdp=getattr(args, "fsdp", False),
+                    min_size=getattr(args, "fsdp_min_size", 2**16),
                 ),
             )
             logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)

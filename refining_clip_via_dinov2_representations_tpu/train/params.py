@@ -320,6 +320,10 @@ def parse_args(args=None):
                              "per layer, reduce-scatters grads); implies "
                              "--shard-opt-state. Required for ViT-g-scale "
                              "students on 16 GB chips (BASELINE config 5)")
+    parser.add_argument("--fsdp-min-size", type=int, default=2**16,
+                        help="[tpu] smallest param (elements) --fsdp shards; "
+                             "below this the all-gather latency outweighs "
+                             "the memory win")
     parser.add_argument("--attn-impl", type=str, default="auto",
                         choices=["auto", "xla", "flash"],
                         help="[tpu] attention kernel selection")

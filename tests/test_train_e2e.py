@@ -529,3 +529,34 @@ def test_val_loader_kwargs_not_host_sharded(monkeypatch):
     kw_val = data_mod._loader_kwargs(args, is_train=False)
     assert kw_val["process_count"] == 1 and kw_val["process_index"] == 0
     assert kw_train["process_count"] >= 1
+
+
+def test_cli_resume_latest_fsdp(tmp_path):
+    """Checkpoint save + `--resume latest` under ZeRO-3 (--fsdp) sharding:
+    orbax gathers the data-sharded params/moments on save, and the resume
+    path re-applies the FSDP shardings (main.py restore device_put)."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    common = [
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "16",
+        "--batch-size", "1",
+        "--warmup", "1",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--name", "resume-fsdp",
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+        "--save-most-recent",
+        "--fsdp", "--shard-opt-state", "--fsdp-min-size", "0",
+    ]
+    main(common + ["--epochs", "1"])
+    ckpts = tmp_path / "resume-fsdp" / "checkpoints"
+    assert (ckpts / "epoch_1").exists()
+
+    main(common + ["--epochs", "2", "--resume", "latest"])
+    assert (ckpts / "epoch_2").exists()
+    steps = json.loads((tmp_path / "resume-fsdp" / "loss_steps.json").read_text())
+    assert steps and steps[0]["step"] >= 3
