@@ -58,6 +58,19 @@ _SLOW_MODULES = {
     "test_convnext", "test_swin", "test_vitamin", "test_fastvit",
     "test_eva", "test_eva02", "test_resnet", "test_coca", "test_siglip_tower",
 }
+# individually compile-heavy tests inside otherwise-fast modules (each is a
+# full-model XLA build or an 8-device shard_map compile on this 1-CPU host);
+# measured >=15 s apiece — together they doubled the "not slow" wall time
+_SLOW_TESTS = {
+    "test_load_checkpoint_strict_requires_bn_stats",   # ModifiedResNet build, 148 s
+    "test_vitb32_shapes",                              # full ViT-B-32 fwd, 60 s
+    "test_dino_loss_under_shard_map",                  # 8-dev weighted-CE grid, 35 s
+    "test_create_model_and_transforms_smoke",          # ViT-B-32 factory build
+    "test_siglip_ring_matches_single_device",          # 8-dev ring compiles (x2)
+    "test_gap_vit_tower_builds",                       # timm-style GAP ViT build
+    "test_reference_hf_text_checkpoint_parity",        # torch HF roundtrip
+    "test_profiler_tiny",                              # XLA cost-analysis compile
+}
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",
 }
@@ -73,7 +86,8 @@ _TORCH_MODULES = {
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in _SLOW_MODULES:
+        base_name = item.name.split("[", 1)[0]
+        if mod in _SLOW_MODULES or base_name in _SLOW_TESTS:
             item.add_marker(pytest.mark.slow)
         if mod in _DIST_MODULES:
             item.add_marker(pytest.mark.dist)
