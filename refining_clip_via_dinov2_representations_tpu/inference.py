@@ -20,6 +20,7 @@ Mixed precision follows the training stance: bf16 compute, fp32 outputs
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -181,9 +182,6 @@ class ClipInferenceEngine:
                 if "params" not in tree:
                     return jax.device_put(tree, replicated(mesh))
                 sh = dict(tree)
-                # quantized leaves are {"_q","_s"} dicts hanging off the
-                # param path — the TP spec of the underlying param applies
-                # to "_q"; scales are tiny, replicate them
                 sh["params"] = jax.tree.map(
                     lambda x, s: jax.device_put(x, s),
                     tree["params"],
@@ -195,10 +193,16 @@ class ClipInferenceEngine:
                 return sh
 
             if quantize == "int8":
-                # shard after quantization: _q carries the param's spec only
-                # when shapes divide; keep it simple — replicate quantized
-                # trees (int8 weights are 4x smaller; TP+int8 can be layered
-                # later if a checkpoint demands both)
+                # int8 weights are 4x smaller, so they are replicated (the
+                # "_q" leaves' shapes don't line up with the fp TP specs).
+                # This means mesh+int8 does NOT get the TP memory win — warn
+                # loudly so a ViT-g-scale user isn't surprised by OOM.
+                logging.warning(
+                    "mesh + quantize='int8': int8 weights are replicated on "
+                    "every device (no TP sharding); if the quantized "
+                    "checkpoint doesn't fit one chip, drop quantize and use "
+                    "the TP-sharded bf16 path instead"
+                )
                 self.variables = jax.device_put(self.variables, replicated(mesh))
             else:
                 self.variables = shard_vars(self.variables)
@@ -261,9 +265,15 @@ class ClipInferenceEngine:
         if b != n:
             pad = np.full((b - n, *x.shape[1:]), pad_value, x.dtype)
             x = np.concatenate([x, pad], axis=0)
-        xd = jnp.asarray(x)
         if self.mesh is not None:
-            xd = jax.device_put(xd, self._batch_sharding)
+            # one sharded H2D straight from host memory (no default-device
+            # staging + reshard); multi-host safe for identical request
+            # batches on every process
+            from .parallel.mesh import put_full_batch
+
+            xd = put_full_batch(x, self._batch_sharding)
+        else:
+            xd = jnp.asarray(x)
         out = np.asarray(fn(self.variables, xd))
         return out[:n]
 

@@ -43,7 +43,12 @@ void error_exit(j_common_ptr cinfo) {
     longjmp(mgr->jump, 1);
 }
 
-void emit_message(j_common_ptr, int) {}  // silence warnings entirely
+// Silence output but keep the count: in libjpeg it is emit_message itself
+// that increments num_warnings for corrupt-data warnings (msg_level < 0),
+// so an empty override would hide truncation from the post-decode check.
+void emit_message(j_common_ptr cinfo, int msg_level) {
+    if (msg_level < 0) cinfo->err->num_warnings++;
+}
 
 }  // namespace
 
@@ -57,7 +62,10 @@ int rcd_jpeg_decode(const unsigned char* data, long len, int target_min,
     cinfo.err = jpeg_std_error(&err.pub);
     err.pub.error_exit = error_exit;
     err.pub.emit_message = emit_message;
-    unsigned char* buf = nullptr;
+    // `volatile`: modified between setjmp and longjmp — without it the
+    // error path reads an indeterminate value (C standard) and either
+    // leaks the buffer or frees garbage
+    unsigned char* volatile buf = nullptr;
 
     if (setjmp(err.jump)) {
         jpeg_destroy_decompress(&cinfo);
@@ -112,6 +120,16 @@ int rcd_jpeg_decode(const unsigned char* data, long len, int target_min,
         jpeg_read_scanlines(&cinfo, rows, 1);
     }
     jpeg_finish_decompress(&cinfo);
+    // Truncated/corrupt entropy data is a WARNING in libjpeg (it inserts a
+    // fake EOI and fabricates gray scanlines), not an error_exit — without
+    // this check a truncated file would silently train on half-gray pixels.
+    // Any corrupt-data warning routes to the PIL fallback, matching the
+    // documented "corrupt streams return an error" contract.
+    if (err.pub.num_warnings > 0) {
+        jpeg_destroy_decompress(&cinfo);
+        std::free(buf);
+        return -1;
+    }
     jpeg_destroy_decompress(&cinfo);
 
     *out = buf;

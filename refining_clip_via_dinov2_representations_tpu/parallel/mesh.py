@@ -133,6 +133,24 @@ def shard_batch(batch: Any, mesh: Mesh, microbatched: bool = False) -> Any:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def put_full_batch(x: Any, sharding: NamedSharding) -> jax.Array:
+    """Place a batch that every process holds IN FULL onto a (possibly
+    multi-host) data sharding.
+
+    Eval/serving loaders are deliberately not host-sharded (each process
+    reads the full val set so metrics are global), so unlike `shard_batch`
+    each process here already owns every row. Single-process this is one
+    sharded host-to-device transfer (no default-device staging + reshard);
+    multi-process each host materializes only the rows its addressable
+    shards cover (`jax.device_put` of a host-local array onto a mesh with
+    non-addressable devices raises).
+    """
+    x = np.asarray(x)
+    if jax.process_count() > 1:
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+    return jax.device_put(x, sharding)
+
+
 # ---------------------------------------------------------------------------
 # Parameter sharding rules for the `model` axis (tensor parallelism)
 # ---------------------------------------------------------------------------

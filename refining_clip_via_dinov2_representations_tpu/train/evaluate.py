@@ -131,7 +131,7 @@ def evaluate(
 
     ndata = 1
     if mesh is not None:
-        from ..parallel.mesh import DATA_AXIS, batch_sharding
+        from ..parallel.mesh import DATA_AXIS, batch_sharding, put_full_batch
 
         ndata = int(mesh.shape[DATA_AXIS])
         shard = batch_sharding(mesh)
@@ -146,10 +146,13 @@ def evaluate(
             # the padding rows are discarded below
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
             texts = np.concatenate([texts, np.repeat(texts[-1:], pad, 0)])
-        images, texts = jnp.asarray(images), jnp.asarray(texts)
         if mesh is not None:
-            images = jax.device_put(images, shard)
-            texts = jax.device_put(texts, shard)
+            # one sharded H2D per array; multi-host safe (val loaders are
+            # not host-sharded — every process holds the full batch)
+            images = put_full_batch(images, shard)
+            texts = put_full_batch(texts, shard)
+        else:
+            images, texts = jnp.asarray(images), jnp.asarray(texts)
         img_f, txt_f, scale, gen_rows = encode(variables, images, texts)
         logit_scale = float(scale)
         img_f, txt_f = img_f[:b], txt_f[:b]

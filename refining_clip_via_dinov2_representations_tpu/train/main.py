@@ -130,7 +130,9 @@ def main(args=None):
 
     mesh = create_mesh(model=args.mesh_model_axis)
     log_mesh(mesh)
-    data_axis = mesh.shape["data"]
+    from ..parallel.mesh import DATA_AXIS as _DATA_AXIS
+
+    data_axis = mesh.shape[_DATA_AXIS]
     # Reference parity: --batch-size is PER data-parallel rank (per chip),
     # exactly like open_clip's per-GPU batch size under DDP. The global
     # batch is batch_size x data-axis size; each host loads its share and
@@ -265,9 +267,9 @@ def main(args=None):
             # replicated would waste HBM on every model rank). The teacher
             # forward runs in the GSPMD region of the step, so XLA inserts
             # the per-block collectives automatically.
-            from ..parallel.mesh import param_shardings, replicated
+            from ..parallel.mesh import MODEL_AXIS, param_shardings, replicated
 
-            if mesh.shape["model"] > 1:
+            if mesh.shape[MODEL_AXIS] > 1:
                 dino_teacher.variables = {
                     "params": jax.device_put(
                         dino_teacher.variables["params"],
@@ -357,10 +359,12 @@ def main(args=None):
             batch_stats=variables.get("batch_stats"),
         )
         fsdp = getattr(args, "fsdp", False)
+        from ..parallel.mesh import MODEL_AXIS
+
         if (
             getattr(args, "shard_opt_state", False)
             or fsdp
-            or mesh.shape.get("model", 1) > 1
+            or mesh.shape.get(MODEL_AXIS, 1) > 1
         ):
             # ZeRO-1 (--shard-opt-state): AdamW moments sharded over data;
             # ZeRO-3 (--fsdp): params themselves sharded over data;
@@ -872,6 +876,9 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
         if profiling and step >= getattr(args, "profile_steps", 5):
             import jax.profiler
 
+            # under the async hot loop only step t-1 is synced; block on the
+            # in-flight step so the trace's last step isn't truncated
+            jax.block_until_ready(prev_sync)
             jax.profiler.stop_trace()
             profiling = False
         bsz = batch["images"].shape[-4] * accum
@@ -899,6 +906,8 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
     if profiling:
         import jax.profiler
 
+        if prev_sync is not None:
+            jax.block_until_ready(prev_sync)
         jax.profiler.stop_trace()
     return state, records
 

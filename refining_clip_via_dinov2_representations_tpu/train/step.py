@@ -141,8 +141,10 @@ def make_loss_fn(
     the global matrix. Without a mesh (or data==1) the same functions run
     with axis_name=None — single-device semantics, identical math.
     """
-    data_size = int(mesh.shape["data"]) if mesh is not None else 1
-    axis_name = "data" if data_size > 1 else None
+    from ..parallel.mesh import DATA_AXIS
+
+    data_size = int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
+    axis_name = DATA_AXIS if data_size > 1 else None
 
     def _compute(rows: Dict[str, jnp.ndarray], scalars: Dict[str, jnp.ndarray]):
         """Loss from per-device feature rows; runs under shard_map when

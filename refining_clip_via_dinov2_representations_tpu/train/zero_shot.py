@@ -63,7 +63,7 @@ def run(model, variables, classifier, dataloader, args, mesh=None):
 
     ndata = 1
     if mesh is not None:
-        from ..parallel.mesh import DATA_AXIS, batch_sharding
+        from ..parallel.mesh import DATA_AXIS, batch_sharding, put_full_batch
 
         ndata = int(mesh.shape[DATA_AXIS])
         shard = batch_sharding(mesh)
@@ -76,9 +76,11 @@ def run(model, variables, classifier, dataloader, args, mesh=None):
         pad = (-b) % ndata
         if pad:
             images = np.concatenate([images, np.repeat(images[-1:], pad, 0)])
-        images = jnp.asarray(images)
         if mesh is not None:
-            images = jax.device_put(images, shard)
+            # one sharded H2D; multi-host safe (loader is not host-sharded)
+            images = put_full_batch(images, shard)
+        else:
+            images = jnp.asarray(images)
         logits = np.asarray(score(variables, images, classifier))[:b]
         acc1, acc5 = accuracy(logits, target, topk=(1, 5))
         top1 += acc1

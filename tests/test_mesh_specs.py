@@ -196,3 +196,31 @@ def test_multislice_device_array():
 
     with pytest.raises(AssertionError):
         _device_array(1, 8, devs)
+
+
+def test_put_full_batch_matches_device_put():
+    """put_full_batch (eval/serving staging of batches every process holds in
+    full) must produce the same sharded global array via both its paths: the
+    single-process device_put and the multi-host make_array_from_callback
+    (exercised here directly — real multi-process coverage is in
+    tests/test_multihost.py's spawned runs)."""
+    import jax
+    import pytest
+
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        batch_sharding, create_mesh, put_full_batch,
+    )
+
+    if jax.device_count() < 8:
+        pytest.skip("needs the 8-virtual-device mesh")
+    mesh = create_mesh(model=2)
+    shard = batch_sharding(mesh)
+    x = np.arange(8 * 3 * 5, dtype=np.float32).reshape(8, 3, 5)
+
+    via_put = put_full_batch(x, shard)
+    assert via_put.sharding.is_equivalent_to(shard, x.ndim)
+    np.testing.assert_array_equal(np.asarray(via_put), x)
+
+    via_cb = jax.make_array_from_callback(x.shape, shard, lambda idx: x[idx])
+    np.testing.assert_array_equal(np.asarray(via_cb), x)
+    assert via_cb.sharding.is_equivalent_to(via_put.sharding, x.ndim)

@@ -74,6 +74,16 @@ def test_grayscale_converts_to_rgb():
     assert np.array_equal(out[..., 0], out[..., 1])
 
 
+def test_truncated_jpeg_returns_none():
+    """Premature EOF is only a WARNING in libjpeg (it inserts a fake EOI and
+    fabricates gray scanlines); the decoder must reject it so the PIL path
+    surfaces the corruption instead of silently training on half-gray data."""
+    data = _jpeg_bytes(_test_image(640, 480))
+    truncated = data[: len(data) // 2]
+    assert decode_jpeg(truncated, 256) is None
+    assert decode_jpeg(truncated, 0) is None
+
+
 def test_unsupported_inputs_return_none():
     assert decode_jpeg(b"\xff\xd8" + b"garbage" * 20, 256) is None
     png = io.BytesIO()

@@ -560,3 +560,28 @@ def test_cli_resume_latest_fsdp(tmp_path):
     assert (ckpts / "epoch_2").exists()
     steps = json.loads((tmp_path / "resume-fsdp" / "loss_steps.json").read_text())
     assert steps and steps[0]["step"] >= 3
+
+
+def test_cli_profile_trace_written(tmp_path):
+    """--profile traces epoch 0 and stops after profile_steps; under the
+    async hot loop the stop must block on the in-flight step first (a
+    truncated last step would silently poison the trace users inspect)."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    main([
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "24",
+        "--batch-size", "4",
+        "--epochs", "1",
+        "--warmup", "1",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--name", "prof-e2e",
+        "--workers", "2",
+        "--profile",
+    ])
+    trace_dir = tmp_path / "prof-e2e" / "profile"
+    traces = list(trace_dir.rglob("*.trace.json.gz"))
+    assert traces, f"no trace written under {trace_dir}"
