@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
@@ -104,6 +105,25 @@ def create_train_state(
         rng=rng,
         batch_stats=batch_stats,
     )
+
+
+def _step_compiler_options() -> Optional[Dict[str, str]]:
+    """Per-jit XLA:TPU tuning knobs for the train step.
+
+    `REFINING_CLIP_XLA_OPTS="xla_tpu_scoped_vmem_limit_kib=65536,..."` — the
+    axon/TPU backends accept per-compile options that the client-side
+    XLA_FLAGS parser rejects (TPU flags live in the server-side compiler).
+    Unset → None (XLA defaults; the measured design point needs none)."""
+    raw = os.environ.get("REFINING_CLIP_XLA_OPTS", "").strip()
+    if not raw:
+        return None
+    opts: Dict[str, str] = {}
+    for item in raw.split(","):
+        if not item.strip():
+            continue
+        k, _, v = item.partition("=")
+        opts[k.strip()] = v.strip()
+    return opts or None
 
 
 def _lambda_overrides(cfg: StepCfg, step: jnp.ndarray) -> Dict[str, jnp.ndarray]:
@@ -376,7 +396,9 @@ def make_train_step(
         )
         return loss, metrics, grads, new_stats
 
-    @partial(jax.jit, donate_argnums=(0,))
+    @partial(
+        jax.jit, donate_argnums=(0,), compiler_options=_step_compiler_options()
+    )
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         rng, step_rng = jax.random.split(state.rng)
 
