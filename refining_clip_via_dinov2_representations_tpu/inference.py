@@ -289,17 +289,21 @@ class ClipInferenceEngine:
             self._encode_text, np.asarray(texts, np.int32)
         )
 
+    def logit_terms(self) -> Tuple[float, float]:
+        """(exp(logit_scale), logit_bias-or-0) — the affine applied to
+        feature cosines (`model.py:435-442` semantics)."""
+        p = self.variables["params"]
+        scale = float(np.exp(np.asarray(p["logit_scale"])))
+        bias = float(np.asarray(p["logit_bias"])) if "logit_bias" in p else 0.0
+        return scale, bias
+
     def similarity(self, images: np.ndarray, texts: np.ndarray) -> np.ndarray:
         """Scaled image→text logits (`model.py:435-442` semantics: includes
         the additive logit_bias for SigLIP-style models)."""
         img_f = self.encode_image(images)
         txt_f = self.encode_text(texts)
-        p = self.variables["params"]
-        scale = float(np.exp(np.asarray(p["logit_scale"])))
-        logits = scale * img_f @ txt_f.T
-        if "logit_bias" in p:
-            logits = logits + float(np.asarray(p["logit_bias"]))
-        return logits
+        scale, bias = self.logit_terms()
+        return scale * img_f @ txt_f.T + bias
 
     def warmup(self) -> None:
         """AOT-compile every bucket for both towers (no device steps wasted

@@ -1,0 +1,174 @@
+"""HTTP serving front end (serve.py): endpoints, micro-batching, parity with
+direct engine calls."""
+
+import base64
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from refining_clip_via_dinov2_representations_tpu.models import (
+    register_model_config,
+)
+
+TINY_CFG = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 16, "patch_size": 8, "width": 32,
+                   "layers": 2, "head_width": 16},
+    "text_cfg": {"context_length": 12, "vocab_size": 49408, "width": 32,
+                 "heads": 4, "layers": 2},
+}
+register_model_config("tiny-serve-model", TINY_CFG)
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        create_engine,
+    )
+    from refining_clip_via_dinov2_representations_tpu.serve import (
+        ClipServer, make_http_server,
+    )
+
+    engine, preprocess, tokenizer = create_engine(
+        "tiny-serve-model", buckets=(2, 4), warm=False
+    )
+    server = ClipServer(engine, preprocess, tokenizer, batch_window_ms=20.0)
+    httpd = make_http_server(server, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield engine, tokenizer, server, base
+    httpd.shutdown()
+    server.close()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _png_b64(rng):
+    from PIL import Image
+
+    arr = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, "PNG")
+    return base64.b64encode(buf.getvalue()).decode(), arr
+
+
+def test_health(bundle):
+    engine, _, _, base = bundle
+    with urllib.request.urlopen(base + "/health", timeout=60) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok"
+    assert body["buckets"] == [2, 4]
+    assert body["context_length"] == 12
+
+
+def test_encode_text_matches_engine(bundle):
+    engine, tokenizer, _, base = bundle
+    texts = ["a photo of a cat", "a drawing of a dog"]
+    status, body = _post(base, "/v1/encode_text", {"texts": texts})
+    assert status == 200
+    got = np.asarray(body["features"], np.float32)
+    want = engine.encode_text(np.asarray(tokenizer(texts), np.int32))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    assert np.allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-4)
+
+
+def test_encode_image_and_similarity(bundle):
+    engine, tokenizer, server, base = bundle
+    rng = np.random.default_rng(0)
+    b64s, _ = zip(*(_png_b64(rng) for _ in range(3)))
+    status, body = _post(base, "/v1/encode_image", {"images_b64": list(b64s)})
+    assert status == 200
+    feats = np.asarray(body["features"], np.float32)
+    assert feats.shape == (3, 32)
+    assert np.allclose(np.linalg.norm(feats, axis=-1), 1.0, atol=1e-4)
+
+    status, body = _post(
+        base, "/v1/similarity",
+        {"texts": ["a cat", "a dog"], "images_b64": list(b64s)},
+    )
+    assert status == 200
+    logits = np.asarray(body["logits"], np.float32)
+    assert logits.shape == (3, 2)
+    # recompute from the pieces: scale * img @ txt.T + bias
+    txt = engine.encode_text(
+        np.asarray(tokenizer(["a cat", "a dog"]), np.int32)
+    )
+    scale, bias = engine.logit_terms()
+    np.testing.assert_allclose(logits, scale * feats @ txt.T + bias, atol=1e-4)
+
+
+def test_bad_requests(bundle):
+    _, _, _, base = bundle
+    status, body = _post(base, "/v1/encode_text", {"texts": []})
+    assert status == 400 and "texts" in body["error"]
+    status, body = _post(base, "/v1/nope", {})
+    assert status == 404
+
+
+def test_concurrent_requests_coalesce_and_stay_correct(bundle):
+    """Many simultaneous 1-text requests: the micro-batcher must coalesce
+    them into fewer engine calls while every caller still gets ITS row."""
+    engine, tokenizer, server, base = bundle
+    texts = [f"sample number {i}" for i in range(6)]
+    want = engine.encode_text(np.asarray(tokenizer(texts), np.int32))
+
+    calls = []
+    orig = server._text_batcher._fn
+
+    def counting(x):
+        calls.append(x.shape[0])
+        return orig(x)
+
+    server._text_batcher._fn = counting
+    try:
+        results = [None] * len(texts)
+
+        def worker(i):
+            status, body = _post(base, "/v1/encode_text", {"texts": [texts[i]]})
+            assert status == 200
+            results[i] = np.asarray(body["features"], np.float32)[0]
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(texts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+    finally:
+        server._text_batcher._fn = orig
+
+    for i in range(len(texts)):
+        np.testing.assert_allclose(results[i], want[i], atol=1e-5)
+    # coalescing is timing-dependent; with a 20 ms window and simultaneous
+    # submission, 6 requests should land in clearly fewer engine calls
+    assert len(calls) < 6, f"no coalescing happened: {calls}"
+    assert sum(calls) == 6
+
+
+def test_batcher_error_propagates_to_all_waiters():
+    from refining_clip_via_dinov2_representations_tpu.serve import _Batcher
+
+    def boom(x):
+        raise RuntimeError("device exploded")
+
+    b = _Batcher(boom, max_rows=8, window_ms=10.0)
+    try:
+        with pytest.raises(RuntimeError, match="device exploded"):
+            b.submit(np.zeros((2, 3)))
+    finally:
+        b.close()
