@@ -169,6 +169,38 @@ def load_checkpoint(model, variables, checkpoint_path: str, strict: bool = True)
     from .convert import convert_clip_variables
 
     path = str(checkpoint_path)
+    if os.path.isdir(path):
+        # orbax `epoch_N` dir written by train/checkpoint.py:save_checkpoint —
+        # lets serving/eval consume a mid-training checkpoint directly,
+        # without waiting for the end-of-run torch-interop export. The
+        # template-less restore is safe here: the tree is immediately merged
+        # strictly against this model's own param structure.
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        if "params" not in restored:
+            raise ValueError(f"{path} is a directory but not an orbax "
+                             "checkpoint written by this trainer")
+        # trainer layout: params = {"model": ..., "dino_head"?: ...}
+        loaded_params = restored["params"].get("model", restored["params"])
+        params, missing, unexpected = _merge_params(
+            variables["params"], loaded_params
+        )
+        new_vars = dict(variables)
+        new_vars["params"] = params
+        if "batch_stats" in restored and "batch_stats" in variables:
+            bs, bs_missing, bs_unexpected = _merge_params(
+                variables["batch_stats"], restored["batch_stats"]
+            )
+            new_vars["batch_stats"] = bs
+            missing += bs_missing
+            unexpected += bs_unexpected
+        if strict and (missing or unexpected):
+            raise ValueError(
+                f"checkpoint mismatch: missing={missing[:10]} "
+                f"unexpected={unexpected[:10]}"
+            )
+        return new_vars, (missing, unexpected)
     if path.endswith(".npz"):
         import numpy as _np
 

@@ -172,3 +172,81 @@ def test_batcher_error_propagates_to_all_waiters():
             b.submit(np.zeros((2, 3)))
     finally:
         b.close()
+
+
+def test_create_engine_from_orbax_training_checkpoint(tmp_path):
+    """Serving a mid-training checkpoint: factory.load_checkpoint accepts the
+    trainer's orbax epoch_N directory directly (no torch-interop export
+    needed), strict-merged against the model's own param tree."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        create_engine,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model, get_model_config, parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models.factory import (
+        load_checkpoint,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.checkpoint import (
+        save_checkpoint,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.step import (
+        create_train_state,
+    )
+
+    cfg = parse_model_cfg(get_model_config("tiny-serve-model"))
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(7)
+    variables = model.init(
+        rng, jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    state = create_train_state(
+        rng, variables["params"], optax.adamw(1e-3)
+    )
+    path = save_checkpoint(str(tmp_path / "checkpoints"), state, epoch=3)
+
+    # fresh init -> load the orbax dir -> params equal the saved ones
+    fresh = model.init(
+        jax.random.PRNGKey(8), jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1, 12), jnp.int32),
+    )
+    loaded, (missing, unexpected) = load_checkpoint(model, fresh, path)
+    assert not missing and not unexpected
+    jax.tree.map(
+        np.testing.assert_array_equal, loaded["params"], variables["params"]
+    )
+
+    # and the full serving bundle consumes the dir
+    engine, _, tokenizer = create_engine(
+        "tiny-serve-model", checkpoint=path, buckets=(2,), warm=False
+    )
+    ids = np.asarray(tokenizer(["a cat"]), np.int32)
+    feats = engine.encode_text(ids)
+    assert feats.shape == (1, 32) and np.isfinite(feats).all()
+
+
+def test_load_checkpoint_rejects_non_checkpoint_dir(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model, get_model_config, parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.models.factory import (
+        load_checkpoint,
+    )
+
+    cfg = parse_model_cfg(get_model_config("tiny-serve-model"))
+    model = build_model(cfg)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1, 12), jnp.int32),
+    )
+    (tmp_path / "not_a_ckpt").mkdir()
+    with _pytest.raises(Exception):
+        load_checkpoint(model, variables, str(tmp_path / "not_a_ckpt"))
