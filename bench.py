@@ -122,8 +122,12 @@ def main():
     # features; set BENCH_TEACHER to a DINOV2_CONFIGS name for other sizes.
     teacher_env = os.environ.get("BENCH_TEACHER", "")
     # BENCH_REMAT=1: per-block activation checkpointing (BASELINE config 5 —
-    # ViT-g-scale student with --grad-checkpointing)
+    # ViT-g-scale student with --grad-checkpointing). BENCH_REMAT_POLICY
+    # selects a jax.checkpoint policy (dots_saveable /
+    # dots_with_no_batch_dims_saveable) for selective rematerialization.
     use_remat = os.environ.get("BENCH_REMAT", "") not in ("", "0")
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "")
+    remat_arg = (remat_policy or use_remat) if use_remat else False
     # BENCH_LOSS=siglip: sigmoid pairwise loss (BASELINE config 4 — the
     # single-chip microbatch of the 32k-global SigLIP step; per-chip compute
     # is loss-dominated-identical across ring impls at world=1)
@@ -141,13 +145,13 @@ def main():
     dino_dim = 384  # DINOv2 ViT-S/14 feature dim
     _log(
         f"backend={backend} chips={n_chips} model={model_name} batch={batch} "
-        f"teacher={teacher_env or 'precomputed'} remat={use_remat}"
+        f"teacher={teacher_env or 'precomputed'} remat={remat_arg}"
     )
 
     # BENCH_ATTN: attention impl override (auto|xla|xla_bf16_bwd|fused|flash)
     attn_impl = os.environ.get("BENCH_ATTN", "auto")
     cfg = parse_model_cfg(get_model_config(model_name))
-    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl=attn_impl, remat=use_remat)
+    model = build_model(cfg, dtype=jnp.bfloat16, attn_impl=attn_impl, remat=remat_arg)
     rng = jax.random.PRNGKey(0)
     from refining_clip_via_dinov2_representations_tpu.utils import to_2tuple
 

@@ -35,15 +35,31 @@ def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndar
     return x / jnp.maximum(norm, eps)
 
 
+def _remat_args(remat):
+    """Split the `remat` knob into (enabled, policy_name).
+
+    `remat` is either a bool (full recompute when True) or the name of a
+    `jax.checkpoint` policy ("dots_saveable" /
+    "dots_with_no_batch_dims_saveable") — selective rematerialization that
+    saves matmul outputs and recomputes only cheap elementwise ops, trading
+    a little memory for most of the recompute FLOPs. Towers without a
+    `remat_policy` field fall back to full recompute.
+    """
+    if isinstance(remat, str):
+        return True, remat
+    return bool(remat), "full"
+
+
 def _build_vision_tower(
     embed_dim: int,
     cfg: CLIPVisionCfg,
     quick_gelu: bool,
     dtype,
     attn_impl: str,
-    remat: bool,
+    remat,
     name: str = "visual",
 ) -> nn.Module:
+    remat, remat_policy = _remat_args(remat)
     if cfg.timm_model_name is not None:
         from .siglip import SiglipVisionCfg, SiglipVisionTower, parse_siglip_timm_name
 
@@ -90,6 +106,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
 
@@ -169,6 +186,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
 
@@ -274,6 +292,7 @@ def _build_vision_tower(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        remat_policy=remat_policy,
         name=name,
     )
 
@@ -284,9 +303,10 @@ def _build_text_tower(
     quick_gelu: bool,
     dtype,
     attn_impl: str,
-    remat: bool,
+    remat,
     name: str = "text",
 ) -> nn.Module:
+    remat, remat_policy = _remat_args(remat)
     if cfg.hf_model_name is not None:
         from .hf_model import build_hf_text_tower
 
@@ -333,6 +353,7 @@ def _build_text_tower(
         dtype=dtype,
         attn_impl=attn_impl,
         remat=remat,
+        remat_policy=remat_policy,
         name=name,
     )
 
@@ -352,7 +373,8 @@ class CLIP(nn.Module):
     init_logit_bias: Optional[float] = None
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    # bool, or a jax.checkpoint policy name (see _remat_args)
+    remat: Any = False
 
     def setup(self):
         self.visual = _build_vision_tower(
@@ -433,10 +455,16 @@ def build_model(
     cfg: CLIPModelCfg,
     dtype=jnp.float32,
     attn_impl: str = "xla",
-    remat: bool = False,
+    remat=False,
     force_quick_gelu: bool = False,
 ) -> CLIP:
-    """Instantiate the flax CLIP module from a parsed registry config."""
+    """Instantiate the flax CLIP module from a parsed registry config.
+
+    `remat` is a bool (per-block full-recompute activation checkpointing)
+    or a `jax.checkpoint` policy name — "dots_saveable" /
+    "dots_with_no_batch_dims_saveable" — for selective rematerialization
+    (matmul outputs saved, only elementwise ops recomputed).
+    """
     if cfg.multimodal_cfg is not None:
         from .coca import CoCa
 

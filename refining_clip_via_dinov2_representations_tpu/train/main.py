@@ -172,7 +172,11 @@ def main(args=None):
         force_quick_gelu=args.force_quick_gelu,
         force_patch_dropout=args.force_patch_dropout,
         force_image_size=args.force_image_size,
-        grad_checkpointing=args.grad_checkpointing,
+        grad_checkpointing=(
+            args.remat_policy
+            if args.grad_checkpointing and args.remat_policy != "full"
+            else args.grad_checkpointing
+        ),
         cache_dir=args.cache_dir,
         aug_cfg=args.aug_cfg,
         attn_impl=args.attn_impl,

@@ -133,6 +133,17 @@ def parse_args(args=None):
     parser.add_argument("--force-patch-dropout", type=float, default=None)
     parser.add_argument("--force-image-size", type=int, nargs="+", default=None)
     parser.add_argument("--grad-checkpointing", default=False, action="store_true")
+    parser.add_argument(
+        "--remat-policy",
+        type=str,
+        default="full",
+        choices=["full", "dots_saveable", "dots_with_no_batch_dims_saveable"],
+        help="jax.checkpoint policy used with --grad-checkpointing: 'full' "
+        "recomputes everything (torch.utils.checkpoint parity); the dots_* "
+        "policies save matmul outputs and recompute only elementwise ops "
+        "(selective rematerialization — more memory, far less recompute). "
+        "Applies to the standard ViT/text towers.",
+    )
     parser.add_argument("--lock-image", default=False, action="store_true")
     parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
     parser.add_argument("--lock-image-freeze-bn-stats", default=False, action="store_true")

@@ -70,6 +70,7 @@ _SLOW_TESTS = {
     "test_gap_vit_tower_builds",                       # timm-style GAP ViT build
     "test_reference_hf_text_checkpoint_parity",        # torch HF roundtrip
     "test_profiler_tiny",                              # XLA cost-analysis compile
+    "test_remat_policy_matches_full_remat_grads",      # 4 tiny-model grad compiles
 }
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",
