@@ -128,6 +128,8 @@ def main():
     use_remat = os.environ.get("BENCH_REMAT", "") not in ("", "0")
     remat_policy = os.environ.get("BENCH_REMAT_POLICY", "")
     remat_arg = (remat_policy or use_remat) if use_remat else False
+    # BENCH_MU_DTYPE=bfloat16: AdamW first moment in bf16 (--adam-mu-dtype)
+    mu_dtype = os.environ.get("BENCH_MU_DTYPE") or None
     # BENCH_LOSS=siglip: sigmoid pairwise loss (BASELINE config 4 — the
     # single-chip microbatch of the 32k-global SigLIP step; per-chip compute
     # is loss-dominated-identical across ring impls at world=1)
@@ -215,7 +217,7 @@ def main():
     if loss_kind == "siglip":
         head = head_params = None
         params = {"model": variables["params"]}
-        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4), cosine_lr(5e-4, 100, 10000))
+        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
         state = create_train_state(rng, variables["params"], tx)
         step_cfg = StepCfg(loss_type="siglip")
     else:
@@ -224,7 +226,7 @@ def main():
             "params"
         ]
         params = {"model": variables["params"], "dino_head": head_params}
-        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4), cosine_lr(5e-4, 100, 10000))
+        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
         state = create_train_state(rng, variables["params"], tx, head_params)
         step_cfg = StepCfg(
             loss_type="dino",

@@ -334,6 +334,7 @@ def main(args=None):
             freeze_projection=args.freeze_projection,
             flatten_group_lrs=args.flatten_group_lrs,
             use_param_groups=args.use_param_groups,
+            mu_dtype=(None if args.adam_mu_dtype == "float32" else args.adam_mu_dtype),
         )
 
         head = head_params = None

@@ -58,6 +58,11 @@ class OptimCfg:
     freeze_projection: bool = False  # bug-compatible: don't train the DINO head
     flatten_group_lrs: bool = False  # bug-compatible: scheduler overrides group LRs
     use_param_groups: bool = True    # False → single-group AdamW at base lr
+    # dtype of AdamW's first moment (m). "bfloat16" halves its HBM footprint
+    # (one params-worth saved — 3.9 GiB on ViT-H-14) for a bf16 rounding of
+    # the EMA; the second moment (v) always stays fp32 (optax exposes only
+    # mu_dtype, and v's dynamic range genuinely needs fp32).
+    mu_dtype: Optional[str] = None
 
 
 GROUP_WD = {
@@ -216,12 +221,13 @@ def build_optimizer(
             b2=cfg.beta2,
             eps=cfg.eps,
             weight_decay=wd,
+            mu_dtype=cfg.mu_dtype,
         )
 
     if not cfg.use_param_groups:
         tx = optax.adamw(
             learning_rate=schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
-            weight_decay=cfg.wd,
+            weight_decay=cfg.wd, mu_dtype=cfg.mu_dtype,
         )
         # collapse per-group LRs but KEEP tower-lock freezing — the
         # reference locks via requires_grad on the model, independent of

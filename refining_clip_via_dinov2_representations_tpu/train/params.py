@@ -134,6 +134,14 @@ def parse_args(args=None):
     parser.add_argument("--force-image-size", type=int, nargs="+", default=None)
     parser.add_argument("--grad-checkpointing", default=False, action="store_true")
     parser.add_argument(
+        "--adam-mu-dtype",
+        type=str,
+        default="float32",
+        choices=["float32", "bfloat16"],
+        help="dtype of AdamW's first moment; bfloat16 halves its HBM "
+        "footprint (second moment stays fp32).",
+    )
+    parser.add_argument(
         "--remat-policy",
         type=str,
         default="full",

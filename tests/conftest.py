@@ -71,6 +71,7 @@ _SLOW_TESTS = {
     "test_reference_hf_text_checkpoint_parity",        # torch HF roundtrip
     "test_profiler_tiny",                              # XLA cost-analysis compile
     "test_remat_policy_matches_full_remat_grads",      # 4 tiny-model grad compiles
+    "test_adam_mu_dtype_bf16_halves_moment_and_tracks_fp32",  # 2 step compiles
 }
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",

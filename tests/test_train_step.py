@@ -355,3 +355,35 @@ def test_remat_policy_matches_full_remat_grads(policy):
         lambda a, b: float(jnp.abs(a - b).max()), g_full, g_pol
     )
     assert max(jax.tree.leaves(diffs)) < 1e-5
+
+
+def test_adam_mu_dtype_bf16_halves_moment_and_tracks_fp32():
+    """--adam-mu-dtype bfloat16 stores AdamW's first moment in bf16.
+
+    The mu leaves must actually be bf16 (HBM halving is the point) and a
+    few optimizer steps must track the fp32-moment run closely (bf16 EMA
+    rounding only).
+    """
+    import optax
+
+    results = {}
+    for mu_dtype in (None, "bfloat16"):
+        _, state, step_fn, _ = _setup(
+            "clip", optim_cfg=OptimCfg(lr=1e-3, wd=0.01, mu_dtype=mu_dtype)
+        )
+        batch = _batch()
+        for _ in range(3):
+            state, metrics = step_fn(state, batch)
+        results[str(mu_dtype)] = state
+
+    mu_leaves = [
+        x for x in jax.tree.leaves(results["bfloat16"].opt_state)
+        if hasattr(x, "dtype") and x.dtype == jnp.bfloat16 and x.ndim >= 2
+    ]
+    assert mu_leaves, "no bf16 first-moment leaf found in opt_state"
+
+    d = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a, np.float32) - np.asarray(b, np.float32)).max()),
+        results["None"].params, results["bfloat16"].params,
+    )
+    assert max(jax.tree.leaves(d)) < 5e-5
