@@ -42,8 +42,8 @@ def _remat_args(remat):
     `jax.checkpoint` policy ("dots_saveable" /
     "dots_with_no_batch_dims_saveable") — selective rematerialization that
     saves matmul outputs and recomputes only cheap elementwise ops, trading
-    a little memory for most of the recompute FLOPs. Towers without a
-    `remat_policy` field fall back to full recompute.
+    a little memory for most of the recompute FLOPs. Every tower family
+    threads the policy to its block remat wrapper.
     """
     if isinstance(remat, str):
         return True, remat
@@ -82,6 +82,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
         from .eva import EVA01_DIMS
@@ -124,6 +125,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
 
@@ -152,6 +154,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
 
@@ -163,7 +166,8 @@ def _build_vision_tower(
                 image_size=to_2tuple(cfg.image_size)[0],
                 output_dim=embed_dim,
                 output_tokens=cfg.output_tokens,
-                dtype=dtype, attn_impl=attn_impl, remat=remat, name=name,
+                dtype=dtype, attn_impl=attn_impl, remat=remat,
+                remat_policy=remat_policy, name=name,
             )
         if cfg.timm_model_name in TIMM_PLAIN_VIT:
             d = TIMM_PLAIN_VIT[cfg.timm_model_name]
@@ -205,6 +209,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
 
@@ -220,6 +225,7 @@ def _build_vision_tower(
                 output_tokens=cfg.output_tokens,
                 dtype=dtype,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
         from .fastvit import FASTVIT_DIMS, FastVitTower, MciVisionTransformer
@@ -235,6 +241,7 @@ def _build_vision_tower(
                 output_tokens=cfg.output_tokens,
                 dtype=dtype,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
         if cfg.timm_model_name == "vit_base_mci_224":
@@ -245,6 +252,7 @@ def _build_vision_tower(
                 dtype=dtype,
                 attn_impl=attn_impl,
                 remat=remat,
+                remat_policy=remat_policy,
                 name=name,
             )
         raise NotImplementedError(

@@ -34,6 +34,7 @@ from .clip import (
     DEFAULT_INIT_LOGIT_SCALE,
     _build_text_tower,
     _build_vision_tower,
+    _remat_args,
     l2_normalize,
 )
 from .config import CLIPTextCfg, CLIPVisionCfg, MultimodalCfg
@@ -54,7 +55,8 @@ class CoCa(nn.Module):
     pad_id: int = 0
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
-    remat: bool = False
+    # bool, or a jax.checkpoint policy name (clip._remat_args)
+    remat: Any = False
 
     def setup(self):
         self.visual = _build_vision_tower(
@@ -77,7 +79,8 @@ class CoCa(nn.Module):
             act=act,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
-            remat=self.remat,
+            remat=_remat_args(self.remat)[0],
+            remat_policy=_remat_args(self.remat)[1],
             name="text_decoder",
         )
         self.logit_scale = self.param(

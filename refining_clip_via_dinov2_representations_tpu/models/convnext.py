@@ -20,6 +20,8 @@ import dataclasses
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import flax.linen as nn
+
+from .transformer import _remat
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,6 +74,7 @@ class ConvNextTower(nn.Module):
     output_tokens: bool = False
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
@@ -84,7 +87,10 @@ class ConvNextTower(nn.Module):
                     dtype=self.dtype, name="stem_conv")(x)
         x = LayerNorm(epsilon=c.norm_eps, dtype=self.dtype, name="stem_norm")(x)
 
-        block_cls = nn.remat(_ConvNextBlock) if self.remat else _ConvNextBlock
+        block_cls = (
+            _remat(_ConvNextBlock, self.remat_policy, static_argnums=())
+            if self.remat else _ConvNextBlock
+        )
         for s, (depth, dim) in enumerate(zip(c.depths, c.dims)):
             if s > 0:
                 x = LayerNorm(epsilon=c.norm_eps, dtype=self.dtype,

@@ -35,6 +35,8 @@ import dataclasses
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import flax.linen as nn
+
+from .transformer import _remat
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -221,6 +223,7 @@ class Eva02VisionTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -265,7 +268,7 @@ class Eva02VisionTower(nn.Module):
 
         block_cls = Eva02Block
         if self.remat:
-            block_cls = nn.remat(Eva02Block, static_argnums=())
+            block_cls = _remat(Eva02Block, self.remat_policy, static_argnums=())
         for i in range(c.layers):
             x = block_cls(
                 c, dtype=self.dtype, attn_impl=self.attn_impl, name=f"resblocks_{i}"

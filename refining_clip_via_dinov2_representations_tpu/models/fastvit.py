@@ -409,9 +409,12 @@ class FastVitTower(nn.Module):
     inference_mode: bool = False  # reparameterized single-branch form
     dtype: Dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
+        from .transformer import _remat
+
         c = self.cfg
         inf = self.inference_mode
         if pixel_values.shape[1] == 3 and pixel_values.shape[-1] != 3:
@@ -427,8 +430,15 @@ class FastVitTower(nn.Module):
         x = MobileOneBlock(out_chs=e0, kernel_size=1, inference_mode=inf,
                            dtype=self.dtype, name="stem_2")(x, deterministic)
 
-        rep_cls = nn.remat(RepMixerBlock) if self.remat else RepMixerBlock
-        attn_cls = nn.remat(AttentionBlock) if self.remat else AttentionBlock
+        # static_argnums=(2,): the python-bool `deterministic` arg (self=0)
+        rep_cls = (
+            _remat(RepMixerBlock, self.remat_policy, static_argnums=(2,))
+            if self.remat else RepMixerBlock
+        )
+        attn_cls = (
+            _remat(AttentionBlock, self.remat_policy, static_argnums=(2,))
+            if self.remat else AttentionBlock
+        )
         for s, (depth, dim) in enumerate(zip(c.layers, c.embed_dims)):
             if s > 0:
                 x = PatchEmbed(
@@ -485,11 +495,12 @@ class MciVisionTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
     output_tokens: bool = False
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
-        from .transformer import ResidualAttentionBlock
+        from .transformer import ResidualAttentionBlock, _remat
 
         if pixel_values.shape[1] == 3 and pixel_values.shape[-1] != 3:
             pixel_values = jnp.transpose(pixel_values, (0, 2, 3, 1))
@@ -525,7 +536,7 @@ class MciVisionTransformer(nn.Module):
         tokens = jnp.concatenate([cls_tok, tokens], axis=1)
 
         block_cls = (
-            nn.remat(ResidualAttentionBlock, static_argnums=(4,))
+            _remat(ResidualAttentionBlock, self.remat_policy, static_argnums=(4,))
             if self.remat else ResidualAttentionBlock
         )
         for i in range(self.layers):

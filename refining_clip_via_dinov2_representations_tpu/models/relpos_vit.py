@@ -17,6 +17,8 @@ from __future__ import annotations
 from typing import Any, Callable, Tuple
 
 import flax.linen as nn
+
+from .transformer import _remat
 import jax.numpy as jnp
 import numpy as np
 
@@ -95,6 +97,7 @@ class RelPosVisionTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -112,7 +115,10 @@ class RelPosVisionTower(nn.Module):
         x = jnp.concatenate(
             [jnp.broadcast_to(cls.astype(x.dtype), (b, 1, self.width)), x], axis=1
         )
-        block_cls = nn.remat(RelPosBlock) if self.remat else RelPosBlock
+        block_cls = (
+            _remat(RelPosBlock, self.remat_policy, static_argnums=())
+            if self.remat else RelPosBlock
+        )
         for i in range(self.layers):
             x = block_cls(
                 heads=self.heads, grid=grid, mlp_ratio=self.mlp_ratio,

@@ -21,6 +21,8 @@ import re
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import flax.linen as nn
+
+from .transformer import _remat
 import jax.numpy as jnp
 import numpy as np
 
@@ -104,6 +106,7 @@ class SiglipVisionTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, pixel_values: jnp.ndarray, deterministic: bool = True):
@@ -136,7 +139,7 @@ class SiglipVisionTower(nn.Module):
 
         block_cls = _SiglipBlock
         if self.remat:
-            block_cls = nn.remat(_SiglipBlock)
+            block_cls = _remat(_SiglipBlock, self.remat_policy, static_argnums=())
         for i in range(c.layers):
             x = block_cls(cfg=c, dtype=self.dtype, attn_impl=self.attn_impl,
                           name=f"layers_{i}")(x)

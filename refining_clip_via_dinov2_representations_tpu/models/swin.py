@@ -25,6 +25,8 @@ import dataclasses
 from typing import Any, Dict, Mapping, Optional, Sequence, Tuple
 
 import flax.linen as nn
+
+from .transformer import _remat
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -221,6 +223,7 @@ class SwinVisionTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True):
@@ -250,7 +253,10 @@ class SwinVisionTower(nn.Module):
 
         hw = (gh, gw)
         dim = c.embed_dim
-        block_cls = nn.remat(SwinBlock) if self.remat else SwinBlock
+        block_cls = (
+            _remat(SwinBlock, self.remat_policy, static_argnums=())
+            if self.remat else SwinBlock
+        )
         for si, (depth, heads) in enumerate(zip(c.depths, c.num_heads)):
             # official clamp: window >= feature map -> full-window attention
             # with no shift (last stage of 224/patch4/window7 is 7x7)

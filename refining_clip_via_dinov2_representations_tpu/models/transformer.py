@@ -514,6 +514,7 @@ class MultimodalTransformer(nn.Module):
     dtype: Dtype = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, image_embs: jnp.ndarray, text_embs: jnp.ndarray) -> jnp.ndarray:
@@ -528,7 +529,7 @@ class MultimodalTransformer(nn.Module):
         )
         block_cls = ResidualAttentionBlock
         if self.remat:
-            block_cls = _remat(ResidualAttentionBlock, "full")
+            block_cls = _remat(ResidualAttentionBlock, self.remat_policy)
         x = text_embs
         for i in range(self.layers):
             x = block_cls(name=f"resblocks_{i}", **block_kwargs)(x, None, None, True)

@@ -30,6 +30,8 @@ import dataclasses
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import flax.linen as nn
+
+from .transformer import _remat
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -153,6 +155,7 @@ class ViTaminVisionTower(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -183,7 +186,10 @@ class ViTaminVisionTower(nn.Module):
         )
         x = x + pos.astype(x.dtype)
 
-        block_cls = nn.remat(ViTaminBlock) if self.remat else ViTaminBlock
+        block_cls = (
+            _remat(ViTaminBlock, self.remat_policy, static_argnums=())
+            if self.remat else ViTaminBlock
+        )
         for i in range(c.depth):
             x = block_cls(
                 heads=c.heads, mlp_ratio=c.mlp_ratio, norm_eps=c.norm_eps,

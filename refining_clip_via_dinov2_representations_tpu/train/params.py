@@ -150,7 +150,7 @@ def parse_args(args=None):
         "recomputes everything (torch.utils.checkpoint parity); the dots_* "
         "policies save matmul outputs and recompute only elementwise ops "
         "(selective rematerialization — more memory, far less recompute). "
-        "Applies to the standard ViT/text towers.",
+        "Applies to every tower family.",
     )
     parser.add_argument("--lock-image", default=False, action="store_true")
     parser.add_argument("--lock-image-unlocked-groups", type=int, default=0)
