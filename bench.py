@@ -130,6 +130,10 @@ def main():
     remat_arg = (remat_policy or use_remat) if use_remat else False
     # BENCH_MU_DTYPE=bfloat16: AdamW first moment in bf16 (--adam-mu-dtype)
     mu_dtype = os.environ.get("BENCH_MU_DTYPE") or None
+    # BENCH_OPT: optimizer family (--opt): adamw | lion | lamb | adafactor |
+    # sgd. adafactor's factored second moment saves a params-worth of HBM —
+    # the memory lever for giant single-chip points.
+    opt_name = os.environ.get("BENCH_OPT", "adamw")
     # BENCH_LOSS=siglip: sigmoid pairwise loss (BASELINE config 4 — the
     # single-chip microbatch of the 32k-global SigLIP step; per-chip compute
     # is loss-dominated-identical across ring impls at world=1)
@@ -217,7 +221,7 @@ def main():
     if loss_kind == "siglip":
         head = head_params = None
         params = {"model": variables["params"]}
-        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
+        tx, _ = build_optimizer(params, OptimCfg(opt=opt_name, lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
         state = create_train_state(rng, variables["params"], tx)
         step_cfg = StepCfg(loss_type="siglip")
     else:
@@ -226,7 +230,7 @@ def main():
             "params"
         ]
         params = {"model": variables["params"], "dino_head": head_params}
-        tx, _ = build_optimizer(params, OptimCfg(lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
+        tx, _ = build_optimizer(params, OptimCfg(opt=opt_name, lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
         state = create_train_state(rng, variables["params"], tx, head_params)
         step_cfg = StepCfg(
             loss_type="dino",

@@ -78,12 +78,40 @@ def fetch_remote_checkpoint(remote_path: str, local_dir: str) -> str:
     return dest
 
 
+# One long-lived AsyncCheckpointer per target directory role. Async saves
+# snapshot device arrays to host, return, and serialize in a background
+# thread — training overlaps the write (seconds at ViT-H scale, orbax is
+# still atomic via tmp-dir + rename). Wait-at-entry on the SAME checkpointer
+# guarantees at most one outstanding save per role, which also makes
+# delete_previous safe (the previous epoch's write has finished before the
+# next save starts).
+_ASYNC_CKPTRS: Dict[str, Any] = {}
+
+
+def _async_checkpointer(role: str):
+    import orbax.checkpoint as ocp
+
+    c = _ASYNC_CKPTRS.get(role)
+    if c is None:
+        c = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        _ASYNC_CKPTRS[role] = c
+    return c
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every outstanding async checkpoint write has committed.
+    Call before reading checkpoints back, final remote sync, or exit."""
+    for c in _ASYNC_CKPTRS.values():
+        c.wait_until_finished()
+
+
 def save_checkpoint(
     checkpoint_dir: str,
     state,
     epoch: int,
     save_most_recent: bool = False,
     delete_previous: bool = False,
+    async_save: bool = False,
 ) -> str:
     import orbax.checkpoint as ocp
 
@@ -97,21 +125,32 @@ def save_checkpoint(
     }
     if getattr(state, "batch_stats", None) is not None:
         payload["batch_stats"] = state.batch_stats
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, payload, force=True)
-    ckptr.wait_until_finished()
+
+    if async_save:
+        ckptr = _async_checkpointer("epoch")
+        ckptr.wait_until_finished()
+        ckptr.save(path, args=ocp.args.StandardSave(payload), force=True)
+    else:
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, payload, force=True)
+        ckptr.wait_until_finished()
 
     if save_most_recent:
-        latest = os.path.join(checkpoint_dir, "epoch_latest")
-        ckptr.save(os.path.abspath(latest), payload, force=True)
-        ckptr.wait_until_finished()
+        latest = os.path.abspath(os.path.join(checkpoint_dir, "epoch_latest"))
+        if async_save:
+            lckptr = _async_checkpointer("latest")
+            lckptr.wait_until_finished()
+            lckptr.save(latest, args=ocp.args.StandardSave(payload), force=True)
+        else:
+            ckptr.save(latest, payload, force=True)
+            ckptr.wait_until_finished()
     if delete_previous:
         prev = os.path.join(checkpoint_dir, f"epoch_{epoch - 1}")
         if os.path.isdir(prev):
             import shutil
 
             shutil.rmtree(prev)
-    logging.info("saved checkpoint %s", path)
+    logging.info("saved checkpoint %s%s", path, " (async)" if async_save else "")
     return path
 
 

@@ -316,6 +316,7 @@ def main(args=None):
         else:
             schedule = make_schedule(args, args.lr, total_steps, steps_per_epoch)
         optim_cfg = OptimCfg(
+            opt=args.opt,
             lr=args.lr,
             beta1=args.beta1,
             beta2=args.beta2,
@@ -615,6 +616,7 @@ def main(args=None):
                 completed_epoch,
                 save_most_recent=args.save_most_recent,
                 delete_previous=args.delete_previous_checkpoint,
+                async_save=args.async_checkpoint,
             )
 
     # ---- final artifacts (`main.py:977-1098`) ----
@@ -753,7 +755,11 @@ def main(args=None):
 
 def _final_remote_sync(remote_sync_process, args, log_base):
     """Terminate the sync daemon and flush the run dir one last time
-    (`main.py:1152-1163`)."""
+    (`main.py:1152-1163`). Always drains outstanding async checkpoint
+    writes first so the final sync (and process exit) never races them."""
+    from .checkpoint import wait_for_checkpoints
+
+    wait_for_checkpoints()
     if remote_sync_process is None:
         return
     import os

@@ -50,6 +50,12 @@ class OptimCfg:
     resnet_lr3: float = 1.0e-5
     text_lr: float = 5.0e-5
     grad_clip_norm: Optional[float] = None
+    # optimizer family (reference `--opt`: 'adamw' or 'timm/{name}',
+    # params.py:742-746). The TPU-native zoo is optax: adamw (default),
+    # lion, lamb, adafactor (factored second moment — the memory lever for
+    # giant single-chip configs), sgd. 'timm/{name}' maps onto the optax
+    # optimizer of the same name.
+    opt: str = "adamw"
     # locking (reference --lock-image/--lock-text flag family)
     lock_image: bool = False
     lock_image_unlocked_groups: int = 0
@@ -192,6 +198,62 @@ def group_base_lrs(cfg: OptimCfg) -> Dict[str, float]:
     }
 
 
+def make_inner_optimizer(
+    cfg: OptimCfg, learning_rate, wd: float
+) -> optax.GradientTransformation:
+    """One optimizer instance for one param group.
+
+    Implements the reference's `--opt` surface (`params.py:742-746`:
+    'adamw' or any timm optimizer as 'timm/{name}') with optax equivalents.
+    betas/eps come from the CLI (`--beta1/--beta2/--eps`) for every family;
+    adafactor keeps its own eps (1e-30) and update-clipping (1.0) — they are
+    part of its stability recipe — and uses beta1 as the momentum decay.
+    """
+    name = (cfg.opt or "adamw").strip().lower()
+    if name.startswith("timm/"):
+        name = name[len("timm/"):]
+    mu = cfg.mu_dtype
+    if name == "adamw":
+        return optax.adamw(
+            learning_rate=learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+            eps=cfg.eps, weight_decay=wd, mu_dtype=mu,
+        )
+    if name == "lion":
+        return optax.lion(
+            learning_rate=learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+            weight_decay=wd, mu_dtype=mu,
+        )
+    if name == "lamb":
+        return optax.lamb(
+            learning_rate=learning_rate, b1=cfg.beta1, b2=cfg.beta2,
+            eps=cfg.eps, weight_decay=wd,
+        )
+    if name == "adafactor":
+        # Factored second moment: v becomes one row + one column vector per
+        # 2-D leaf (O(n+m) instead of O(n*m)) — saves a params-worth of HBM
+        # vs AdamW's full v (3.9 GiB on ViT-H-14), which moves the
+        # single-chip memory wall for giant students.
+        return optax.adafactor(
+            learning_rate=learning_rate,
+            momentum=cfg.beta1,
+            dtype_momentum=(mu or jnp.float32),
+            multiply_by_parameter_scale=False,
+            weight_decay_rate=(wd if wd else None),
+            factored=True,
+        )
+    if name in ("sgd", "sgdw", "momentum"):
+        return optax.chain(
+            optax.trace(decay=cfg.beta1),
+            optax.add_decayed_weights(wd),
+            optax.scale_by_learning_rate(learning_rate),
+        )
+    raise ValueError(
+        f"unknown --opt {cfg.opt!r}: supported are 'adamw', 'lion', 'lamb', "
+        "'adafactor', 'sgd' (optionally prefixed 'timm/' for reference-CLI "
+        "compatibility)"
+    )
+
+
 def build_optimizer(
     params: Dict[str, Any],
     cfg: OptimCfg,
@@ -215,20 +277,10 @@ def build_optimizer(
             def g_sched(step, _ratio=ratio):
                 return schedule(step) * _ratio
 
-        return optax.adamw(
-            learning_rate=g_sched,
-            b1=cfg.beta1,
-            b2=cfg.beta2,
-            eps=cfg.eps,
-            weight_decay=wd,
-            mu_dtype=cfg.mu_dtype,
-        )
+        return make_inner_optimizer(cfg, g_sched, wd)
 
     if not cfg.use_param_groups:
-        tx = optax.adamw(
-            learning_rate=schedule, b1=cfg.beta1, b2=cfg.beta2, eps=cfg.eps,
-            weight_decay=cfg.wd, mu_dtype=cfg.mu_dtype,
-        )
+        tx = make_inner_optimizer(cfg, schedule, cfg.wd)
         # collapse per-group LRs but KEEP tower-lock freezing — the
         # reference locks via requires_grad on the model, independent of
         # how the optimizer groups params (r3 review: --no-param-groups
@@ -284,6 +336,9 @@ def build_fused_optimizer(
 ) -> Tuple[optax.GradientTransformation, Dict[str, Any]]:
     import numpy as np
 
+    if (cfg.opt or "adamw").strip().lower().removeprefix("timm/") != "adamw":
+        raise ValueError("build_fused_optimizer implements AdamW only; "
+                         f"--opt {cfg.opt!r} must use build_optimizer")
     base_lr = base_lr if base_lr is not None else (cfg.lr if cfg.lr is not None else 5e-5)
     labels = label_params(params, cfg)
 

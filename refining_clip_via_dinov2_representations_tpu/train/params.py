@@ -106,7 +106,11 @@ def parse_args(args=None):
     parser.add_argument("--lr-cooldown-power", type=float, default=1.0)
     parser.add_argument("--grad-clip-norm", type=float, default=None)
     parser.add_argument("--accum-freq", type=int, default=1)
-    parser.add_argument("--opt", type=str, default="adamw")
+    parser.add_argument(
+        "--opt", type=str, default="adamw",
+        help="optimizer: adamw | lion | lamb | adafactor | sgd "
+             "(reference accepts 'timm/{name}' — the prefix maps onto the "
+             "optax optimizer of the same name; params.py:742-746)")
     # per-group LRs (`params.py:696-727`)
     parser.add_argument("--head-lr", dest="head_lr", type=float, default=1e-4)
     parser.add_argument("--logit-scale-lr", dest="logit_scale_lr", type=float, default=1e-6)
@@ -276,6 +280,12 @@ def parse_args(args=None):
     parser.add_argument("--save-frequency", type=int, default=1)
     parser.add_argument("--save-most-recent", default=False, action="store_true")
     parser.add_argument("--delete-previous-checkpoint", default=False, action="store_true")
+    parser.add_argument(
+        "--async-checkpoint", default=False, action="store_true",
+        help="overlap orbax checkpoint writes with training (device arrays "
+             "are snapshotted to host, serialization runs in a background "
+             "thread; seconds saved per epoch at ViT-H scale). TPU-native "
+             "addition — the reference's torch.save blocks the loop.")
     parser.add_argument("--resume", type=str, default=None)
     parser.add_argument("--logs", type=str, default="./logs/")
     parser.add_argument("--log-local", default=False, action="store_true")

@@ -357,6 +357,47 @@ def test_checkpoint_save_restore(tmp_path):
     )
 
 
+def test_async_checkpoint_save_restore(tmp_path):
+    """--async-checkpoint: back-to-back async saves (wait-at-entry
+    serializes them), epoch_latest alias, wait_for_checkpoints drain, and a
+    byte-identical restore."""
+    import jax.numpy as jnp
+    import optax
+
+    from refining_clip_via_dinov2_representations_tpu.train.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_checkpoints,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.step import (
+        create_train_state,
+    )
+
+    params = {"w": jnp.arange(16.0).reshape(4, 4), "b": jnp.zeros((4,))}
+    tx = optax.adam(1e-3)
+    state = create_train_state(jax.random.PRNGKey(0), params, tx)
+    state = state.replace(step=jnp.asarray(11, jnp.int32))
+
+    save_checkpoint(str(tmp_path), state, epoch=1, async_save=True,
+                    save_most_recent=True)
+    save_checkpoint(str(tmp_path), state, epoch=2, async_save=True,
+                    save_most_recent=True, delete_previous=True)
+    wait_for_checkpoints()
+
+    assert not (tmp_path / "epoch_1").exists()  # delete_previous
+    assert (tmp_path / "epoch_latest").is_dir()
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest.endswith("epoch_2")
+
+    fresh = create_train_state(jax.random.PRNGKey(1), params, tx)
+    restored, epoch = restore_checkpoint(latest, fresh)
+    assert epoch == 2 and int(restored.step) == 11
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["model"]["w"]), np.arange(16.0).reshape(4, 4)
+    )
+
+
 def test_loader_multihost_sharding():
     """Hosts get disjoint equal shards and identical batch counts."""
     from refining_clip_via_dinov2_representations_tpu.train.data import (
