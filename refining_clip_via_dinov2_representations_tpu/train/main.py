@@ -64,6 +64,14 @@ def main(args=None):
         # numerical sanity monitor (SURVEY §5 "race detection" analogue):
         # raise on the first NaN-producing op instead of training through it
         jax.config.update("jax_debug_nans", True)
+    if args.compile_cache:
+        # Persistent XLA compilation cache: a preempted-and-resumed run (the
+        # TPU-fleet norm) skips the multi-minute train-step recompile. The
+        # cache key covers HLO + compiler flags + topology, so sharing one
+        # dir across configs is safe.
+        os.makedirs(args.compile_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     # ---- multi-host init (`main.py:113` -> `distributed.py:93-195`) ----
     # Must run before any other backend use: joins the job when launched

@@ -281,6 +281,10 @@ def parse_args(args=None):
     parser.add_argument("--save-most-recent", default=False, action="store_true")
     parser.add_argument("--delete-previous-checkpoint", default=False, action="store_true")
     parser.add_argument(
+        "--compile-cache", type=str, default=None,
+        help="directory for JAX's persistent compilation cache; a resumed "
+             "run skips the train-step recompile (TPU-native addition)")
+    parser.add_argument(
         "--async-checkpoint", default=False, action="store_true",
         help="overlap orbax checkpoint writes with training (device arrays "
              "are snapshotted to host, serialization runs in a background "

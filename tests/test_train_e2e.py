@@ -43,6 +43,8 @@ def test_cli_synthetic_training(tmp_path):
         "--name", "smoke",
         "--log-every-n-steps", "1",
         "--workers", "2",
+        "--async-checkpoint",
+        "--compile-cache", str(tmp_path / "xla_cache"),
     ])
     base = tmp_path / "smoke"
     assert (base / "checkpoints" / "epoch_1").exists()
@@ -50,6 +52,8 @@ def test_cli_synthetic_training(tmp_path):
     assert (base / "params.txt").exists()
     steps = json.loads((base / "loss_steps.json").read_text())
     assert len(steps) >= 1 and np.isfinite(steps[-1]["total_loss"])
+    # --compile-cache: the train-step compile (>1 s) must have persisted
+    assert any((tmp_path / "xla_cache").iterdir())
 
 
 def test_cli_dino_synthetic_training(tmp_path):
