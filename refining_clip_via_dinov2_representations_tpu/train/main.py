@@ -22,6 +22,8 @@ import json
 import logging
 import math
 import os
+import signal
+import threading
 import time
 from datetime import datetime
 from typing import Dict, Optional
@@ -581,12 +583,45 @@ def main(args=None):
     all_results = []
     best = {"score": float("-inf"), "tie": float("-inf"), "epoch": -1}
 
+    # ---- graceful preemption (--save-on-preemption) ----
+    # TPU-fleet maintenance/preemption delivers SIGTERM to every host with a
+    # short grace window; finish the in-flight step, checkpoint, final-sync,
+    # exit 0. Resume redoes the interrupted epoch from its start (the saved
+    # state keeps the extra optimizer steps — documented redo semantics).
+    preempt = threading.Event()
+    if args.save_on_preemption:
+        def _on_sigterm(signum, frame):
+            logging.warning(
+                "SIGTERM: checkpointing and exiting at the next step boundary"
+            )
+            preempt.set()
+
+        if threading.current_thread() is threading.main_thread():
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        else:  # signal handlers are main-thread-only (embedded callers)
+            logging.warning(
+                "--save-on-preemption: not on the main thread; SIGTERM "
+                "handler not installed"
+            )
+
     for epoch in range(start_epoch, args.epochs):
         logging.info("Start epoch %d", epoch)
         state, epoch_records = train_one_epoch(
-            train_step, state, data["train"], mesh, args, epoch, tracker=tracker
+            train_step, state, data["train"], mesh, args, epoch, tracker=tracker,
+            stop_event=preempt,
         )
         loss_steps.extend(epoch_records)
+        if preempt.is_set():
+            logging.warning(
+                "preemption: saving epoch_%d (partial epoch, redone on "
+                "resume) and shutting down", epoch,
+            )
+            save_checkpoint(
+                checkpoint_dir, state, epoch,
+                save_most_recent=args.save_most_recent,
+                async_save=args.async_checkpoint,
+            )
+            break
         completed_epoch = epoch + 1
 
         variables_eval = {"params": state.params["model"]}
@@ -828,9 +863,12 @@ def _plot_loss_curves(loss_steps, log_base):
         logging.warning("loss plotting failed: %r", e)
 
 
-def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=None):
+def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=None,
+                    stop_event=None):
     """One epoch of the hot loop (`train.py:145-584`): iterate, shard, step,
-    meter samples/s, log every `--log-every-n-steps`."""
+    meter samples/s, log every `--log-every-n-steps`. `stop_event` (set by
+    the SIGTERM handler under --save-on-preemption) ends the epoch at the
+    next step boundary."""
     import jax
 
     from ..parallel.mesh import shard_batch
@@ -865,6 +903,13 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
 
     num_batches = getattr(loader, "num_batches", None)
     for i, batch in enumerate(loader):
+        if stop_event is not None and stop_event.is_set():
+            if profiling:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+            logging.warning("stop requested: leaving epoch %d early", epoch)
+            break
         batch = {
             k: v for k, v in batch.items() if k in ("images", "texts", "dino_features")
         }

@@ -285,6 +285,12 @@ def parse_args(args=None):
         help="directory for JAX's persistent compilation cache; a resumed "
              "run skips the train-step recompile (TPU-native addition)")
     parser.add_argument(
+        "--save-on-preemption", default=False, action="store_true",
+        help="on SIGTERM (TPU maintenance/preemption), finish the in-flight "
+             "step, save a checkpoint, run the final remote sync, exit 0. "
+             "Resume redoes the interrupted epoch from its start. Assumes "
+             "the signal reaches every host (orbax saves are collective).")
+    parser.add_argument(
         "--async-checkpoint", default=False, action="store_true",
         help="overlap orbax checkpoint writes with training (device arrays "
              "are snapshotted to host, serialization runs in a background "

@@ -361,6 +361,54 @@ def test_checkpoint_save_restore(tmp_path):
     )
 
 
+def test_cli_save_on_preemption(tmp_path):
+    """--save-on-preemption: SIGTERM mid-run -> clean exit with a
+    discoverable checkpoint, no periodic saves enabled."""
+    import os
+    import signal
+    import threading
+
+    from refining_clip_via_dinov2_representations_tpu.train.checkpoint import (
+        latest_checkpoint,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    # the handler installs inside main(); a pre-handler covers the window
+    # between the timer firing and installation on a slow host
+    fired = threading.Event()
+    prev = signal.signal(signal.SIGTERM, lambda *_: fired.set())
+    timer = threading.Timer(20.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    timer.start()
+    try:
+        main([
+            "--model", "tiny-e2e-model",
+            "--dataset-type", "synthetic",
+            "--train-num-samples", "64",
+            "--batch-size", "2",
+            "--epochs", "200",          # far more than can run before SIGTERM
+            "--warmup", "2",
+            "--lr", "1e-3",
+            "--precision", "fp32",
+            "--logs", str(tmp_path),
+            "--name", "preempt",
+            "--save-frequency", "0",    # only the preemption save may write
+            "--save-on-preemption",
+            "--workers", "2",
+        ])
+    finally:
+        timer.cancel()
+        signal.signal(signal.SIGTERM, prev)
+
+    ckpt_dir = str(tmp_path / "preempt" / "checkpoints")
+    latest = latest_checkpoint(ckpt_dir)
+    assert latest is not None, "preemption save did not write a checkpoint"
+    # 200 epochs of 64 samples can't have completed in 20s on this host —
+    # the run must have been cut short by the handler, not run to term
+    import re
+
+    assert int(re.search(r"epoch_(\d+)$", latest).group(1)) < 199
+
+
 def test_async_checkpoint_save_restore(tmp_path):
     """--async-checkpoint: back-to-back async saves (wait-at-entry
     serializes them), epoch_latest alias, wait_for_checkpoints drain, and a
