@@ -41,10 +41,31 @@ def _analytic_step_flops(batch: int, cfg=None) -> float:
         from refining_clip_via_dinov2_representations_tpu.utils import to_2tuple
 
         v = cfg.vision_cfg
-        v_tokens = v.seq_len  # (H/ph)*(W/pw) + CLS, rectangular-safe
-        ph, pw = to_2tuple(v.patch_size)
-        patch_hw = ph * pw
-        v_width, v_layers, v_mlp = v.width, v.layers, v.mlp_ratio
+        tname = getattr(v, "timm_model_name", None)
+        if tname:
+            # timm-family configs keep ViT-B defaults in vision_cfg (the
+            # tower comes from the timm dispatch) — using them here would
+            # silently report a wrong MFU. Known transformer towers get
+            # their real dims; anything else must be added explicitly.
+            from refining_clip_via_dinov2_representations_tpu.models.eva import (
+                EVA01_DIMS,
+            )
+
+            if tname not in EVA01_DIMS:
+                raise SystemExit(
+                    f"BENCH_MODEL resolves to timm tower {tname!r} with no "
+                    "analytic-FLOPs entry; add its dims to bench.py before "
+                    "trusting an MFU number"
+                )
+            v_width, v_layers, _heads, v_mlp, patch = EVA01_DIMS[tname]
+            ih, iw = to_2tuple(v.image_size)
+            v_tokens = (ih // patch) * (iw // patch) + 1
+            patch_hw = patch * patch
+        else:
+            v_tokens = v.seq_len  # (H/ph)*(W/pw) + CLS, rectangular-safe
+            ph, pw = to_2tuple(v.patch_size)
+            patch_hw = ph * pw
+            v_width, v_layers, v_mlp = v.width, v.layers, v.mlp_ratio
         t_tokens = cfg.text_cfg.context_length
         t_width, t_layers = cfg.text_cfg.width, cfg.text_cfg.layers
         t_mlp = cfg.text_cfg.mlp_ratio
