@@ -72,6 +72,8 @@ _SLOW_TESTS = {
     "test_profiler_tiny",                              # XLA cost-analysis compile
     "test_remat_policy_matches_full_remat_grads",      # 4 tiny-model grad compiles
     "test_adam_mu_dtype_bf16_halves_moment_and_tracks_fp32",  # 2 step compiles
+    "test_adafactor_sharded_step_matches_replicated",  # 2x2 sharded compiles, 120 s
+    "test_cli_save_on_preemption",                     # full main() + 20 s timer
 }
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",

@@ -63,7 +63,7 @@ B = 32  # global batch; 8-way mesh -> local blocks of 4
 DINO_DIM = 24
 
 
-def _make(loss_type, mesh, dino=None, siglip_impl="shift"):
+def _make(loss_type, mesh, dino=None, siglip_impl="shift", opt="adamw"):
     model = build_model(parse_model_cfg(TINY_CFG))
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32))
@@ -74,7 +74,7 @@ def _make(loss_type, mesh, dino=None, siglip_impl="shift"):
     params = {"model": variables["params"]}
     if head_params is not None:
         params["dino_head"] = head_params
-    tx, _ = build_optimizer(params, OptimCfg(lr=1e-3), const_lr(1e-3, 0, 100))
+    tx, _ = build_optimizer(params, OptimCfg(opt=opt, lr=1e-3), const_lr(1e-3, 0, 100))
     state = create_train_state(rng, variables["params"], tx, head_params)
     cfg = StepCfg(
         loss_type=loss_type,
@@ -341,6 +341,47 @@ def test_accum_with_distill_teacher_matches_single_big_batch():
         {k: v for k, v in s2.params["model"].items() if k != "logit_scale"},
     )
     assert max(jax.tree_util.tree_leaves(d)) < 5e-4, d
+
+
+@pytest.mark.parametrize("data,model_axis", [(8, 1), (4, 2)])
+def test_adafactor_sharded_step_matches_replicated(data, model_axis):
+    """--opt adafactor under ZeRO-1 (`--shard-opt-state`): the factored
+    state (1-D v_row/v_col stay replicated via the ndim<2 rule, the
+    full-shape momentum shards like an AdamW moment) must produce the same
+    step as the fully-replicated run — the docs advertise adafactor for
+    giant sharded configs, so the sharded path is load-bearing."""
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        state_shardings,
+    )
+
+    mesh = create_mesh(data=data, model=model_axis)
+    _, _, state_s, step_s = _make("dino", mesh, dino=DINO_CFG, opt="adafactor")
+    _, _, state_r, step_r = _make("dino", mesh, dino=DINO_CFG, opt="adafactor")
+    batches = [_batch(0), _batch(1)]
+
+    with jax.set_mesh(mesh):
+        sh = state_shardings(state_s, mesh, shard_opt_state=True, min_size=0)
+        # at least one optimizer-state leaf must actually shard over data
+        specs = [s.spec for s in jax.tree_util.tree_leaves(sh.opt_state)]
+        assert any("data" in str(s) for s in specs), specs
+        state_s = jax.device_put(state_s, sh)
+        state_r = jax.device_put(state_r, replicated(mesh))
+        for b in batches:
+            sb = shard_batch(b, mesh)
+            state_s, ms = step_s(state_s, sb)
+            state_r, mr = step_r(state_r, sb)
+
+    for k in ("total_loss", "classic_loss", "soft_loss", "weighted_loss"):
+        assert float(ms[k]) == pytest.approx(float(mr[k]), rel=2e-4), k
+    flat_s = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, state_s.params))
+    flat_r = jax.tree_util.tree_leaves(jax.tree.map(np.asarray, state_r.params))
+    for a, b in zip(flat_s, flat_r):
+        # adafactor's RMS normalization makes updates on near-zero-grad
+        # leaves sign(grad)*O(lr): TP reduction-order noise can flip the
+        # sign, so two correct runs differ by up to ~2 updates there. A real
+        # sharding bug (dropped shard contribution) perturbs grads by O(1),
+        # which the step-2 loss equality above (rel 2e-4) would catch.
+        np.testing.assert_allclose(a, b, rtol=3e-4, atol=6e-4)
 
 
 @pytest.mark.parametrize("data,model_axis", [(8, 1), (4, 2)])
