@@ -233,13 +233,25 @@ def make_inner_optimizer(
         # 2-D leaf (O(n+m) instead of O(n*m)) — saves a params-worth of HBM
         # vs AdamW's full v (3.9 GiB on ViT-H-14), which moves the
         # single-chip memory wall for giant students.
-        return optax.adafactor(
-            learning_rate=learning_rate,
+        #
+        # Weight decay is composed OUTSIDE optax.adafactor: its own
+        # `weight_decay_rate` is appended AFTER the lr scaling, i.e. a RAW
+        # multiplicative p -= rate*p per step (0.2/step would destroy the
+        # params). This chain reproduces AdamW's decoupled decay
+        # update = -lr * (direction + wd * p).
+        af = optax.adafactor(
+            learning_rate=None,  # lr applied at the end of the chain
             momentum=cfg.beta1,
             dtype_momentum=(mu or jnp.float32),
             multiply_by_parameter_scale=False,
-            weight_decay_rate=(wd if wd else None),
+            weight_decay_rate=None,
             factored=True,
+        )
+        return optax.chain(
+            af,
+            optax.scale(-1.0),  # undo adafactor's sign flip; re-applied below
+            optax.add_decayed_weights(wd) if wd else optax.identity(),
+            optax.scale_by_learning_rate(learning_rate),
         )
     if name in ("sgd", "sgdw", "momentum"):
         return optax.chain(

@@ -135,6 +135,23 @@ def test_group_lr_ratios_apply_to_non_adamw():
     assert np.isclose(kern, -1e-2, rtol=1e-4)
 
 
+def test_adafactor_weight_decay_is_lr_scaled():
+    """Regression: optax.adafactor's own weight_decay_rate applies RAW
+    (after lr scaling) — p -= wd*p per step would be catastrophic at
+    wd=0.2. Our chain must produce AdamW-style decoupled decay
+    update = -lr*wd*p (observable exactly with zero grads)."""
+    lr, wd = 1e-3, 0.2
+    tx = make_inner_optimizer(OptimCfg(opt="adafactor", beta1=0.9), lr, wd)
+    p = {"w": jnp.full((64, 64), 3.0)}
+    state = tx.init(p)
+    updates, _ = tx.update(jax.tree.map(jnp.zeros_like, p), state, p)
+    got = float(updates["w"][0, 0])
+    assert np.isclose(got, -lr * wd * 3.0, rtol=1e-5), (
+        f"decay per step {got} != -lr*wd*p {-lr * wd * 3.0} "
+        "(raw decay would be -0.6)"
+    )
+
+
 def test_make_inner_optimizer_timm_prefix_maps():
     a = make_inner_optimizer(OptimCfg(opt="timm/adafactor"), 1e-3, 0.0)
     b = make_inner_optimizer(OptimCfg(opt="adafactor"), 1e-3, 0.0)
