@@ -304,6 +304,7 @@ def main():
                     + "_train_images_per_sec_per_chip"
                     + ("_live_teacher" if dino_teacher is not None else "")
                     + ("_remat" if use_remat else "")
+                    + ("" if opt_name == "adamw" else f"_{opt_name}")
                 ),
                 "value": round(ips, 2),
                 "unit": "img/s/chip",
@@ -313,6 +314,8 @@ def main():
                 "batch": batch,
                 "backend": backend,
                 "chips": n_chips,
+                "opt": opt_name,
+                "mu_dtype": mu_dtype or "float32",
                 "loss": round(float(metrics["total_loss"]), 4),
             }
         )

@@ -48,7 +48,8 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
             for e in entries
         ]
         cands = sorted(
-            (n for n in names if re.match(r"^epoch_\d+$", n)), key=_natural_key
+            (n for n in names if re.match(r"^epoch_\d+(_preempt)?$", n)),
+            key=_natural_key,
         )
         if not cands:
             return None
@@ -57,7 +58,12 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     d = Path(checkpoint_dir)
     if not d.is_dir():
         return None
-    cands = [p for p in d.iterdir() if re.match(r"^epoch_\d+$", p.name)]
+    # `epoch_N_preempt` dirs (partial-epoch saves under --save-on-preemption)
+    # natural-sort after their epoch_N sibling, so resume prefers the newer
+    # partial state; the payload's epoch field still says "redo epoch N".
+    cands = [
+        p for p in d.iterdir() if re.match(r"^epoch_\d+(_preempt)?$", p.name)
+    ]
     if not cands:
         return None
     return str(sorted(cands, key=lambda p: _natural_key(p.name))[-1])
@@ -112,11 +118,14 @@ def save_checkpoint(
     save_most_recent: bool = False,
     delete_previous: bool = False,
     async_save: bool = False,
+    name_suffix: str = "",
 ) -> str:
     import orbax.checkpoint as ocp
 
     os.makedirs(checkpoint_dir, exist_ok=True)
-    path = os.path.abspath(os.path.join(checkpoint_dir, f"epoch_{epoch}"))
+    path = os.path.abspath(
+        os.path.join(checkpoint_dir, f"epoch_{epoch}{name_suffix}")
+    )
     payload = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -149,6 +158,12 @@ def save_checkpoint(
         if os.path.isdir(prev):
             import shutil
 
+            if async_save:
+                # the epoch_N write is still in flight in a background
+                # thread; deleting epoch_{N-1} now would leave ZERO durable
+                # checkpoints if the process dies before the write commits.
+                # Durability beats overlap when pruning is requested.
+                ckptr.wait_until_finished()
             shutil.rmtree(prev)
     logging.info("saved checkpoint %s%s", path, " (async)" if async_save else "")
     return path

@@ -589,6 +589,7 @@ def main(args=None):
     # exit 0. Resume redoes the interrupted epoch from its start (the saved
     # state keeps the extra optimizer steps — documented redo semantics).
     preempt = threading.Event()
+    prev_sigterm = None
     if args.save_on_preemption:
         def _on_sigterm(signum, frame):
             logging.warning(
@@ -597,7 +598,7 @@ def main(args=None):
             preempt.set()
 
         if threading.current_thread() is threading.main_thread():
-            signal.signal(signal.SIGTERM, _on_sigterm)
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
         else:  # signal handlers are main-thread-only (embedded callers)
             logging.warning(
                 "--save-on-preemption: not on the main thread; SIGTERM "
@@ -612,14 +613,20 @@ def main(args=None):
         )
         loss_steps.extend(epoch_records)
         if preempt.is_set():
+            # a distinct `epoch_N_preempt` dir: overwriting epoch_N (the
+            # newest COMPLETED checkpoint when --save-frequency 1) would
+            # rmtree it before the replacement commits — a kill in that
+            # window loses the only durable state. The payload's epoch=N
+            # gives resume the redo-this-epoch semantics either way.
             logging.warning(
-                "preemption: saving epoch_%d (partial epoch, redone on "
-                "resume) and shutting down", epoch,
+                "preemption: saving epoch_%d_preempt (partial epoch, "
+                "redone on resume) and shutting down", epoch,
             )
             save_checkpoint(
                 checkpoint_dir, state, epoch,
                 save_most_recent=args.save_most_recent,
                 async_save=args.async_checkpoint,
+                name_suffix="_preempt",
             )
             break
         completed_epoch = epoch + 1
@@ -661,6 +668,12 @@ def main(args=None):
                 delete_previous=args.delete_previous_checkpoint,
                 async_save=args.async_checkpoint,
             )
+
+    if prev_sigterm is not None:
+        # restore the caller's handler: leaving _on_sigterm installed after
+        # main() returns would make a later SIGTERM set a dead event and
+        # never terminate an embedded caller
+        signal.signal(signal.SIGTERM, prev_sigterm)
 
     # ---- final artifacts (`main.py:977-1098`) ----
     with open(os.path.join(log_base, "loss_steps.json"), "w") as f:
@@ -908,6 +921,7 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
                 import jax.profiler
 
                 jax.profiler.stop_trace()
+                profiling = False  # epilogue must not stop_trace twice
             logging.warning("stop requested: leaving epoch %d early", epoch)
             break
         batch = {

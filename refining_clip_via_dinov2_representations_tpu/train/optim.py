@@ -224,6 +224,11 @@ def make_inner_optimizer(
             weight_decay=wd, mu_dtype=mu,
         )
     if name == "lamb":
+        if mu is not None:
+            raise ValueError(
+                "--adam-mu-dtype is not supported with --opt lamb "
+                "(optax.lamb keeps fp32 moments); unset one of them"
+            )
         return optax.lamb(
             learning_rate=learning_rate, b1=cfg.beta1, b2=cfg.beta2,
             eps=cfg.eps, weight_decay=wd,

@@ -360,6 +360,12 @@ def test_checkpoint_save_restore(tmp_path):
         np.asarray(restored.params["model"]["w"]), np.ones((4, 4))
     )
 
+    # preemption saves sort after their epoch sibling but before later epochs
+    save_checkpoint(str(tmp_path), state, epoch=10, name_suffix="_preempt")
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch_10_preempt")
+    save_checkpoint(str(tmp_path), state, epoch=11)
+    assert latest_checkpoint(str(tmp_path)).endswith("epoch_11")
+
 
 def test_cli_save_on_preemption(tmp_path):
     """--save-on-preemption: SIGTERM mid-run -> clean exit with a
@@ -373,11 +379,20 @@ def test_cli_save_on_preemption(tmp_path):
     )
     from refining_clip_via_dinov2_representations_tpu.train.main import main
 
-    # the handler installs inside main(); a pre-handler covers the window
-    # between the timer firing and installation on a slow host
+    # the handler installs inside main(); a pre-handler absorbs any signal
+    # that lands before installation on a slow host, and the sender RESENDS
+    # every 10 s so an absorbed signal is re-delivered once main()'s real
+    # handler is up (idempotent there: it just sets the stop event)
     fired = threading.Event()
     prev = signal.signal(signal.SIGTERM, lambda *_: fired.set())
-    timer = threading.Timer(20.0, lambda: os.kill(os.getpid(), signal.SIGTERM))
+    stop_sending = threading.Event()
+
+    def _send_until_stopped():
+        while not stop_sending.is_set():
+            os.kill(os.getpid(), signal.SIGTERM)
+            stop_sending.wait(10.0)
+
+    timer = threading.Timer(20.0, _send_until_stopped)
     timer.start()
     try:
         main([
@@ -396,17 +411,20 @@ def test_cli_save_on_preemption(tmp_path):
             "--workers", "2",
         ])
     finally:
+        stop_sending.set()
         timer.cancel()
         signal.signal(signal.SIGTERM, prev)
 
     ckpt_dir = str(tmp_path / "preempt" / "checkpoints")
     latest = latest_checkpoint(ckpt_dir)
     assert latest is not None, "preemption save did not write a checkpoint"
-    # 200 epochs of 64 samples can't have completed in 20s on this host —
-    # the run must have been cut short by the handler, not run to term
+    # the partial-epoch save uses a distinct _preempt dir (it must never
+    # overwrite the newest completed checkpoint), discoverable by latest
     import re
 
-    assert int(re.search(r"epoch_(\d+)$", latest).group(1)) < 199
+    m = re.search(r"epoch_(\d+)_preempt$", latest)
+    assert m is not None, latest
+    assert int(m.group(1)) < 199
 
 
 def test_async_checkpoint_save_restore(tmp_path):
