@@ -38,11 +38,32 @@ from .models import (
 from .inference import ClipInferenceEngine, create_engine, load_exported
 from .utils import to_2tuple, feature_take_indices, get_2d_sincos_pos_embed
 from .models.openai import load_openai_model, list_openai_models
+from .models import CoCa
+from .models.clip import CLIP as CustomTextCLIP  # one flax module covers both
+from .models.pretrained import (
+    list_pretrained_models_by_tag,
+    list_pretrained_tags_by_model,
+)
+from .models.push_to_hf_hub import push_pretrained_to_hf_hub, push_to_hf_hub
+from .eval import (
+    IMAGENET_CLASSNAMES,
+    OPENAI_IMAGENET_TEMPLATES,
+    SIMPLE_IMAGENET_TEMPLATES,
+    build_zero_shot_classifier,
+    build_zero_shot_classifier_legacy,
+)
 from .losses import (
+    ClipLoss,
+    ClipLossWithDINOEnhancements,
+    CoCaLoss,
+    CyCLIPLoss,
     DinoLossCfg,
     DinoProjectionHead,
+    DistillClipLoss,
+    SigLipLoss,
     clip_loss,
     coca_loss,
+    create_loss,
     cyclip_loss,
     dino_enhanced_loss,
     distill_clip_loss,

@@ -15,8 +15,24 @@ from .dino import (
     compute_student_tau,
     dino_enhanced_loss,
 )
+from .compat import (
+    ClipLoss,
+    ClipLossWithDINOEnhancements,
+    CoCaLoss,
+    CyCLIPLoss,
+    DistillClipLoss,
+    SigLipLoss,
+    create_loss,
+)
 
 __all__ = [
+    "ClipLoss",
+    "ClipLossWithDINOEnhancements",
+    "CoCaLoss",
+    "CyCLIPLoss",
+    "DistillClipLoss",
+    "SigLipLoss",
+    "create_loss",
     "DinoLossCfg",
     "DinoProjectionHead",
     "apply_projection",

@@ -120,3 +120,55 @@ def push_to_hf_hub(
         return api.upload_folder(
             repo_id=repo_id, folder_path=tmpdir, commit_message=commit_message
         )
+
+
+def push_pretrained_to_hf_hub(
+    model_name: str,
+    pretrained: str,
+    repo_id: str,
+    precision: str = "fp32",
+    image_mean=None,
+    image_std=None,
+    image_interpolation: Optional[str] = None,
+    image_resize_mode: Optional[str] = None,
+    commit_message: str = "Add model",
+    token: Optional[str] = None,
+    private: bool = False,
+    model_card: Optional[Dict[str, Any]] = None,
+    **kwargs,
+):
+    """Load a registered pretrained tag and push it (`push_to_hf_hub.py:156-198`):
+    create_model_from_pretrained -> tokenizer -> push_to_hf_hub."""
+    from .factory import (
+        create_model,
+        get_model_config,
+        get_tokenizer,
+        merge_preprocess_kwargs,
+    )
+
+    force_pp = merge_preprocess_kwargs(
+        PreprocessCfg(), mean=image_mean, std=image_std,
+        interpolation=image_interpolation, resize_mode=image_resize_mode,
+    )
+    _model, variables, pp_cfg = create_model(
+        model_name,
+        pretrained=pretrained,
+        precision=precision,
+        force_preprocess_cfg=force_pp,
+        require_pretrained=True,
+        **kwargs,
+    )
+    model_card = model_card or {}
+    model_card.setdefault("base_model", pretrained)
+    return push_to_hf_hub(
+        params=variables["params"],
+        model_cfg=get_model_config(model_name),
+        tokenizer=get_tokenizer(model_name),
+        repo_id=repo_id,
+        preprocess_cfg=pp_cfg,
+        commit_message=commit_message,
+        token=token,
+        private=private,
+        model_card=model_card,
+        batch_stats=variables.get("batch_stats"),
+    )
