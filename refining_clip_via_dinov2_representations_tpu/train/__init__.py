@@ -8,8 +8,12 @@ from .data import (
     get_data,
     load_dino_index_map,
 )
+from .distributed import broadcast_object, init_distributed_device, is_master
 from .evaluate import evaluate
+from .file_utils import check_exists, pt_load, remote_sync, start_sync_process
 from .helpers import dataset_retrieval_score, epoch_retrieval_score
+from .logger import setup_logging
+from .params import parse_args
 from .metrics import (
     build_unique_image_features,
     clip_retrieval_metrics,
@@ -45,4 +49,14 @@ __all__ = [
     "load_dino_index_map",
     "make_schedule",
     "make_train_step",
+    # reference `helpers.py:484-498` re-export surface
+    "broadcast_object",
+    "check_exists",
+    "init_distributed_device",
+    "is_master",
+    "parse_args",
+    "pt_load",
+    "remote_sync",
+    "setup_logging",
+    "start_sync_process",
 ]
