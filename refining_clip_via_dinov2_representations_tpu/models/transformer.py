@@ -48,11 +48,19 @@ def _resolve_remat_policy(name):
         return None  # save nothing (default remat)
     import jax
 
-    return {
+    policies = {
         "dots_saveable": jax.checkpoint_policies.dots_saveable,
         "dots_with_no_batch_dims_saveable":
             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-    }[name]
+    }
+    if name == "offload_dots_with_no_batch_dims":
+        # activations neither kept in HBM nor recomputed: dot outputs stream
+        # to pinned host RAM on the forward pass and back on the backward —
+        # trades PCIe/DMA bandwidth for recompute FLOPs and HBM
+        return jax.checkpoint_policies.offload_dot_with_no_batch_dims(
+            "device", "pinned_host"
+        )
+    return policies[name]
 
 
 def _remat(block_cls, policy_name, static_argnums=(4,)):

@@ -149,11 +149,14 @@ def parse_args(args=None):
         "--remat-policy",
         type=str,
         default="full",
-        choices=["full", "dots_saveable", "dots_with_no_batch_dims_saveable"],
+        choices=["full", "dots_saveable", "dots_with_no_batch_dims_saveable",
+                 "offload_dots_with_no_batch_dims"],
         help="jax.checkpoint policy used with --grad-checkpointing: 'full' "
         "recomputes everything (torch.utils.checkpoint parity); the dots_* "
         "policies save matmul outputs and recompute only elementwise ops "
-        "(selective rematerialization — more memory, far less recompute). "
+        "(selective rematerialization — more memory, far less recompute); "
+        "offload_* streams them to pinned host RAM instead (measured 8x "
+        "slower than recompute on this platform — see COMPONENTS.md). "
         "Applies to every tower family.",
     )
     parser.add_argument("--lock-image", default=False, action="store_true")
