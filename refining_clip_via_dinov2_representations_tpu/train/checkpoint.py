@@ -119,6 +119,7 @@ def save_checkpoint(
     delete_previous: bool = False,
     async_save: bool = False,
     name_suffix: str = "",
+    step_in_epoch: int = 0,
 ) -> str:
     import orbax.checkpoint as ocp
 
@@ -131,7 +132,17 @@ def save_checkpoint(
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
         "epoch": np.asarray(epoch),
+        # optimizer steps already executed inside `epoch` (0 for a completed
+        # epoch). A preemption save records its position here so resume can
+        # continue MID-epoch instead of redoing it (the reference's torch
+        # checkpoints are epoch-granular, `main.py:940-948`).
+        "step_in_epoch": np.asarray(step_in_epoch),
     }
+    if getattr(state, "rng", None) is not None:
+        # the step PRNG key evolves with the state (split each step); without
+        # it a mid-epoch resume replays stochastic paths (dropout/device-RRC)
+        # from the initial key
+        payload["rng"] = state.rng
     if getattr(state, "batch_stats", None) is not None:
         payload["batch_stats"] = state.batch_stats
 
@@ -169,8 +180,14 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
-    """Restore into the structure of `state`; returns (state, start_epoch)."""
+def restore_checkpoint(path: str, state) -> Tuple[Any, int, int]:
+    """Restore into the structure of `state`.
+
+    Returns (state, start_epoch, step_in_epoch) — step_in_epoch > 0 means the
+    checkpoint was a mid-epoch (preemption) save and `start_epoch` should be
+    continued from that optimizer step rather than restarted. Checkpoints
+    written before step_in_epoch/rng existed restore with both defaulted
+    (step_in_epoch=0, initial rng)."""
     import orbax.checkpoint as ocp
 
     if path == "latest":
@@ -180,19 +197,30 @@ def restore_checkpoint(path: str, state) -> Tuple[Any, int]:
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
         "epoch": np.asarray(0),
+        "step_in_epoch": np.asarray(0),
     }
+    if getattr(state, "rng", None) is not None:
+        template["rng"] = state.rng
     if getattr(state, "batch_stats", None) is not None:
         template["batch_stats"] = state.batch_stats
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.abspath(path), template)
+    try:
+        restored = ckptr.restore(os.path.abspath(path), template)
+    except Exception:
+        # pre-round-3 checkpoint layout (no step_in_epoch / rng)
+        template.pop("step_in_epoch")
+        template.pop("rng", None)
+        restored = ckptr.restore(os.path.abspath(path), template)
     new_state = state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]),
     )
+    if "rng" in restored:
+        new_state = new_state.replace(rng=jax.numpy.asarray(restored["rng"]))
     if "batch_stats" in restored:
         new_state = new_state.replace(batch_stats=restored["batch_stats"])
-    return new_state, int(restored["epoch"])
+    return new_state, int(restored["epoch"]), int(restored.get("step_in_epoch", 0))
 
 
 def export_torch_checkpoint(

@@ -369,9 +369,17 @@ class Loader:
         self.process_count = process_count
         self.dino_store = dino_store
         self.epoch = 0
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def skip_next_batches(self, n: int):
+        """Mid-epoch resume: the next __iter__ starts at batch `n` of this
+        epoch's (deterministic, epoch-seeded) order. Index-level skip — no
+        decode work for the consumed prefix. One-shot: consumed by the next
+        iteration."""
+        self._skip_batches = int(n)
 
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -400,6 +408,9 @@ class Loader:
         ]
         if rem and not self.drop_last:
             batches.append(indices[nb * self.batch_size :])
+        skip, self._skip_batches = self._skip_batches, 0
+        if skip:
+            batches = batches[skip:]
 
         pool = ThreadPoolExecutor(self.num_workers)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

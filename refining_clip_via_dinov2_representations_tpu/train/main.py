@@ -468,6 +468,7 @@ def main(args=None):
 
     # ---- resume (`main.py:666-686`; remote discovery `main.py:212-249`) ----
     start_epoch = 0
+    resume_step_in_epoch = 0
     if args.resume is not None and state is not None:
         if args.resume == "latest":
             # with --remote-sync the source of truth is the remote dir
@@ -504,7 +505,9 @@ def main(args=None):
         else:
             resume_path = args.resume
         if resume_path:
-            state, start_epoch = restore_checkpoint(resume_path, state)
+            state, start_epoch, resume_step_in_epoch = restore_checkpoint(
+                resume_path, state
+            )
             # restored arrays live on one device; re-replicate over the mesh
             from ..parallel.mesh import state_shardings
 
@@ -517,7 +520,11 @@ def main(args=None):
                     min_size=getattr(args, "fsdp_min_size", 2**16),
                 ),
             )
-            logging.info("=> resuming checkpoint '%s' (epoch %d)", resume_path, start_epoch)
+            logging.info(
+                "=> resuming checkpoint '%s' (epoch %d%s)", resume_path,
+                start_epoch,
+                f", step {resume_step_in_epoch}" if resume_step_in_epoch else "",
+            )
         else:
             logging.info("=> no checkpoint found at %s", args.resume)
 
@@ -606,27 +613,38 @@ def main(args=None):
             )
 
     for epoch in range(start_epoch, args.epochs):
-        logging.info("Start epoch %d", epoch)
+        skip_steps = resume_step_in_epoch if epoch == start_epoch else 0
+        logging.info(
+            "Start epoch %d%s", epoch,
+            f" (resuming at optimizer step {skip_steps})" if skip_steps else "",
+        )
+        epoch_step0 = int(state.step)  # one sync per epoch; used for the
+        # mid-epoch position of a preemption save
         state, epoch_records = train_one_epoch(
             train_step, state, data["train"], mesh, args, epoch, tracker=tracker,
-            stop_event=preempt,
+            stop_event=preempt, skip_steps=skip_steps,
         )
         loss_steps.extend(epoch_records)
         if preempt.is_set():
             # a distinct `epoch_N_preempt` dir: overwriting epoch_N (the
             # newest COMPLETED checkpoint when --save-frequency 1) would
             # rmtree it before the replacement commits — a kill in that
-            # window loses the only durable state. The payload's epoch=N
-            # gives resume the redo-this-epoch semantics either way.
+            # window loses the only durable state. The payload records the
+            # mid-epoch position (step_in_epoch) so `--resume latest`
+            # CONTINUES epoch N at the next batch; a loader without batch
+            # skipping falls back to redoing the epoch.
+            step_in_epoch = skip_steps + (int(state.step) - epoch_step0)
             logging.warning(
-                "preemption: saving epoch_%d_preempt (partial epoch, "
-                "redone on resume) and shutting down", epoch,
+                "preemption: saving epoch_%d_preempt (at optimizer step %d "
+                "of the epoch; resume continues there) and shutting down",
+                epoch, step_in_epoch,
             )
             save_checkpoint(
                 checkpoint_dir, state, epoch,
                 save_most_recent=args.save_most_recent,
                 async_save=args.async_checkpoint,
                 name_suffix="_preempt",
+                step_in_epoch=step_in_epoch,
             )
             break
         completed_epoch = epoch + 1
@@ -877,11 +895,14 @@ def _plot_loss_curves(loss_steps, log_base):
 
 
 def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=None,
-                    stop_event=None):
+                    stop_event=None, skip_steps=0):
     """One epoch of the hot loop (`train.py:145-584`): iterate, shard, step,
     meter samples/s, log every `--log-every-n-steps`. `stop_event` (set by
     the SIGTERM handler under --save-on-preemption) ends the epoch at the
-    next step boundary."""
+    next step boundary. `skip_steps` resumes a mid-epoch checkpoint: the
+    loader skips the first skip_steps*accum batches (index-level for the
+    map-style loaders, raw-record-level for webdataset — no decode cost) so
+    the run continues exactly where the preempted one stopped."""
     import jax
 
     from ..parallel.mesh import shard_batch
@@ -893,6 +914,18 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
     samples = 0
     accum = max(1, args.accum_freq)
     micro = []
+    if skip_steps:
+        if hasattr(loader, "skip_next_batches"):
+            loader.skip_next_batches(skip_steps * accum)
+        else:
+            logging.warning(
+                "train loader %s cannot skip batches; redoing epoch %d from "
+                "its start (extra optimizer steps kept — the reference's "
+                "redo semantics)", type(loader).__name__, epoch,
+            )
+            skip_steps = 0
+    stop_after = max(0, int(getattr(args, "stop_after_steps", 0) or 0))
+    steps_done = 0
     # Host-side step counter: fetching `state.step` from the device every
     # iteration would sync the host to step completion and serialize data
     # loading with device compute. One fetch here, then host arithmetic —
@@ -963,6 +996,17 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
         samples += bsz
         window_samples += bsz
         t_end = time.time()
+        steps_done += 1
+        if stop_after and steps_done >= stop_after:
+            # debug/test knob: end the run after N optimizer steps this call,
+            # through the same save-and-shutdown path as a preemption
+            logging.warning(
+                "--stop-after-steps %d reached at epoch %d", stop_after, epoch
+            )
+            if stop_event is not None:
+                stop_event.set()
+            else:
+                break
 
         if step % args.log_every_n_steps == 0 or (num_batches and i == num_batches - 1):
             m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}

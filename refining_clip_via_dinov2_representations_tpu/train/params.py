@@ -290,9 +290,17 @@ def parse_args(args=None):
     parser.add_argument(
         "--save-on-preemption", default=False, action="store_true",
         help="on SIGTERM (TPU maintenance/preemption), finish the in-flight "
-             "step, save a checkpoint, run the final remote sync, exit 0. "
-             "Resume redoes the interrupted epoch from its start. Assumes "
-             "the signal reaches every host (orbax saves are collective).")
+             "step, save a checkpoint recording the mid-epoch position, run "
+             "the final remote sync, exit 0. `--resume latest` CONTINUES the "
+             "interrupted epoch at the next batch (loaders skip consumed "
+             "batches without decoding); a loader that cannot skip redoes "
+             "the epoch. Assumes the signal reaches every host (orbax saves "
+             "are collective).")
+    parser.add_argument(
+        "--stop-after-steps", type=int, default=0,
+        help="stop the run after N optimizer steps (this process), saving a "
+             "mid-epoch checkpoint through the preemption path — for smoke "
+             "runs, profiling, and resume tests. 0 = run to completion.")
     parser.add_argument(
         "--async-checkpoint", default=False, action="store_true",
         help="overlap orbax checkpoint writes with training (device arrays "

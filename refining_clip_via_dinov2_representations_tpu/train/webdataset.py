@@ -157,9 +157,21 @@ class WdsLoader:
         # per-host batch count; mirror of the reference's worker-epoch sizing
         # (`data.py:589-606`): every host must emit the same number of batches.
         self.num_batches = max(1, num_samples // (batch_size * process_count))
+        self._skip_batches = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+
+    def skip_next_batches(self, n: int):
+        """Mid-epoch resume: the next __iter__ consumes the first
+        n*batch_size RAW records (tar bytes, shuffle-buffer order — all
+        deterministic per epoch) WITHOUT decoding them, then emits the
+        remaining num_batches-n batches. Caveat: a sample the original run
+        dropped at decode (corrupt image) counts here as consumed, so resume
+        order can skew by the number of bad samples in the prefix — bad
+        samples are already best-effort territory (the stream skips them
+        non-fatally). One-shot."""
+        self._skip_batches = int(n)
 
     def _epoch_shards(self, epoch: Optional[int] = None) -> List[str]:
         e = self.epoch if epoch is None else epoch
@@ -309,6 +321,14 @@ class WdsLoader:
         # eval exhausts the stream — the reference "will just exhaust the
         # iterator if the size is not specified" and num_batches is metadata
         limit = self.num_batches if self.is_train else None
+        skip, self._skip_batches = self._skip_batches, 0
+        if skip:
+            for _ in range(skip * self.batch_size):
+                try:
+                    next(raw_stream)  # raw bytes only — no decode
+                except StopIteration:
+                    break
+            emitted = skip  # counts toward the epoch's num_batches limit
         try:
             exhausted = False
             while limit is None or emitted < limit:

@@ -353,9 +353,13 @@ def test_checkpoint_save_restore(tmp_path):
     assert latest.endswith("epoch_10")
 
     fresh = create_train_state(jax.random.PRNGKey(1), params, tx)
-    restored, epoch = restore_checkpoint(latest, fresh)
-    assert epoch == 10
+    restored, epoch, step_in_epoch = restore_checkpoint(latest, fresh)
+    assert epoch == 10 and step_in_epoch == 0
     assert int(restored.step) == 7
+    # the step PRNG key travels with the checkpoint (mid-epoch resume)
+    np.testing.assert_array_equal(
+        np.asarray(restored.rng), np.asarray(jax.random.PRNGKey(0))
+    )
     np.testing.assert_allclose(
         np.asarray(restored.params["model"]["w"]), np.ones((4, 4))
     )
@@ -427,6 +431,56 @@ def test_cli_save_on_preemption(tmp_path):
     assert int(m.group(1)) < 199
 
 
+def test_cli_mid_epoch_resume_continues_exactly(tmp_path):
+    """Mid-epoch resume (round-3 preemption upgrade): --stop-after-steps N
+    ends the run through the preemption path with a checkpoint recording the
+    mid-epoch position; `--resume latest` CONTINUES the epoch at step N+1
+    (loader skips the consumed batches) and, because the step PRNG key and the
+    epoch-seeded data order travel with the checkpoint, the continued steps
+    reproduce an uninterrupted run's losses exactly."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    cache = str(tmp_path / "xla_cache")
+    common = [
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "synthetic",
+        "--train-num-samples", "64",   # global batch 16 -> 4 optimizer steps
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--warmup", "2",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--logs", str(tmp_path),
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+        "--seed", "0",
+        "--compile-cache", cache,
+    ]
+    main(common + ["--name", "straight"])
+    straight = json.loads((tmp_path / "straight" / "loss_steps.json").read_text())
+    assert [r["step"] for r in straight] == [1, 2, 3, 4]
+
+    main(common + ["--name", "resumed", "--stop-after-steps", "2",
+                   "--save-frequency", "0"])
+    ckpt_dir = tmp_path / "resumed" / "checkpoints"
+    assert (ckpt_dir / "epoch_0_preempt").is_dir()
+
+    main(common + ["--name", "resumed", "--resume", "latest"])
+    resumed = json.loads((tmp_path / "resumed" / "loss_steps.json").read_text())
+    # continued at step 3 of epoch 0 — no redo of steps 1-2
+    assert [r["step"] for r in resumed] == [3, 4]
+    assert all(r["epoch"] == 0 for r in resumed)
+    assert (ckpt_dir / "epoch_1").is_dir()
+    # loss/logit_scale at steps 3-4 match the uninterrupted run bit-for-bit:
+    # params, optimizer state, PRNG key, and batch order all survived the
+    # preempt save (fp32 + shared compile cache => deterministic replay)
+    by_step = {r["step"]: r for r in straight}
+    for r in resumed:
+        ref = by_step[r["step"]]
+        np.testing.assert_allclose(r["total_loss"], ref["total_loss"], rtol=0, atol=0)
+        np.testing.assert_allclose(r["logit_scale"], ref["logit_scale"], rtol=0, atol=0)
+
+
 def test_async_checkpoint_save_restore(tmp_path):
     """--async-checkpoint: back-to-back async saves (wait-at-entry
     serializes them), epoch_latest alias, wait_for_checkpoints drain, and a
@@ -461,7 +515,7 @@ def test_async_checkpoint_save_restore(tmp_path):
     assert latest.endswith("epoch_2")
 
     fresh = create_train_state(jax.random.PRNGKey(1), params, tx)
-    restored, epoch = restore_checkpoint(latest, fresh)
+    restored, epoch, _ = restore_checkpoint(latest, fresh)
     assert epoch == 2 and int(restored.step) == 11
     np.testing.assert_array_equal(
         np.asarray(restored.params["model"]["w"]), np.arange(16.0).reshape(4, 4)

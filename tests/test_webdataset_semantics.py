@@ -147,3 +147,40 @@ def test_shuffle_buffer_bounded_and_duplicate_free(tmp_path):
     assert max(counts.values()) <= 2, counts.most_common(3)
     # shuffling actually happened (not identity order)
     assert caps != [f"caption {i}" for i in range(len(caps))]
+
+
+def test_skip_next_batches_resumes_exact_order(tmp_path):
+    """Mid-epoch resume: skip_next_batches(k) consumes the first k batches'
+    raw records (same deterministic epoch-seeded order, no decode) so the
+    continued stream emits batches k+1..num_batches identically to the
+    uninterrupted epoch."""
+    rng = np.random.default_rng(7)
+    shard = tmp_path / "s.tar"
+    n = 60
+    with tarfile.open(shard, "w") as tf:
+        for i in range(n):
+            _add(tf, f"{i:04d}.jpg", _jpeg_bytes(rng))
+            _add(tf, f"{i:04d}.txt", f"caption {i}".encode())
+
+    def make():
+        return WdsLoader(
+            str(shard),
+            preprocess_img=image_transform(16, is_train=False),
+            tokenizer=None,
+            batch_size=6,
+            num_samples=n,
+            is_train=True,
+            shuffle_buffer=8,
+            seed=5,
+        )
+
+    full = [list(b["texts"]) for b in make()]
+    assert len(full) == n // 6
+
+    resumed_loader = make()
+    resumed_loader.skip_next_batches(2)
+    resumed = [list(b["texts"]) for b in resumed_loader]
+    assert len(resumed) == len(full) - 2
+    assert resumed == full[2:]
+    # one-shot: the next epoch iterates from the start again
+    assert [list(b["texts"]) for b in resumed_loader] == full
