@@ -612,6 +612,8 @@ def main(args=None):
                 "handler not installed"
             )
 
+    # run-level --stop-after-steps budget, decremented across epochs (0 = off)
+    steps_budget = max(0, int(getattr(args, "stop_after_steps", 0) or 0))
     for epoch in range(start_epoch, args.epochs):
         skip_steps = resume_step_in_epoch if epoch == start_epoch else 0
         logging.info(
@@ -622,8 +624,10 @@ def main(args=None):
         # mid-epoch position of a preemption save
         state, epoch_records = train_one_epoch(
             train_step, state, data["train"], mesh, args, epoch, tracker=tracker,
-            stop_event=preempt, skip_steps=skip_steps,
+            stop_event=preempt, skip_steps=skip_steps, stop_after=steps_budget,
         )
+        if steps_budget:
+            steps_budget = max(0, steps_budget - (int(state.step) - epoch_step0))
         loss_steps.extend(epoch_records)
         if preempt.is_set():
             # a distinct `epoch_N_preempt` dir: overwriting epoch_N (the
@@ -895,14 +899,17 @@ def _plot_loss_curves(loss_steps, log_base):
 
 
 def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=None,
-                    stop_event=None, skip_steps=0):
+                    stop_event=None, skip_steps=0, stop_after=0):
     """One epoch of the hot loop (`train.py:145-584`): iterate, shard, step,
     meter samples/s, log every `--log-every-n-steps`. `stop_event` (set by
     the SIGTERM handler under --save-on-preemption) ends the epoch at the
     next step boundary. `skip_steps` resumes a mid-epoch checkpoint: the
     loader skips the first skip_steps*accum batches (index-level for the
     map-style loaders, raw-record-level for webdataset — no decode cost) so
-    the run continues exactly where the preempted one stopped."""
+    the run continues exactly where the preempted one stopped. `stop_after`
+    (> 0) ends the run through the stop_event after that many optimizer
+    steps within THIS call — main() threads the run-level --stop-after-steps
+    budget through it, decremented across epochs."""
     import jax
 
     from ..parallel.mesh import shard_batch
@@ -924,7 +931,7 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
                 "redo semantics)", type(loader).__name__, epoch,
             )
             skip_steps = 0
-    stop_after = max(0, int(getattr(args, "stop_after_steps", 0) or 0))
+    stop_after = max(0, int(stop_after))
     steps_done = 0
     # Host-side step counter: fetching `state.step` from the device every
     # iteration would sync the host to step completion and serialize data

@@ -480,6 +480,17 @@ def test_cli_mid_epoch_resume_continues_exactly(tmp_path):
         np.testing.assert_allclose(r["total_loss"], ref["total_loss"], rtol=0, atol=0)
         np.testing.assert_allclose(r["logit_scale"], ref["logit_scale"], rtol=0, atol=0)
 
+    # the --stop-after-steps budget is run-level, spanning epochs: 4
+    # steps/epoch, budget 6 -> stops at optimizer step 2 of epoch 1
+    # (argparse last-wins lets --epochs 2 override the common value)
+    main(common + ["--name", "budget", "--epochs", "2",
+                   "--stop-after-steps", "6", "--save-frequency", "0"])
+    assert (tmp_path / "budget" / "checkpoints" / "epoch_1_preempt").is_dir()
+    budget = json.loads((tmp_path / "budget" / "loss_steps.json").read_text())
+    assert [(r["epoch"], r["step"]) for r in budget] == [
+        (0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (1, 6),
+    ]
+
 
 def test_async_checkpoint_save_restore(tmp_path):
     """--async-checkpoint: back-to-back async saves (wait-at-entry
