@@ -120,6 +120,7 @@ def save_checkpoint(
     async_save: bool = False,
     name_suffix: str = "",
     step_in_epoch: int = 0,
+    data_order: Optional[Dict[str, int]] = None,
 ) -> str:
     import orbax.checkpoint as ocp
 
@@ -138,6 +139,12 @@ def save_checkpoint(
         # checkpoints are epoch-granular, `main.py:940-948`).
         "step_in_epoch": np.asarray(step_in_epoch),
     }
+    if data_order:
+        # the flags that determine the deterministic batch order; a resume
+        # whose values differ cannot skip `step_in_epoch` batches safely
+        payload["data_order"] = {
+            k: np.asarray(int(v)) for k, v in sorted(data_order.items())
+        }
     if getattr(state, "rng", None) is not None:
         # the step PRNG key evolves with the state (split each step); without
         # it a mid-epoch resume replays stochastic paths (dropout/device-RRC)
@@ -180,47 +187,84 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(path: str, state) -> Tuple[Any, int, int]:
+def _metadata_template(md_tree) -> Any:
+    """Zeros-template from an orbax metadata subtree (shape+dtype only)."""
+    if isinstance(md_tree, dict):
+        return {k: _metadata_template(v) for k, v in md_tree.items()}
+    return np.zeros(md_tree.shape, md_tree.dtype)
+
+
+def restore_checkpoint(
+    path: str, state
+) -> Tuple[Any, int, int, Dict[str, int]]:
     """Restore into the structure of `state`.
 
-    Returns (state, start_epoch, step_in_epoch) — step_in_epoch > 0 means the
-    checkpoint was a mid-epoch (preemption) save and `start_epoch` should be
-    continued from that optimizer step rather than restarted. Checkpoints
-    written before step_in_epoch/rng existed restore with both defaulted
-    (step_in_epoch=0, initial rng)."""
+    Returns (state, start_epoch, step_in_epoch, data_order) — step_in_epoch
+    > 0 means the checkpoint was a mid-epoch (preemption) save and
+    `start_epoch` should be continued from that optimizer step rather than
+    restarted; `data_order` holds the batch-order flags recorded at save time
+    (empty for epoch-boundary or pre-round-3 checkpoints). The template is
+    built from the checkpoint's OWN top-level keys (orbax requires an exact
+    structure match), so layout evolution (step_in_epoch / rng / data_order
+    added in round 3) restores without masking real errors behind a blanket
+    retry: a genuinely mismatched params/opt_state tree still raises the
+    orbax structure error directly."""
     import orbax.checkpoint as ocp
 
     if path == "latest":
         raise ValueError("resolve 'latest' with latest_checkpoint() first")
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    md = ckptr.metadata(path).item_metadata.tree
     template = {
         "params": state.params,
         "opt_state": state.opt_state,
         "step": np.asarray(state.step),
         "epoch": np.asarray(0),
-        "step_in_epoch": np.asarray(0),
     }
-    if getattr(state, "rng", None) is not None:
-        template["rng"] = state.rng
-    if getattr(state, "batch_stats", None) is not None:
-        template["batch_stats"] = state.batch_stats
-    ckptr = ocp.StandardCheckpointer()
-    try:
-        restored = ckptr.restore(os.path.abspath(path), template)
-    except Exception:
-        # pre-round-3 checkpoint layout (no step_in_epoch / rng)
-        template.pop("step_in_epoch")
-        template.pop("rng", None)
-        restored = ckptr.restore(os.path.abspath(path), template)
+    for key in ("step_in_epoch", "data_order"):
+        if key in md:
+            template[key] = _metadata_template(md[key])
+    if "rng" in md:
+        # prefer the live state's rng leaf (keeps key dtype/impl); a state
+        # without rng still restores the saved one into a metadata template
+        template["rng"] = (
+            state.rng if getattr(state, "rng", None) is not None
+            else _metadata_template(md["rng"])
+        )
+    if "batch_stats" in md:
+        if getattr(state, "batch_stats", None) is not None:
+            template["batch_stats"] = state.batch_stats
+        else:
+            template["batch_stats"] = _metadata_template(md["batch_stats"])
+            logging.warning(
+                "checkpoint %s carries batch_stats but the current model "
+                "tracks none; they are ignored", path,
+            )
+    elif getattr(state, "batch_stats", None) is not None:
+        logging.warning(
+            "checkpoint %s has no batch_stats; the model's initial BN "
+            "statistics are kept", path,
+        )
+    restored = ckptr.restore(path, template)
     new_state = state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],
         step=jax.numpy.asarray(restored["step"]),
     )
-    if "rng" in restored:
+    if "rng" in restored and getattr(state, "rng", None) is not None:
         new_state = new_state.replace(rng=jax.numpy.asarray(restored["rng"]))
-    if "batch_stats" in restored:
+    if "batch_stats" in restored and getattr(state, "batch_stats", None) is not None:
         new_state = new_state.replace(batch_stats=restored["batch_stats"])
-    return new_state, int(restored["epoch"]), int(restored.get("step_in_epoch", 0))
+    data_order = {
+        k: int(v) for k, v in restored.get("data_order", {}).items()
+    }
+    return (
+        new_state,
+        int(restored["epoch"]),
+        int(restored.get("step_in_epoch", 0)),
+        data_order,
+    )
 
 
 def export_torch_checkpoint(

@@ -38,6 +38,68 @@ def random_seed(seed: int = 42, rank: int = 0):
     np.random.seed(seed + rank)
 
 
+def _data_order_flags(args) -> Dict[str, int]:
+    """Flags that pin the deterministic train-batch order. Recorded in
+    mid-epoch (preemption) checkpoints and compared at resume: the saved
+    `step_in_epoch` counts optimizer steps under THIS order, so a mismatch
+    makes the batch skip silently wrong — resume falls back to redoing the
+    epoch instead."""
+    import jax
+
+    return {
+        "accum_freq": max(1, int(args.accum_freq or 1)),
+        "batch_size": int(args.batch_size),
+        "seed": int(args.seed or 0),
+        "world": int(jax.device_count()),
+    }
+
+
+def _fetch_remote_artifacts(remote_run_dir: str, log_base: str) -> None:
+    """Copy the remote run dir's artifact-history files to `log_base` when
+    they are missing locally (remote resume onto a fresh host)."""
+    import fsspec
+
+    if "://" not in remote_run_dir:
+        remote_run_dir = "file://" + remote_run_dir
+    for art in ("loss_steps.json", "final_itm_results.json"):
+        local = os.path.join(log_base, art)
+        if os.path.exists(local):
+            continue
+        try:
+            fs, root = fsspec.core.url_to_fs(f"{remote_run_dir}/{art}")
+            if fs.exists(root):
+                fs.get(root, local)
+                logging.info("fetched remote artifact %s", art)
+        except Exception as e:  # artifact history is best-effort
+            logging.warning("could not fetch remote %s: %r", art, e)
+
+
+def _preload_artifacts(log_base: str, resumed_step: int, start_epoch: int):
+    """Previous incarnation's loss_steps.json / final_itm_results.json, so a
+    resumed run's final artifacts cover the whole history rather than
+    overwriting it with only the post-resume records. Records past the
+    restored position (stale when resuming an older checkpoint) are dropped."""
+    loss_steps, all_results = [], []
+    try:
+        with open(os.path.join(log_base, "loss_steps.json")) as f:
+            loss_steps = [r for r in json.load(f) if r.get("step", 0) <= resumed_step]
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    try:
+        with open(os.path.join(log_base, "final_itm_results.json")) as f:
+            all_results = [
+                e for e in json.load(f) if e.get("epoch", 0) <= start_epoch
+            ]
+    except (FileNotFoundError, json.JSONDecodeError):
+        pass
+    if loss_steps or all_results:
+        logging.info(
+            "resume: preloaded %d loss-step records and %d epoch-eval entries "
+            "from the previous incarnation", len(loss_steps), len(all_results),
+        )
+    return loss_steps, all_results
+
+
 def _resolve_loss_type(args) -> str:
     """Dispatch mirroring `create_loss` (`factory.py:506-588`)."""
     if args.distill_model and args.distill_pretrained:
@@ -493,6 +555,13 @@ def main(args=None):
                     resume_path = fetch_remote_checkpoint(
                         resume_path, checkpoint_dir
                     )
+                    # also fetch the run's artifact history: a fresh host has
+                    # no local loss_steps.json, and the final sync at run end
+                    # would otherwise overwrite the remote copy with only the
+                    # post-resume records
+                    _fetch_remote_artifacts(
+                        os.path.join(args.remote_sync, args.name), log_base
+                    )
             elif args.save_most_recent:
                 # --save-most-recent resumes from the fixed epoch_latest
                 # artifact (reference main.py:231-236), not the newest
@@ -505,9 +574,25 @@ def main(args=None):
         else:
             resume_path = args.resume
         if resume_path:
-            state, start_epoch, resume_step_in_epoch = restore_checkpoint(
-                resume_path, state
+            state, start_epoch, resume_step_in_epoch, saved_order = (
+                restore_checkpoint(resume_path, state)
             )
+            if resume_step_in_epoch and saved_order:
+                current_order = _data_order_flags(args)
+                if saved_order != current_order:
+                    # the recorded mid-epoch position is counted in optimizer
+                    # steps under the SAVED batch order; skipping with any of
+                    # these flags changed would silently drop or re-train
+                    # batches. Fall back to the reference's redo-the-epoch
+                    # semantics instead.
+                    logging.warning(
+                        "mid-epoch resume: data-order flags changed since the "
+                        "preemption save (%s -> %s); cannot skip %d steps "
+                        "safely — redoing epoch %d from its start",
+                        saved_order, current_order, resume_step_in_epoch,
+                        start_epoch,
+                    )
+                    resume_step_in_epoch = 0
             # restored arrays live on one device; re-replicate over the mesh
             from ..parallel.mesh import state_shardings
 
@@ -574,7 +659,10 @@ def main(args=None):
         return
 
     # ---- pre-train evaluation over every val key (`main.py:833-859`) ----
-    if start_epoch == 0 and eval_rounds:
+    # a mid-epoch resume of epoch 0 skips this: the model is no longer the
+    # untrained one, and the pre-train numbers already exist in the first
+    # incarnation's logs
+    if start_epoch == 0 and resume_step_in_epoch == 0 and eval_rounds:
         variables_eval = {"params": state.params["model"]}
         if state.batch_stats is not None:
             variables_eval["batch_stats"] = state.batch_stats
@@ -586,9 +674,22 @@ def main(args=None):
                 logging.warning("pre-train eval on %s failed: %r", key, e)
 
     # ---- epoch loop ----
-    loss_steps = []
-    all_results = []
+    # a resumed run preloads the previous incarnation's artifact history so
+    # loss_steps.json / final_itm_results.json cover the WHOLE run, not just
+    # the post-resume steps (records beyond the restored optimizer step —
+    # possible when resuming an older-than-latest checkpoint — are dropped)
+    loss_steps, all_results = _preload_artifacts(
+        log_base, resumed_step=int(state.step), start_epoch=start_epoch
+    ) if args.resume else ([], [])
     best = {"score": float("-inf"), "tie": float("-inf"), "epoch": -1}
+    for prior in all_results:
+        score, tie = epoch_retrieval_score(prior["results"])
+        if not math.isnan(score) and (score, tie) > (best["score"], best["tie"]):
+            best = {"score": score, "tie": tie, "epoch": prior["epoch"]}
+            if prior["results"]:
+                best["metrics"] = {
+                    r["val_name"]: r["metrics"] for r in prior["results"]
+                }
 
     # ---- graceful preemption (--save-on-preemption) ----
     # TPU-fleet maintenance/preemption delivers SIGTERM to every host with a
@@ -620,14 +721,12 @@ def main(args=None):
             "Start epoch %d%s", epoch,
             f" (resuming at optimizer step {skip_steps})" if skip_steps else "",
         )
-        epoch_step0 = int(state.step)  # one sync per epoch; used for the
-        # mid-epoch position of a preemption save
-        state, epoch_records = train_one_epoch(
+        state, epoch_records, steps_done, applied_skip = train_one_epoch(
             train_step, state, data["train"], mesh, args, epoch, tracker=tracker,
             stop_event=preempt, skip_steps=skip_steps, stop_after=steps_budget,
         )
         if steps_budget:
-            steps_budget = max(0, steps_budget - (int(state.step) - epoch_step0))
+            steps_budget = max(0, steps_budget - steps_done)
         loss_steps.extend(epoch_records)
         if preempt.is_set():
             # a distinct `epoch_N_preempt` dir: overwriting epoch_N (the
@@ -636,8 +735,10 @@ def main(args=None):
             # window loses the only durable state. The payload records the
             # mid-epoch position (step_in_epoch) so `--resume latest`
             # CONTINUES epoch N at the next batch; a loader without batch
-            # skipping falls back to redoing the epoch.
-            step_in_epoch = skip_steps + (int(state.step) - epoch_step0)
+            # skipping falls back to redoing the epoch. `applied_skip` is the
+            # skip the loader ACTUALLY performed (0 on the redo fallback), so
+            # the recorded position stays truthful even then.
+            step_in_epoch = applied_skip + steps_done
             logging.warning(
                 "preemption: saving epoch_%d_preempt (at optimizer step %d "
                 "of the epoch; resume continues there) and shutting down",
@@ -649,6 +750,7 @@ def main(args=None):
                 async_save=args.async_checkpoint,
                 name_suffix="_preempt",
                 step_in_epoch=step_in_epoch,
+                data_order=_data_order_flags(args),
             )
             break
         completed_epoch = epoch + 1
@@ -909,7 +1011,13 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
     the run continues exactly where the preempted one stopped. `stop_after`
     (> 0) ends the run through the stop_event after that many optimizer
     steps within THIS call — main() threads the run-level --stop-after-steps
-    budget through it, decremented across epochs."""
+    budget through it, decremented across epochs.
+
+    Returns (state, records, steps_done, applied_skip): steps_done is the
+    number of optimizer steps executed in this call, applied_skip the skip
+    the loader actually performed (0 when it fell back to redoing the
+    epoch) — together they give a preemption save its true mid-epoch
+    position without any extra device sync in main()."""
     import jax
 
     from ..parallel.mesh import shard_batch
@@ -1004,18 +1112,24 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
         window_samples += bsz
         t_end = time.time()
         steps_done += 1
-        if stop_after and steps_done >= stop_after:
-            # debug/test knob: end the run after N optimizer steps this call,
-            # through the same save-and-shutdown path as a preemption
+        stop_now = bool(stop_after and steps_done >= stop_after)
+        if stop_now:
+            # run-budget knob: end the run after N optimizer steps this call,
+            # through the same save-and-shutdown path as a preemption. The
+            # break below (after the logging block) is immediate — waiting
+            # for the next iteration's top-of-loop check would pull one more
+            # global batch from the loader and throw it away.
             logging.warning(
                 "--stop-after-steps %d reached at epoch %d", stop_after, epoch
             )
             if stop_event is not None:
                 stop_event.set()
-            else:
-                break
 
-        if step % args.log_every_n_steps == 0 or (num_batches and i == num_batches - 1):
+        # the loader yields num_batches - skipped_batches items on a resumed
+        # epoch, so the forced end-of-epoch log record anchors at the SHIFTED
+        # last index
+        is_last = num_batches and i == num_batches - 1 - skip_steps * accum
+        if step % args.log_every_n_steps == 0 or is_last:
             m = {k: float(v) for k, v in metrics.items() if np.ndim(v) == 0}
             # window-averaged samples/s since the last log line (the fetch of
             # `m` above is the sync point; per-step wall times are dispatch
@@ -1032,13 +1146,15 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
             records.append({"step": step, "epoch": epoch, **m})
             if tracker is not None:
                 tracker.log_scalars({**m, "samples_per_s": ips}, step=step)
+        if stop_now:
+            break
     if profiling:
         import jax.profiler
 
         if prev_sync is not None:
             jax.block_until_ready(prev_sync)
         jax.profiler.stop_trace()
-    return state, records
+    return state, records, steps_done, skip_steps
 
 
 if __name__ == "__main__":

@@ -69,10 +69,14 @@ def test_remote_sync_and_remote_resume(tmp_path):
 
     # the remote checkpoint was fetched into the new local checkpoint dir
     assert (logs2 / "run" / "checkpoints" / "epoch_1").is_dir()
-    # and only epoch 2 was trained (start_epoch 1)
+    # only epoch 2 was trained (start_epoch 1), and the remote artifact
+    # history (epoch 0's records) was fetched + preserved ahead of it — the
+    # final sync must not overwrite the remote history with a post-resume
+    # slice
     steps = json.loads((logs2 / "run" / "loss_steps.json").read_text())
-    assert steps and all(s["epoch"] == 1 for s in steps), (
-        "remote resume did not skip the completed epoch"
+    assert [s["epoch"] for s in steps] == [0, 1], (
+        "remote resume should merge the fetched history with exactly the "
+        f"newly-trained epoch, got {[s['epoch'] for s in steps]}"
     )
     assert np.isfinite(steps[-1]["total_loss"])
     # epoch 2 checkpoint made it back to the remote via the final sync

@@ -353,8 +353,8 @@ def test_checkpoint_save_restore(tmp_path):
     assert latest.endswith("epoch_10")
 
     fresh = create_train_state(jax.random.PRNGKey(1), params, tx)
-    restored, epoch, step_in_epoch = restore_checkpoint(latest, fresh)
-    assert epoch == 10 and step_in_epoch == 0
+    restored, epoch, step_in_epoch, order = restore_checkpoint(latest, fresh)
+    assert epoch == 10 and step_in_epoch == 0 and order == {}
     assert int(restored.step) == 7
     # the step PRNG key travels with the checkpoint (mid-epoch resume)
     np.testing.assert_array_equal(
@@ -467,13 +467,15 @@ def test_cli_mid_epoch_resume_continues_exactly(tmp_path):
 
     main(common + ["--name", "resumed", "--resume", "latest"])
     resumed = json.loads((tmp_path / "resumed" / "loss_steps.json").read_text())
-    # continued at step 3 of epoch 0 — no redo of steps 1-2
-    assert [r["step"] for r in resumed] == [3, 4]
+    # continued at step 3 of epoch 0 (no redo of steps 1-2), AND the final
+    # artifact preserves the first incarnation's records — the whole run's
+    # history, not just the post-resume slice
+    assert [r["step"] for r in resumed] == [1, 2, 3, 4]
     assert all(r["epoch"] == 0 for r in resumed)
     assert (ckpt_dir / "epoch_1").is_dir()
-    # loss/logit_scale at steps 3-4 match the uninterrupted run bit-for-bit:
-    # params, optimizer state, PRNG key, and batch order all survived the
-    # preempt save (fp32 + shared compile cache => deterministic replay)
+    # every step matches the uninterrupted run bit-for-bit: params, optimizer
+    # state, PRNG key, and batch order all survived the preempt save
+    # (fp32 + shared compile cache => deterministic replay)
     by_step = {r["step"]: r for r in straight}
     for r in resumed:
         ref = by_step[r["step"]]
@@ -489,6 +491,19 @@ def test_cli_mid_epoch_resume_continues_exactly(tmp_path):
     budget = json.loads((tmp_path / "budget" / "loss_steps.json").read_text())
     assert [(r["epoch"], r["step"]) for r in budget] == [
         (0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (1, 6),
+    ]
+
+    # data-order guard: the preempt save recorded seed 0; resuming with a
+    # different seed invalidates the step_in_epoch skip, so the run redoes
+    # epoch 1 from its start (4 fresh steps) instead of skipping 2 batches
+    # that now index a different permutation. The preloaded history (steps
+    # 1-6) is preserved ahead of the redo's records.
+    main(common + ["--name", "budget", "--epochs", "2", "--seed", "1",
+                   "--resume", "latest"])
+    redo = json.loads((tmp_path / "budget" / "loss_steps.json").read_text())
+    assert [(r["epoch"], r["step"]) for r in redo] == [
+        (0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (1, 6),
+        (1, 7), (1, 8), (1, 9), (1, 10),
     ]
 
 
@@ -526,7 +541,7 @@ def test_async_checkpoint_save_restore(tmp_path):
     assert latest.endswith("epoch_2")
 
     fresh = create_train_state(jax.random.PRNGKey(1), params, tx)
-    restored, epoch, _ = restore_checkpoint(latest, fresh)
+    restored, epoch, _, _ = restore_checkpoint(latest, fresh)
     assert epoch == 2 and int(restored.step) == 11
     np.testing.assert_array_equal(
         np.asarray(restored.params["model"]["w"]), np.arange(16.0).reshape(4, 4)
@@ -584,8 +599,10 @@ def test_cli_resume_latest(tmp_path):
     main(common + ["--epochs", "2", "--resume", "latest"])
     assert (ckpts / "epoch_2").exists()
     steps = json.loads((tmp_path / "resume-run" / "loss_steps.json").read_text())
-    # second run starts from step 3 (2 steps/epoch done before resume)
-    assert steps and steps[0]["step"] >= 3
+    # second run trains from step 3 (2 steps/epoch done before resume) and
+    # merges the first incarnation's records ahead of it
+    assert [r["step"] for r in steps] == [1, 2, 3, 4]
+    assert [r["epoch"] for r in steps] == [0, 0, 1, 1]
 
 
 def test_cli_eval_only(tmp_path):
@@ -735,7 +752,9 @@ def test_cli_resume_latest_fsdp(tmp_path):
     main(common + ["--epochs", "2", "--resume", "latest"])
     assert (ckpts / "epoch_2").exists()
     steps = json.loads((tmp_path / "resume-fsdp" / "loss_steps.json").read_text())
-    assert steps and steps[0]["step"] >= 3
+    # epoch-2 training continued at global step 3, and the artifact merges
+    # the first incarnation's records (steps 1-2) ahead of them
+    assert [r["step"] for r in steps] == [1, 2, 3, 4]
 
 
 def test_cli_profile_trace_written(tmp_path):
