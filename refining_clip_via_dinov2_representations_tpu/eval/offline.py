@@ -264,3 +264,77 @@ def linear_probe(
         print(f"[eval] acc@top1={acc:.4f} (best {best_acc:.4f} @epoch {best_epoch})")
     print(f"[done] Linear probe best top1={best_acc:.4f} @epoch {best_epoch}")
     return best_acc
+
+
+# ---------------------------------------------------------------------------
+# standalone CLI — the reference ships each tool as its own script
+# (test_scripts/extract_features_from_csv.py, eval_knn.py, eval_geometry.py,
+# eval_linear_probe.py); here they are subcommands of one module:
+#   python -m <pkg>.eval.offline extract --csv ... --out feats.npz
+#   python -m <pkg>.eval.offline knn --train tr.npz --val va.npz
+#   python -m <pkg>.eval.offline geometry --feats va.npz
+#   python -m <pkg>.eval.offline linear-probe --train tr.npz --val va.npz
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="offline-evals",
+        description="Offline thesis acceptance tools (reference test_scripts/)",
+    )
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ex = sub.add_parser("extract", help="CSV(path,label) -> CLIP image features")
+    ex.add_argument("--csv", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--model", default="ViT-B-32")
+    ex.add_argument("--pretrained", default=None)
+    ex.add_argument("--checkpoint", default=None)
+    ex.add_argument("--img-key", default="filepath")
+    ex.add_argument("--label-key", default="label")
+    ex.add_argument("--batch-size", type=int, default=256)
+    ex.add_argument("--precision", default="bf16")
+
+    kn = sub.add_parser("knn", help="blocked cosine kNN top-1 (k=20)")
+    kn.add_argument("--train", required=True)
+    kn.add_argument("--val", required=True)
+    kn.add_argument("--k", type=int, default=20)
+    kn.add_argument("--block", type=int, default=8192)
+
+    ge = sub.add_parser("geometry", help="uniformity + anisotropy diagnostics")
+    ge.add_argument("--feats", required=True)
+    ge.add_argument("--n-pairs", type=int, default=20000)
+    ge.add_argument("--temperature", type=float, default=2.0)
+
+    lp = sub.add_parser("linear-probe", help="SGD linear head on frozen feats")
+    lp.add_argument("--train", required=True)
+    lp.add_argument("--val", required=True)
+    lp.add_argument("--epochs", type=int, default=15)
+    lp.add_argument("--lr", type=float, default=1e-2)
+    lp.add_argument("--wd", type=float, default=0.0)
+    lp.add_argument("--batch-size", type=int, default=2048)
+    lp.add_argument("--seed", type=int, default=0)
+
+    a = p.parse_args(argv)
+    if a.cmd == "extract":
+        out = extract_features(
+            a.csv, a.out, model_name=a.model, pretrained=a.pretrained,
+            checkpoint=a.checkpoint, img_key=a.img_key, label_key=a.label_key,
+            batch_size=a.batch_size, precision=a.precision,
+        )
+        print(f"[done] wrote {out}")
+    elif a.cmd == "knn":
+        acc = knn_top1(a.train, a.val, k=a.k, block=a.block)
+        print(f"[done] kNN top1={acc:.4f}")
+    elif a.cmd == "geometry":
+        eval_geometry(a.feats, n_pairs=a.n_pairs, temperature=a.temperature)
+    elif a.cmd == "linear-probe":
+        linear_probe(
+            a.train, a.val, epochs=a.epochs, lr=a.lr, wd=a.wd,
+            batch_size=a.batch_size, seed=a.seed,
+        )
+
+
+if __name__ == "__main__":
+    main()

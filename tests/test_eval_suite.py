@@ -159,3 +159,31 @@ def test_clip_blinds_cli(tmp_path):
     key = "clip≥0.0_dino≤1.0"
     # with trivial thresholds every pair is blind: 6C2 = 15
     assert stats["results"][key]["count"] == 15
+
+
+def test_offline_cli_subcommands(tmp_path, capsys):
+    """`python -m pkg.eval.offline <cmd>` — standalone per-tool CLI parity
+    with the reference's test_scripts/ (each tool its own entry point)."""
+    from refining_clip_via_dinov2_representations_tpu.eval.offline import main
+
+    rng = np.random.default_rng(0)
+    n = 200
+    centers = np.array([[2.0, 0.0, 0, 0], [-2.0, 0.0, 0, 0]], np.float32)
+    labels = rng.integers(0, 2, n)
+    feats = centers[labels] + 0.2 * rng.normal(size=(n, 4)).astype(np.float32)
+    tr, va = tmp_path / "tr.npz", tmp_path / "va.npz"
+    save_feats(str(tr), feats[: n // 2], labels[: n // 2])
+    save_feats(str(va), feats[n // 2 :], labels[n // 2 :])
+
+    main(["knn", "--train", str(tr), "--val", str(va), "--k", "5"])
+    out = capsys.readouterr().out
+    assert "kNN top1=" in out and float(out.rsplit("=", 1)[1]) > 0.9
+
+    main(["geometry", "--feats", str(va), "--n-pairs", "500"])
+    out = capsys.readouterr().out
+    assert "[uniformity]" in out and "[anisotropy]" in out
+
+    main(["linear-probe", "--train", str(tr), "--val", str(va),
+          "--epochs", "3", "--lr", "0.5"])
+    out = capsys.readouterr().out
+    assert "Linear probe best top1=" in out
