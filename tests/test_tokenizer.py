@@ -147,3 +147,32 @@ def test_siglip_tokenizer_logical_names_raise_guidance():
     for name in ("c4-en", "mc4", "gemma", "/nonexistent/path.model"):
         with pytest.raises(NotImplementedError):
             SigLipTokenizer(name)
+
+
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
+def test_fuzz_token_ids_match_reference(jax_tok, ref_tok):
+    """150 randomized strings across alphabets/whitespace/punct/emoji: the
+    byte-BPE + cleaning pipeline must agree with the torch reference on
+    every id (not just the curated TEXTS cases)."""
+    rng = np.random.default_rng(1234)
+    pools = [
+        [chr(c) for c in range(0x20, 0x7F)],                    # ASCII
+        list("     \t\n\r"),                                     # whitespace
+        [chr(c) for c in range(0xC0, 0x250)],                    # latin ext
+        [chr(c) for c in range(0x0391, 0x03C9)],                 # greek
+        [chr(c) for c in range(0x4E00, 0x4E80)],                 # CJK
+        [chr(c) for c in range(0x1F600, 0x1F640)],               # emoji
+        ["'", "'s", "'re", "n't", "&amp;", "&lt;", "...", "—"],  # specials
+    ]
+    for case in range(150):
+        n = int(rng.integers(1, 60))
+        parts = []
+        for _ in range(n):
+            pool = pools[int(rng.integers(0, len(pools)))]
+            parts.append(pool[int(rng.integers(0, len(pool)))])
+        text = "".join(parts)
+        ours = jax_tok([text])
+        theirs = ref_tok([text]).numpy()
+        np.testing.assert_array_equal(
+            np.asarray(ours), theirs, err_msg=f"case {case}: {text!r}"
+        )
