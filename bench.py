@@ -215,7 +215,11 @@ def main():
             hidden_size=t_hidden, layers=t_layers, heads=t_heads,
             use_swiglu_ffn=t_swiglu,
         )
-        tmodel = Dinov2(cfg=tcfg, dtype=jnp.bfloat16)
+        # BENCH_TEACHER_ATTN: attention impl for the frozen teacher forward
+        # (no backward exists, so the Pallas kernel's grad regression at
+        # short L does not apply — candidate win at the teacher's L=257)
+        t_attn = os.environ.get("BENCH_TEACHER_ATTN", "xla")
+        tmodel = Dinov2(cfg=tcfg, dtype=jnp.bfloat16, attn_impl=t_attn)
         # random weights: identical compute/perf to real ones (zero-egress
         # bench host cannot fetch the HF checkpoint; training uses real ones)
         tvars = jax.jit(tmodel.init)(
