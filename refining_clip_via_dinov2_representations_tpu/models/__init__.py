@@ -10,7 +10,7 @@ from .config import (
     register_model_config,
 )
 from .clip import CLIP, build_model, l2_normalize
-from .coca import CoCa, generate as coca_generate
+from .coca import CoCa, generate as coca_generate, generate_beam as coca_generate_beam
 from .dinov2 import Dinov2, Dinov2Cfg, convert_dinov2_state_dict, load_dinov2_model
 from .resnet import ModifiedResNet
 from .convert import convert_clip_variables

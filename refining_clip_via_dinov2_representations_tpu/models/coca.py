@@ -14,11 +14,23 @@ CoCa models emit uninitialized-memory logits (verified in
 tests/test_coca.py). Our decoder initializes the projection properly
 (normal, std width^-0.5); converted *trained* checkpoints are unaffected.
 
-Generation is re-designed TPU-native: a fixed-length `lax.scan` decode loop
-(greedy / top-k / top-p) instead of the reference's HF
-beam-search/logits-processor stack (`coca_model.py:287+`), which is
+Generation is re-designed TPU-native: fixed-length `lax.scan` decode loops
+(greedy / top-k / top-p / grouped beam search) instead of the reference's HF
+beam-search/logits-processor stack (`coca_model.py:287-560`), which is
 dynamic-shape torch code. Each step re-runs the decoder on the fixed-size
 buffer — O(L²) total but trivially jittable; L is ≤ 77 here.
+
+`generate_beam` reproduces the reference's `_generate_beamsearch` +
+`transformers.BeamSearchScorer` semantics exactly (grouped beams, per-group
+hypothesis pools with length-penalty normalization, the early_stopping=False
+stop heuristic, EOS appended on finalize) — including the reference's quirk
+of summing RAW logits as beam scores (`coca_model.py:497-500` applies no
+log_softmax before adding `beam_scores`, unlike HF's canonical beam search);
+pass `log_softmax_scores=True` for the fixed behavior. Note the in-env
+`transformers` (>=4.49) no longer top-level-exports `BeamSearchScorer`, so
+the reference's own beam path is dead under it (`coca_model.py:17-43` falls
+into the ImportError branch and `generate` asserts); the parity test injects
+the symbols from `transformers.generation.beam_search` to run it.
 """
 
 from __future__ import annotations
@@ -152,6 +164,15 @@ class CoCa(nn.Module):
         return out
 
 
+def _apply_repetition_penalty(step_logits, seen, penalty):
+    """HF `RepetitionPenaltyLogitsProcessor`: scores of already-seen tokens
+    are multiplied by `penalty` when negative, divided when positive."""
+    penalized = jnp.where(
+        step_logits < 0, step_logits * penalty, step_logits / penalty
+    )
+    return jnp.where(seen, penalized, step_logits)
+
+
 def generate(
     model: CoCa,
     variables,
@@ -159,22 +180,50 @@ def generate(
     rng: Optional[jax.Array] = None,
     seq_len: int = 30,
     temperature: float = 1.0,
-    generation_type: str = "top_p",
+    generation_type: str = "beam_search",
     top_p: float = 0.1,
     top_k: int = 1,
     sot_token_id: int = 49406,
     eot_token_id: int = 49407,
     pad_token_id: int = 0,
+    num_beams: int = 6,
+    num_beam_groups: int = 3,
     min_seq_len: int = 5,
+    repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
 ) -> jnp.ndarray:
     """Fixed-length jitted caption generation.
 
-    Mirrors `coca_model.generate`'s sampling modes: 'top_k' (k=1 → greedy),
-    'top_p' nucleus sampling. Returns [B, seq_len] token ids, EOT-terminated
-    and pad-filled.
+    Mirrors `coca_model.generate` (`coca_model.py:286-410`): modes
+    'beam_search' (default, dispatches to :func:`generate_beam`), 'top_k'
+    (k=1 → greedy), 'top_p' nucleus sampling. Logits-processor order matches
+    the reference: min-length EOT mask → repetition penalty → top-k/top-p
+    warp on the RAW logits → temperature → sample; the final position is
+    forced to EOT for unfinished rows (`coca_model.py:396-397`). Returns
+    [B, seq_len] token ids, EOT-terminated and pad-filled (the reference's
+    `fixed_output_length=True` shape).
     """
+    if seq_len <= min_seq_len:
+        raise ValueError("seq_len must be larger than min_seq_len")
+    if generation_type == "beam_search":
+        return generate_beam(
+            model, variables, image,
+            num_beams=num_beams, num_beam_groups=num_beam_groups,
+            seq_len=seq_len, sot_token_id=sot_token_id,
+            eot_token_id=eot_token_id, pad_token_id=pad_token_id,
+            min_seq_len=min_seq_len, repetition_penalty=repetition_penalty,
+            length_penalty=length_penalty,
+        )
+    if generation_type not in ("top_k", "top_p"):
+        raise ValueError(
+            f"generation_type {generation_type!r} not supported; use "
+            "'beam_search', 'top_k' (k=1 for greedy) or 'top_p'"
+        )
+
     b = image.shape[0]
+    vocab = model.text_cfg.vocab_size
     rng = rng if rng is not None else jax.random.PRNGKey(0)
+    use_rep = repetition_penalty != 1.0
 
     # encode image once outside the scan
     image_latent, image_embs = model.apply(
@@ -194,34 +243,40 @@ def generate(
     tokens0 = jnp.full((b, seq_len), pad_token_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(sot_token_id)
     finished0 = jnp.zeros((b,), bool)
+    seen0 = jnp.zeros((b, vocab), bool).at[:, sot_token_id].set(True)
 
     def body(carry, t):
-        tokens, finished, rng = carry
+        tokens, finished, seen, rng = carry
         rng, key = jax.random.split(rng)
         logits = decode_step(tokens)  # [B, L', V]
         # position t-1 predicts token t; clamp into the decoder's range
         pos = jnp.minimum(t - 1, logits.shape[1] - 1)
-        step_logits = logits[:, pos, :].astype(jnp.float32) / max(temperature, 1e-6)
+        step_logits = logits[:, pos, :].astype(jnp.float32)
 
-        # min length: no EOT before min_seq_len
+        # min length: no EOT before min_seq_len (MinLengthLogitsProcessor)
         step_logits = jnp.where(
             (t < min_seq_len)
             & (jnp.arange(step_logits.shape[-1])[None, :] == eot_token_id),
             -jnp.inf,
             step_logits,
         )
+        if use_rep:
+            step_logits = _apply_repetition_penalty(
+                step_logits, seen, repetition_penalty
+            )
 
-        if generation_type == "beam_search":
-            raise ValueError("use generate_beam() for beam search")
+        # warp on raw logits (reference order: warper BEFORE temperature)
         if generation_type == "top_k":
             kth = jax.lax.top_k(step_logits, top_k)[0][:, -1:]
             step_logits = jnp.where(step_logits < kth, -jnp.inf, step_logits)
             nxt = (
                 jnp.argmax(step_logits, axis=-1)
                 if top_k == 1
-                else jax.random.categorical(key, step_logits)
+                else jax.random.categorical(
+                    key, step_logits / max(temperature, 1e-6)
+                )
             )
-        elif generation_type == "top_p":
+        else:  # top_p
             sorted_logits = jnp.sort(step_logits, axis=-1)[:, ::-1]
             probs = jax.nn.softmax(sorted_logits, axis=-1)
             cum = jnp.cumsum(probs, axis=-1)
@@ -229,20 +284,22 @@ def generate(
             cutoff_idx = jnp.sum(cum < top_p, axis=-1)
             cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
             step_logits = jnp.where(step_logits < cutoff, -jnp.inf, step_logits)
-            nxt = jax.random.categorical(key, step_logits)
-        else:
-            raise ValueError(
-                f"generation_type {generation_type!r} not supported; "
-                "use 'top_k' (k=1 for greedy) or 'top_p'"
+            nxt = jax.random.categorical(
+                key, step_logits / max(temperature, 1e-6)
             )
 
+        # the reference forces EOT at the final generated position
+        nxt = jnp.where(t == seq_len - 1, eot_token_id, nxt)
         nxt = jnp.where(finished, pad_token_id, nxt.astype(jnp.int32))
         tokens = tokens.at[:, t].set(nxt)
-        finished = finished | (nxt == eot_token_id)
-        return (tokens, finished, rng), None
+        # reference-faithful: a sampled PAD also terminates the row
+        # (`coca_model.py:385` masks rows whose last token is eos OR pad)
+        finished = finished | (nxt == eot_token_id) | (nxt == pad_token_id)
+        seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
+        return (tokens, finished, seen, rng), None
 
-    (tokens, _, _), _ = jax.lax.scan(
-        body, (tokens0, finished0, rng), jnp.arange(1, seq_len)
+    (tokens, _, _, _), _ = jax.lax.scan(
+        body, (tokens0, finished0, seen0, rng), jnp.arange(1, seq_len)
     )
     return tokens
 
@@ -252,20 +309,67 @@ def generate_beam(
     variables,
     image: jnp.ndarray,
     num_beams: int = 6,
+    num_beam_groups: int = 3,
     seq_len: int = 30,
     sot_token_id: int = 49406,
     eot_token_id: int = 49407,
     pad_token_id: int = 0,
     min_seq_len: int = 5,
+    repetition_penalty: float = 1.0,
+    length_penalty: float = 1.0,
+    log_softmax_scores: bool = False,
 ) -> jnp.ndarray:
-    """Fixed-width beam search as a `lax.scan` (the reference drives HF's
-    BeamSearchScorer, `coca_model.py:287+`; this is the static-shape TPU
-    formulation — sum-logprob scoring, no length penalty).
+    """Grouped beam search as a `lax.scan` — the static-shape TPU
+    formulation of the reference's `_generate_beamsearch`
+    (`coca_model.py:413-560`) driving HF's `BeamSearchScorer`.
 
-    Returns the best beam per image, [B, seq_len].
+    Semantics reproduced exactly (token-for-token parity-tested against the
+    reference in tests/test_coca.py):
+
+    - `num_beams` split into `num_beam_groups` groups searched independently
+      (the reference passes no diversity processor, so groups only interact
+      at finalize); the first beam of each group starts at score 0, the rest
+      at -1e9 (`coca_model.py:458-461`).
+    - Beam scores are sums of RAW logits — the reference applies no
+      log_softmax (`coca_model.py:497-500`), unlike canonical HF beam
+      search. `log_softmax_scores=True` switches to the fixed behavior.
+    - Per step each group draws the top `2*group_size` candidates; EOT
+      candidates ranked below `group_size` enter the group's hypothesis pool
+      with score `sum / generated_len**length_penalty` (generated_len counts
+      SOT + tokens + the EOT), others are skipped, and the best
+      `group_size` non-EOT candidates refill the live beams
+      (`BeamSearchScorer.process`).
+    - A group stops (early_stopping=False heuristic) once its pool is full
+      and the worst pooled score >= best_candidate / cur_len**penalty.
+    - Finalize adds the live beams of unfinished groups (normalized by the
+      full length), picks the best pooled hypothesis across groups, and
+      appends EOT when it fits (`BeamSearchScorer.finalize`).
+
+    Ties in the candidate top-k resolve to the lowest index (HF iterates in
+    rank order — identical); ties in the final best-hypothesis pick resolve
+    to the FIRST group (HF's stable sort pops the last — exact-tie order is
+    the one measure-zero divergence).
+
+    Returns the best hypothesis per image, [B, seq_len] (the reference's
+    `fixed_output_length=True` shape), EOT-terminated and pad-filled.
     """
     b = image.shape[0]
     w = num_beams
+    g = num_beam_groups
+    if w <= 1:
+        raise ValueError("num_beams must be > 1 (use top_k=1 for greedy)")
+    if g > w or w % g != 0:
+        raise ValueError(
+            "num_beam_groups must divide num_beams "
+            f"(got {g} groups of {w} beams)"
+        )
+    if seq_len <= min_seq_len:
+        raise ValueError("seq_len must be larger than min_seq_len")
+    s = w // g  # group size
+    L = seq_len
+    vocab = model.text_cfg.vocab_size
+    use_rep = repetition_penalty != 1.0
+    neg_init = jnp.float32(-1e9)  # reference's non-first-beam init score
 
     _, image_embs = model.apply(
         variables, image, method=lambda m, im: m._encode_image(im)
@@ -282,53 +386,129 @@ def generate_beam(
             method=lambda m, ie, te: m.text_decoder(ie, te),
         )
 
-    tokens0 = jnp.full((b, w, seq_len), pad_token_id, jnp.int32)
+    # live beams, groups-major: beam w belongs to group w // s
+    tokens0 = jnp.full((b, w, L), pad_token_id, jnp.int32)
     tokens0 = tokens0.at[:, :, 0].set(sot_token_id)
-    # only beam 0 is live at t=0 so identical beams don't crowd the top-k
-    scores0 = jnp.where(
-        jnp.arange(w)[None, :] == 0, 0.0, -jnp.inf
-    ).astype(jnp.float32) * jnp.ones((b, 1))
-    finished0 = jnp.zeros((b, w), bool)
+    scores0 = jnp.where(jnp.arange(w)[None, :] % s == 0, 0.0, neg_init) * jnp.ones(
+        (b, 1), jnp.float32
+    )
+    done0 = jnp.zeros((b, g), bool)
+    # per-group hypothesis pool (S slots, kept sorted best-first by top_k)
+    hyp_scores0 = jnp.full((b, g, s), -jnp.inf, jnp.float32)
+    hyp_tokens0 = jnp.full((b, g, s, L), pad_token_id, jnp.int32)
+    hyp_len0 = jnp.zeros((b, g, s), jnp.int32)
+    seen0 = jnp.zeros((b, w, vocab), bool).at[:, :, sot_token_id].set(True)
 
-    neg_inf = jnp.float32(-1e30)
+    def merge_pool(pool, adds):
+        """Keep the best S of (existing pool + new adds); existing slots are
+        listed first so top_k's lowest-index tie rule prefers them (HF's
+        `add` rejects a new hypothesis that merely equals the worst)."""
+        hyp_scores, hyp_tokens, hyp_len = pool
+        add_sc, add_tok, add_len = adds
+        all_sc = jnp.concatenate([hyp_scores, add_sc], axis=2)
+        all_tok = jnp.concatenate([hyp_tokens, add_tok], axis=2)
+        all_len = jnp.concatenate([hyp_len, add_len], axis=2)
+        new_sc, keep = jax.lax.top_k(all_sc, s)  # [B, G, S]
+        new_tok = jnp.take_along_axis(all_tok, keep[..., None], axis=2)
+        new_len = jnp.take_along_axis(all_len, keep, axis=2)
+        return new_sc, new_tok, new_len
 
     def body(carry, t):
-        tokens, scores, finished = carry
-        logits = decode_step(tokens.reshape(b * w, seq_len))
+        tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, seen = carry
+        logits = decode_step(tokens.reshape(b * w, L))
         pos = jnp.minimum(t - 1, logits.shape[1] - 1)
-        step = jax.nn.log_softmax(
-            logits[:, pos, :].astype(jnp.float32), axis=-1
-        ).reshape(b, w, -1)
-        v = step.shape[-1]
+        step = logits[:, pos, :].astype(jnp.float32).reshape(b, w, vocab)
+        if log_softmax_scores:
+            step = jax.nn.log_softmax(step, axis=-1)
 
-        # min length: suppress EOT early
+        # logits processors, reference order: min-length then repetition
         step = jnp.where(
             (t < min_seq_len)
-            & (jnp.arange(v)[None, None, :] == eot_token_id),
-            neg_inf, step,
+            & (jnp.arange(vocab)[None, None, :] == eot_token_id),
+            -jnp.inf, step,
         )
-        # finished beams: only 'pad' continuation at no cost
-        pad_only = jnp.where(
-            jnp.arange(v)[None, None, :] == pad_token_id, 0.0, neg_inf
+        if use_rep:
+            step = _apply_repetition_penalty(step, seen, repetition_penalty)
+
+        cand = (scores[:, :, None] + step).reshape(b, g, s * vocab)
+        top_sc, top_ix = jax.lax.top_k(cand, 2 * s)  # [B, G, 2S] sorted desc
+        src = top_ix // vocab  # source beam, group-local
+        tok = (top_ix % vocab).astype(jnp.int32)
+        is_eot = tok == eot_token_id
+
+        # --- live-beam refill: first S non-EOT candidates in rank order
+        rank = jnp.arange(2 * s)[None, None, :]
+        sel = jnp.argsort(rank + is_eot * (4 * s), axis=-1)[..., :s]  # [B,G,S]
+        live_sc = jnp.take_along_axis(top_sc, sel, axis=-1)
+        live_tok = jnp.take_along_axis(tok, sel, axis=-1)
+        live_src = jnp.take_along_axis(src, sel, axis=-1)
+
+        # --- hypothesis adds: EOT candidates ranked < S (process())
+        add_mask = is_eot[..., :s] & ~done[..., None]  # [B, G, S]
+        gen_len = (t + 1).astype(jnp.float32)  # prefix t tokens + the EOT
+        add_sc = jnp.where(
+            add_mask, top_sc[..., :s] / gen_len ** length_penalty, -jnp.inf
         )
-        step = jnp.where(finished[:, :, None], pad_only, step)
-
-        cand = scores[:, :, None] + step            # [B, W, V]
-        flat = cand.reshape(b, w * v)
-        top_scores, top_idx = jax.lax.top_k(flat, w)  # [B, W]
-        beam_idx = top_idx // v
-        tok_idx = (top_idx % v).astype(jnp.int32)
-
-        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
-        finished = jnp.take_along_axis(finished, beam_idx, axis=1)
-        tokens = tokens.at[:, :, t].set(
-            jnp.where(finished, pad_token_id, tok_idx)
+        tok_g = tokens.reshape(b, g, s, L)
+        add_tok = jnp.take_along_axis(tok_g, src[..., :s, None], axis=2)
+        add_tok = jnp.where(jnp.arange(L)[None, None, None, :] < t,
+                            add_tok, pad_token_id)
+        add_len = jnp.where(add_mask, t, 0)
+        hyp_scores, hyp_tokens, hyp_len = merge_pool(
+            (hyp_scores, hyp_tokens, hyp_len), (add_sc, add_tok, add_len)
         )
-        finished = finished | (tok_idx == eot_token_id)
-        return (tokens, top_scores, finished), None
 
-    (tokens, scores, _), _ = jax.lax.scan(
-        body, (tokens0, scores0, finished0), jnp.arange(1, seq_len)
+        # --- stop heuristic (BeamHypotheses.is_done, early_stopping=False)
+        full = jnp.sum(hyp_scores > -jnp.inf, axis=-1) >= s
+        worst = hyp_scores[..., -1]  # sorted desc -> last is worst
+        best_possible = top_sc[..., 0] / gen_len ** length_penalty
+        done = done | (full & (worst >= best_possible))
+
+        # --- write step (done groups freeze: identity gather, pad token)
+        idx = jnp.where(done[..., None], jnp.arange(s)[None, None, :], live_src)
+        tok_g = jnp.take_along_axis(tok_g, idx[..., None], axis=2)
+        write_tok = jnp.where(done[..., None], pad_token_id, live_tok)
+        tok_g = tok_g.at[:, :, :, t].set(write_tok)
+        tokens = tok_g.reshape(b, w, L)
+        scores = jnp.where(
+            done[..., None], scores.reshape(b, g, s), live_sc
+        ).reshape(b, w)
+        if use_rep:
+            seen = jnp.take_along_axis(
+                seen.reshape(b, g, s, vocab), idx[..., None], axis=2
+            )
+            seen = (seen | jax.nn.one_hot(write_tok, vocab, dtype=bool)
+                    ).reshape(b, w, vocab)
+        return (tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, seen), None
+
+    carry0 = (tokens0, scores0, done0, hyp_scores0, hyp_tokens0, hyp_len0, seen0)
+    (tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, _), _ = jax.lax.scan(
+        body, carry0, jnp.arange(1, L)
     )
-    best = jnp.argmax(scores, axis=1)
-    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+
+    # --- finalize: live beams of unfinished groups join the pool at full len
+    fin_sc = jnp.where(
+        ~done[..., None],
+        scores.reshape(b, g, s) / jnp.float32(L) ** length_penalty,
+        -jnp.inf,
+    )
+    fin_len = jnp.where(~done[..., None], L, 0).astype(jnp.int32)
+    hyp_scores, hyp_tokens, hyp_len = merge_pool(
+        (hyp_scores, hyp_tokens, hyp_len),
+        (fin_sc, tokens.reshape(b, g, s, L), fin_len),
+    )
+
+    # best pooled hypothesis across groups; append EOT when it fits
+    flat_sc = hyp_scores.reshape(b, g * s)
+    best = jnp.argmax(flat_sc, axis=-1)
+    best_tok = jnp.take_along_axis(
+        hyp_tokens.reshape(b, g * s, L), best[:, None, None], axis=1
+    )[:, 0]
+    best_len = jnp.take_along_axis(
+        hyp_len.reshape(b, g * s), best[:, None], axis=1
+    )[:, 0]
+    pos = jnp.arange(L)[None, :]
+    return jnp.where(
+        pos < best_len[:, None], best_tok,
+        jnp.where(pos == best_len[:, None], eot_token_id, pad_token_id),
+    ).astype(jnp.int32)

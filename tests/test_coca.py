@@ -145,3 +145,95 @@ def test_coca_generate_beam():
         eots = np.where(row == 63)[0]
         if eots.size:
             assert (row[eots[0] + 1 :] == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Generation parity vs the reference's actual beam-search / sampling code.
+#
+# The reference's generation stack is DEAD under the in-env transformers
+# (>=4.49 dropped the top-level `BeamSearchScorer` export, so
+# `coca_model.py:17-43` falls into its ImportError branch and `generate`
+# asserts). The class still exists at `transformers.generation.beam_search`;
+# injecting the symbols into the reference module lets its own
+# `_generate_beamsearch` run as written.
+# ---------------------------------------------------------------------------
+
+
+def _enable_ref_generation(coca_mod):
+    import transformers
+    from transformers.generation.beam_search import BeamSearchScorer
+
+    coca_mod.BeamSearchScorer = BeamSearchScorer
+    for name in (
+        "LogitsProcessorList", "TopPLogitsWarper", "TopKLogitsWarper",
+        "RepetitionPenaltyLogitsProcessor", "MinLengthLogitsProcessor",
+        "MaxLengthCriteria", "StopStringCriteria", "EosTokenCriteria",
+        "StoppingCriteriaList",
+    ):
+        setattr(coca_mod, name, getattr(transformers, name))
+    coca_mod.GENERATION_TYPES = {
+        "top_k": transformers.TopKLogitsWarper,
+        "top_p": transformers.TopPLogitsWarper,
+        "beam_search": "beam_search",
+    }
+    coca_mod._has_transformers = True
+
+
+@pytest.mark.parametrize(
+    "num_beams,num_beam_groups,seq_len,min_seq_len,rep",
+    [
+        (4, 2, 10, 2, 1.0),   # grouped (the reference's default shape, smaller)
+        (6, 3, 9, 3, 1.0),    # the reference's default beams/groups
+        (4, 1, 10, 2, 1.3),   # single group + repetition penalty
+    ],
+)
+def test_coca_beam_search_parity(num_beams, num_beam_groups, seq_len, min_seq_len, rep):
+    from refining_clip_via_dinov2_representations_tpu.models.coca import generate_beam
+
+    ref, model, variables = _build_pair()
+    _enable_ref_generation(load_ref("coca_model"))
+    images, _ = _batch(b=3, seed=1)
+    with torch.no_grad():
+        want = ref.generate(
+            torch.from_numpy(images), generation_type="beam_search",
+            seq_len=seq_len, min_seq_len=min_seq_len, num_beams=num_beams,
+            num_beam_groups=num_beam_groups, sot_token_id=62, eos_token_id=63,
+            pad_token_id=0, repetition_penalty=rep, fixed_output_length=True,
+        )
+    got = generate_beam(
+        model, variables, jnp.asarray(images), num_beams=num_beams,
+        num_beam_groups=num_beam_groups, seq_len=seq_len, sot_token_id=62,
+        eot_token_id=63, pad_token_id=0, min_seq_len=min_seq_len,
+        repetition_penalty=rep,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+@pytest.mark.parametrize("rep", [1.0, 1.5])
+def test_coca_greedy_parity(rep):
+    ref, model, variables = _build_pair()
+    _enable_ref_generation(load_ref("coca_model"))
+    images, _ = _batch(b=3, seed=2)
+    with torch.no_grad():
+        want = ref.generate(
+            torch.from_numpy(images), generation_type="top_k", top_k=1,
+            seq_len=10, min_seq_len=2, sot_token_id=62, eos_token_id=63,
+            pad_token_id=0, repetition_penalty=rep, fixed_output_length=True,
+        )
+    got = generate(
+        model, variables, jnp.asarray(images), generation_type="top_k",
+        top_k=1, seq_len=10, min_seq_len=2, sot_token_id=62, eot_token_id=63,
+        pad_token_id=0, repetition_penalty=rep,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
+
+
+def test_coca_generate_dispatches_beam_search():
+    _, model, variables = _build_pair()
+    images, _ = _batch()
+    tokens = generate(
+        model, variables, jnp.asarray(images), generation_type="beam_search",
+        num_beams=4, num_beam_groups=2, seq_len=8, sot_token_id=62,
+        eot_token_id=63, min_seq_len=2,
+    )
+    assert np.asarray(tokens).shape == (2, 8)
