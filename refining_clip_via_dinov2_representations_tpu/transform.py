@@ -8,9 +8,12 @@ normalized with the configured mean/std:
   PIL backend — `Resize(shortest, bicubic)` + `CenterCrop` for eval
   (`transform.py:372-390`), `RandomResizedCrop(scale=(0.9,1.0), bicubic)` for
   train (`transform.py:334-341`), plus `longest`/`squash` resize modes
-  (`transform.py:349-368`) and optional color-jitter / grayscale augs.
-  torchvision on PIL images delegates to PIL's `Image.resize`, so using PIL
-  directly is exact.
+  (`transform.py:349-368`), optional color-jitter / grayscale augs, and a
+  native port of the reference's timm train branch (`use_timm=True`,
+  `transform.py:310-332`: RRC honoring `ratio` + `interpolation='random'`,
+  unconditional ColorJitter, RandomErasing 'pixel' mode — no timm
+  dependency). torchvision on PIL images delegates to PIL's `Image.resize`,
+  so using PIL directly is exact.
 
 * **Device path** (`ops/preprocess.py`): XLA-fused batched uint8→normalized
   pipeline for training throughput (resize on the TPU, fused into the step).
@@ -280,20 +283,62 @@ def image_transform(
     size = _to_2tuple(image_size)
 
     if is_train:
-        if aug_cfg.use_timm:
-            raise NotImplementedError(
-                "timm train transforms have no TPU-native port; use the default "
-                "RandomResizedCrop pipeline (reference transform.py:314-330)"
-            )
+        rng = random.Random(seed)
         scale = tuple(aug_cfg.scale)
         ratio = tuple(aug_cfg.ratio) if aug_cfg.ratio else (3.0 / 4.0, 4.0 / 3.0)
-        rng = random.Random(seed)
         cj = aug_cfg.color_jitter
+
+        if aug_cfg.use_timm:
+            # Native port of the reference's timm branch
+            # (`transform.py:310-332` -> timm.data.create_transform with
+            # is_training=True, hflip=0, re_mode='pixel'): RRC honoring
+            # `ratio` and interpolation='random' (bilinear|bicubic per
+            # image), ColorJitter applied unconditionally when set (timm
+            # semantics — no probability; scalar means b=c=s, no hue),
+            # normalize, then timm RandomErasing('pixel': per-pixel standard
+            # normal noise on the normalized array, `re_count` = max_count).
+            np_rng = np.random.default_rng(seed)
+            re_prob = float(aug_cfg.re_prob or 0.0)
+            re_count = int(aug_cfg.re_count or 1)
+            if cj is not None and isinstance(cj, (int, float)):
+                cj = (float(cj),) * 3  # timm scalar: b/c/s jitter, no hue
+
+            def _train(img: Image.Image) -> np.ndarray:
+                itp = (
+                    _PIL_INTERP[rng.choice(("bilinear", "bicubic"))]
+                    if interpolation == "random" else interp
+                )
+                img = random_resized_crop(img, size, scale, ratio, itp, rng)
+                img = img.convert("RGB")
+                if cj is not None:
+                    img = _apply_color_jitter(img, cj, rng)
+                arr = _finalize(img, mean_a, std_a)
+                if re_prob:
+                    arr = _random_erasing(arr, re_prob, re_count, rng, np_rng)
+                return arr
+
+            return ImageTransform(_train, size, is_train=True)
+
+        # default branch: the reference hardcodes BICUBIC for the train RRC
+        # and ignores `ratio`/`re_prob`/`re_count` with a warning
+        # (`transform.py:335-341,357-358`)
+        unused = {
+            k: getattr(aug_cfg, k)
+            for k in ("ratio", "re_prob", "re_count")
+            if getattr(aug_cfg, k) is not None
+        }
+        if unused:
+            warnings.warn(
+                "Unused augmentation cfg items, specify `use_timm` to use "
+                f"({list(unused.keys())})."
+            )
+        ratio = (3.0 / 4.0, 4.0 / 3.0)
+        rrc_interp = _PIL_INTERP["bicubic"]
         cj_prob = aug_cfg.color_jitter_prob
         gs_prob = aug_cfg.gray_scale_prob
 
         def _train(img: Image.Image) -> np.ndarray:
-            img = random_resized_crop(img, size, scale, ratio, interp, rng)
+            img = random_resized_crop(img, size, scale, ratio, rrc_interp, rng)
             img = img.convert("RGB")
             if cj_prob and cj is not None:
                 if rng.random() < cj_prob:
@@ -376,6 +421,41 @@ def _apply_color_jitter(img: Image.Image, cj, rng: random.Random) -> Image.Image
         hsv[..., 0] = (hsv[..., 0] + shift) % 256
         img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
     return img
+
+
+def _random_erasing(
+    arr: np.ndarray,
+    prob: float,
+    max_count: int,
+    rng: random.Random,
+    np_rng: np.random.Generator,
+) -> np.ndarray:
+    """timm `RandomErasing` (mode='pixel') on a normalized HWC array:
+    with probability `prob`, erase 1..`max_count` rectangles, each covering
+    uniform(0.02, 1/3)/count of the image area at a log-uniform aspect in
+    [0.3, 1/0.3], filled with per-pixel standard-normal noise (the timm
+    'pixel' fill on the already-normalized tensor)."""
+    if rng.random() > prob:
+        return arr
+    h_img, w_img = arr.shape[:2]
+    area = float(h_img * w_img)
+    count = max_count if max_count <= 1 else rng.randint(1, max_count)
+    log_aspect = (math.log(0.3), math.log(1.0 / 0.3))
+    out = arr.copy()
+    for _ in range(count):
+        for _attempt in range(10):
+            target_area = rng.uniform(0.02, 1.0 / 3.0) * area / count
+            aspect = math.exp(rng.uniform(*log_aspect))
+            eh = int(round(math.sqrt(target_area * aspect)))
+            ew = int(round(math.sqrt(target_area / aspect)))
+            if 0 < ew < w_img and 0 < eh < h_img:
+                top = rng.randint(0, h_img - eh)
+                left = rng.randint(0, w_img - ew)
+                out[top:top + eh, left:left + ew, :] = np_rng.normal(
+                    size=(eh, ew, out.shape[2])
+                ).astype(out.dtype)
+                break
+    return out
 
 
 def image_transform_v2(

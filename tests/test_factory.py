@@ -325,3 +325,50 @@ def test_load_checkpoint_strict_requires_bn_stats(tmp_path):
     # non-strict load succeeds and reports the stat leaves as missing
     _, (missing, _) = load_checkpoint(model, variables, str(path), strict=False)
     assert any(m.startswith("batch_stats/") for m in missing)
+
+
+def test_timm_aug_pipeline_native_port():
+    """`use_timm=True` runs natively (reference `transform.py:310-332` ->
+    timm create_transform): ratio honored, color_jitter always applied,
+    RandomErasing('pixel') on the normalized array."""
+    img = Image.fromarray(
+        np.random.default_rng(0).integers(0, 255, (28, 24, 3), np.uint8)
+    )
+    aug = {"use_timm": True, "scale": (0.9, 1.0), "ratio": (0.75, 4 / 3),
+           "color_jitter": 0.2, "re_prob": 1.0, "re_count": 2}
+    pp = oc.image_transform(16, is_train=True, seed=7, aug_cfg=aug)
+    out = pp(img)
+    assert out.shape == (16, 16, 3) and out.dtype == np.float32
+
+    # erasing: identical pipeline with re_prob=0 shares every pre-erase draw,
+    # so the diff is exactly the erased rectangles
+    no_re = dict(aug, re_prob=0.0)
+    base = oc.image_transform(16, is_train=True, seed=7, aug_cfg=no_re)(img)
+    frac = np.mean(np.any(out != base, axis=-1))
+    assert 0.005 < frac < 0.5, frac
+    # erased fill is standard-normal noise on the NORMALIZED array
+    changed = out[np.any(out != base, axis=-1)]
+    assert np.abs(changed.mean()) < 0.5 and 0.5 < changed.std() < 2.0
+
+    # determinism: same seed, fresh transform -> identical output
+    again = oc.image_transform(16, is_train=True, seed=7, aug_cfg=aug)(img)
+    np.testing.assert_array_equal(out, again)
+
+
+def test_timm_aug_random_interpolation():
+    img = Image.fromarray(
+        np.random.default_rng(1).integers(0, 255, (40, 40, 3), np.uint8)
+    )
+    pp = oc.image_transform(
+        16, is_train=True, seed=0, interpolation="random",
+        aug_cfg={"use_timm": True},
+    )
+    outs = {pp(img).tobytes() for _ in range(8)}
+    assert len(outs) > 1  # RRC + interpolation choice vary per call
+
+
+def test_default_train_branch_warns_on_timm_only_keys():
+    """The reference ignores ratio/re_prob/re_count without use_timm and
+    warns (`transform.py:357-358`)."""
+    with pytest.warns(UserWarning, match="Unused augmentation cfg"):
+        oc.image_transform(16, is_train=True, aug_cfg={"re_prob": 0.25})
