@@ -173,10 +173,30 @@ def _apply_repetition_penalty(step_logits, seen, penalty):
     return jnp.where(seen, penalized, step_logits)
 
 
+def top_k_filter(step_logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
+    """HF `TopKLogitsWarper`: mask logits below the k-th largest to -inf
+    (ties with the k-th value survive). [..., V] -> [..., V]."""
+    kth = jax.lax.top_k(step_logits, top_k)[0][..., -1:]
+    return jnp.where(step_logits < kth, -jnp.inf, step_logits)
+
+
+def top_p_filter(step_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
+    """HF `TopPLogitsWarper`: keep the smallest descending-sorted set whose
+    cumulative softmax probability reaches `top_p` (the boundary token is
+    kept), mask the rest to -inf. [..., V] -> [..., V]."""
+    sorted_logits = jnp.sort(step_logits, axis=-1)[..., ::-1]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+    cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+    return jnp.where(step_logits < cutoff, -jnp.inf, step_logits)
+
+
 def generate(
     model: CoCa,
     variables,
     image: jnp.ndarray,
+    text: Optional[jnp.ndarray] = None,
     rng: Optional[jax.Array] = None,
     seq_len: int = 30,
     temperature: float = 1.0,
@@ -202,6 +222,12 @@ def generate(
     forced to EOT for unfinished rows (`coca_model.py:396-397`). Returns
     [B, seq_len] token ids, EOT-terminated and pad-filled (the reference's
     `fixed_output_length=True` shape).
+
+    `text` optionally seeds the sampling modes with a token-id prompt
+    ([B, P] or [P], continued in the output like `coca_model.py:363-366`;
+    a single prompt is tiled across the batch — a superset of the
+    reference, which only accepts 1-D text with one image). The beam mode
+    ignores it, as the reference's `_generate_beamsearch` does.
     """
     if seq_len <= min_seq_len:
         raise ValueError("seq_len must be larger than min_seq_len")
@@ -241,9 +267,27 @@ def generate(
         return logits
 
     tokens0 = jnp.full((b, seq_len), pad_token_id, jnp.int32)
-    tokens0 = tokens0.at[:, 0].set(sot_token_id)
-    finished0 = jnp.zeros((b,), bool)
-    seen0 = jnp.zeros((b, vocab), bool).at[:, sot_token_id].set(True)
+    if text is not None:
+        prompt = jnp.asarray(text, jnp.int32)
+        if prompt.ndim == 1:
+            prompt = prompt[None, :]
+        if prompt.shape[0] == 1 and b > 1:
+            prompt = jnp.tile(prompt, (b, 1))
+        start = prompt.shape[1]
+        if not 0 < start < seq_len:
+            raise ValueError(
+                f"prompt length {start} must be in [1, seq_len={seq_len})"
+            )
+        tokens0 = tokens0.at[:, :start].set(prompt)
+        # a prompt already ending in EOT/PAD is finished (the reference's
+        # last-token mask, `coca_model.py:385`)
+        finished0 = (prompt[:, -1] == eot_token_id) | (prompt[:, -1] == pad_token_id)
+        seen0 = jax.nn.one_hot(prompt, vocab, dtype=bool).any(axis=1)
+    else:
+        start = 1
+        tokens0 = tokens0.at[:, 0].set(sot_token_id)
+        finished0 = jnp.zeros((b,), bool)
+        seen0 = jnp.zeros((b, vocab), bool).at[:, sot_token_id].set(True)
 
     def body(carry, t):
         tokens, finished, seen, rng = carry
@@ -267,8 +311,7 @@ def generate(
 
         # warp on raw logits (reference order: warper BEFORE temperature)
         if generation_type == "top_k":
-            kth = jax.lax.top_k(step_logits, top_k)[0][:, -1:]
-            step_logits = jnp.where(step_logits < kth, -jnp.inf, step_logits)
+            step_logits = top_k_filter(step_logits, top_k)
             nxt = (
                 jnp.argmax(step_logits, axis=-1)
                 if top_k == 1
@@ -277,13 +320,7 @@ def generate(
                 )
             )
         else:  # top_p
-            sorted_logits = jnp.sort(step_logits, axis=-1)[:, ::-1]
-            probs = jax.nn.softmax(sorted_logits, axis=-1)
-            cum = jnp.cumsum(probs, axis=-1)
-            # smallest set with cumulative prob >= top_p
-            cutoff_idx = jnp.sum(cum < top_p, axis=-1)
-            cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx[:, None], axis=-1)
-            step_logits = jnp.where(step_logits < cutoff, -jnp.inf, step_logits)
+            step_logits = top_p_filter(step_logits, top_p)
             nxt = jax.random.categorical(
                 key, step_logits / max(temperature, 1e-6)
             )
@@ -299,7 +336,7 @@ def generate(
         return (tokens, finished, seen, rng), None
 
     (tokens, _, _, _), _ = jax.lax.scan(
-        body, (tokens0, finished0, seen0, rng), jnp.arange(1, seq_len)
+        body, (tokens0, finished0, seen0, rng), jnp.arange(start, seq_len)
     )
     return tokens
 

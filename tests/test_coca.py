@@ -237,3 +237,60 @@ def test_coca_generate_dispatches_beam_search():
         eot_token_id=63, min_seq_len=2,
     )
     assert np.asarray(tokens).shape == (2, 8)
+
+
+def test_warper_parity_vs_hf():
+    """`top_k_filter`/`top_p_filter` keep exactly the token sets HF's
+    TopKLogitsWarper/TopPLogitsWarper keep (the classes the reference's
+    GENERATION_TYPES dispatches to)."""
+    import transformers
+    from refining_clip_via_dinov2_representations_tpu.models.coca import (
+        top_k_filter, top_p_filter,
+    )
+
+    logits = np.random.default_rng(3).normal(size=(5, 64)).astype(np.float32) * 3
+    tl = torch.from_numpy(logits)
+    ids = torch.zeros((5, 1), dtype=torch.long)
+    for k in (1, 3, 10):
+        want = transformers.TopKLogitsWarper(k)(ids, tl.clone()).numpy()
+        got = np.asarray(top_k_filter(jnp.asarray(logits), k))
+        np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
+        np.testing.assert_allclose(
+            np.where(np.isinf(got), 0, got), np.where(np.isinf(want), 0, want)
+        )
+    for p in (0.1, 0.5, 0.9):
+        want = transformers.TopPLogitsWarper(p)(ids, tl.clone()).numpy()
+        got = np.asarray(top_p_filter(jnp.asarray(logits), p))
+        np.testing.assert_array_equal(np.isinf(got), np.isinf(want))
+
+
+def test_coca_prompt_continuation_parity():
+    """`generate(text=...)` continues a prompt like the reference's sampling
+    path (`coca_model.py:363-366`); greedy is deterministic on both sides."""
+    ref, model, variables = _build_pair()
+    _enable_ref_generation(load_ref("coca_model"))
+    images, _ = _batch(b=2, seed=4)
+    prompt = np.array([[62, 5, 9], [62, 11, 3]], np.int64)
+    with torch.no_grad():
+        want = ref.generate(
+            torch.from_numpy(images[:1]), text=torch.from_numpy(prompt[:1, :]),
+            generation_type="top_k", top_k=1, seq_len=10, min_seq_len=4,
+            sot_token_id=62, eos_token_id=63, pad_token_id=0,
+            fixed_output_length=True,
+        )
+    got = generate(
+        model, variables, jnp.asarray(images[:1]),
+        text=jnp.asarray(prompt[:1].astype(np.int32)),
+        generation_type="top_k", top_k=1, seq_len=10, min_seq_len=4,
+        sot_token_id=62, eot_token_id=63, pad_token_id=0,
+    )
+    np.testing.assert_array_equal(np.asarray(got), want.numpy())
+    # batch-2 prompts work natively too (superset of the reference's 1-D path)
+    got2 = generate(
+        model, variables, jnp.asarray(images),
+        text=jnp.asarray(prompt.astype(np.int32)),
+        generation_type="top_k", top_k=1, seq_len=10, min_seq_len=4,
+        sot_token_id=62, eot_token_id=63, pad_token_id=0,
+    )
+    assert np.asarray(got2).shape == (2, 10)
+    np.testing.assert_array_equal(np.asarray(got2)[:, :3], prompt)
