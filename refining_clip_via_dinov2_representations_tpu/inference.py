@@ -232,6 +232,8 @@ class ClipInferenceEngine:
 
         self._encode_image = jax.jit(encode_image)
         self._encode_text = jax.jit(encode_text)
+        self._vars_fn = _vars
+        self._caption_jits: Dict[Tuple, Any] = {}
 
     # -- shape plumbing -----------------------------------------------------
 
@@ -288,6 +290,52 @@ class ClipInferenceEngine:
         return self._run_bucketed(
             self._encode_text, np.asarray(texts, np.int32)
         )
+
+    def caption_tokens(
+        self,
+        images: np.ndarray,
+        seq_len: int = 30,
+        num_beams: int = 6,
+        num_beam_groups: int = 3,
+        min_seq_len: int = 5,
+        repetition_penalty: float = 1.0,
+        length_penalty: float = 1.0,
+        sot_token_id: int = 49406,
+        eot_token_id: int = 49407,
+        pad_token_id: int = 0,
+    ) -> np.ndarray:
+        """Caption a preprocessed image batch with the reference's default
+        grouped beam search (CoCa models only, `coca.generate_beam`):
+        [N,H,W,3] floats → [N, seq_len] int32 ids (SOT … EOT, pad-filled).
+        Bucketed/padded like the encoders; the jitted search is cached per
+        generation config, and the int8/mesh paths apply unchanged."""
+        from .models.coca import CoCa, generate_beam
+
+        if not isinstance(self.model, CoCa):
+            raise TypeError(
+                "caption_tokens requires a CoCa model "
+                f"(got {type(self.model).__name__})"
+            )
+        key = (seq_len, num_beams, num_beam_groups, min_seq_len,
+               repetition_penalty, length_penalty, sot_token_id,
+               eot_token_id, pad_token_id)
+        fn = self._caption_jits.get(key)
+        if fn is None:
+            model, vars_fn, dtype = self.model, self._vars_fn, self.dtype
+
+            def _caption(variables, imgs):
+                return generate_beam(
+                    model, vars_fn(variables), imgs.astype(dtype),
+                    num_beams=num_beams, num_beam_groups=num_beam_groups,
+                    seq_len=seq_len, sot_token_id=sot_token_id,
+                    eot_token_id=eot_token_id, pad_token_id=pad_token_id,
+                    min_seq_len=min_seq_len,
+                    repetition_penalty=repetition_penalty,
+                    length_penalty=length_penalty,
+                )
+
+            fn = self._caption_jits[key] = jax.jit(_caption)
+        return self._run_bucketed(fn, np.asarray(images, np.float32))
 
     def logit_terms(self) -> Tuple[float, float]:
         """(exp(logit_scale), logit_bias-or-0) — the affine applied to

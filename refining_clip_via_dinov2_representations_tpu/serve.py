@@ -20,6 +20,9 @@ completes the production story around `inference.ClipInferenceEngine`:
                            (base64 JPEG/PNG; preprocessed server-side)
     POST /v1/similarity    {"texts": [...], "images_b64": [...]}
                            -> {"logits": ...}  (scaled image->text logits)
+    POST /v1/caption       {"images_b64": [...], "seq_len"?, "num_beams"?,
+                           "num_beam_groups"?}  -> {"captions": [...]}
+                           (CoCa models: grouped beam search + BPE decode)
 
 CLI: ``python -m refining_clip_via_dinov2_representations_tpu.serve
 --model ViT-B-32 [--pretrained openai | --checkpoint ckpt] --port 8080``.
@@ -161,6 +164,35 @@ class ClipServer:
         scale, bias = self.engine.logit_terms()
         return scale * (img_f @ txt_f.T) + bias
 
+    def caption(self, images_b64: Sequence[str], **gen_kwargs) -> List[str]:
+        """Caption images with a CoCa engine (grouped beam search, the
+        reference's default decode). Generation kwargs vary per request, so
+        captioning bypasses the micro-batchers — the engine's bucketing
+        still pads/coalesces the rows of one request."""
+        if not images_b64:
+            raise ValueError("'images_b64' must be a non-empty list")
+        from PIL import Image
+
+        pixels = []
+        for s in images_b64:
+            with Image.open(io.BytesIO(base64.b64decode(s))) as img:
+                pixels.append(np.asarray(self.preprocess(img.convert("RGB"))))
+        tokens = self.engine.caption_tokens(
+            np.stack(pixels).astype(np.float32), **gen_kwargs
+        )
+        eot = int(gen_kwargs.get("eot_token_id", 49407))
+        sot = int(gen_kwargs.get("sot_token_id", 49406))
+        out = []
+        for row in np.asarray(tokens):
+            row = row.tolist()
+            body = row[1:] if row and row[0] == sot else row
+            if eot in body:
+                body = body[: body.index(eot)]
+            decode = getattr(self.tokenizer, "decode", None)
+            out.append(decode(body).strip() if decode is not None
+                       else " ".join(str(t) for t in body))
+        return out
+
     def close(self):
         self._text_batcher.close()
         self._image_batcher.close()
@@ -202,9 +234,16 @@ def _make_handler(server: ClipServer):
                         req.get("texts", []), req.get("images_b64", [])
                     )
                     self._reply(200, {"logits": out.tolist()})
+                elif self.path == "/v1/caption":
+                    gen = {k: req[k] for k in (
+                        "seq_len", "num_beams", "num_beam_groups",
+                        "min_seq_len", "repetition_penalty", "length_penalty",
+                    ) if k in req}
+                    caps = server.caption(req.get("images_b64", []), **gen)
+                    self._reply(200, {"captions": caps})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except (ValueError, KeyError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # engine/device failure: 500, keep alive
                 logging.exception("serve: request failed")

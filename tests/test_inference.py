@@ -266,3 +266,72 @@ def test_engine_mesh_sharded_serving():
     # export is single-device-only: clear error instead of a broken artifact
     with pytest.raises(NotImplementedError):
         sharded.export("/tmp/never-written")
+
+
+TINY_COCA_CFG = {
+    "embed_dim": 32,
+    "vision_cfg": {
+        "image_size": 16, "patch_size": 8, "width": 32, "layers": 2,
+        "head_width": 16, "attentional_pool": True, "attn_pooler_queries": 6,
+        "attn_pooler_heads": 2, "output_tokens": True,
+    },
+    "text_cfg": {
+        "context_length": 12, "vocab_size": 64, "width": 32, "heads": 4,
+        "layers": 2, "embed_cls": True, "output_tokens": True,
+    },
+    "multimodal_cfg": {
+        "context_length": 12, "vocab_size": 64, "width": 32, "heads": 4,
+        "layers": 2, "attn_pooler_heads": 2,
+    },
+    "custom_text": True,
+}
+
+
+def _tiny_coca():
+    model = build_model(parse_model_cfg(TINY_COCA_CFG))
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+        jnp.zeros((1, 12), jnp.int32),
+    )
+    return model, variables
+
+
+def test_caption_tokens_matches_direct_beam():
+    from refining_clip_via_dinov2_representations_tpu.models.coca import (
+        generate_beam,
+    )
+
+    model, variables = _tiny_coca()
+    eng = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(2, 4), dtype=jnp.float32,
+    )
+    imgs = np.random.default_rng(0).normal(size=(3, 16, 16, 3)).astype(np.float32)
+    toks = eng.caption_tokens(
+        imgs, seq_len=8, num_beams=4, num_beam_groups=2,
+        min_seq_len=2, sot_token_id=62, eot_token_id=63,
+    )
+    assert toks.shape == (3, 8) and (toks[:, 0] == 62).all()
+    # bucketed (padded 3->4) rows == direct full-batch beam search
+    direct = generate_beam(
+        model, variables, jnp.asarray(imgs), num_beams=4, num_beam_groups=2,
+        seq_len=8, sot_token_id=62, eot_token_id=63, min_seq_len=2,
+    )
+    np.testing.assert_array_equal(toks, np.asarray(direct))
+
+
+def test_caption_tokens_int8_runs():
+    model, variables = _tiny_coca()
+    eng = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(2,), dtype=jnp.float32, quantize="int8", quantize_min_size=64,
+    )
+    imgs = np.random.default_rng(1).normal(size=(2, 16, 16, 3)).astype(np.float32)
+    toks = eng.caption_tokens(imgs, seq_len=6, num_beams=2, num_beam_groups=1,
+                              min_seq_len=2, sot_token_id=62, eot_token_id=63)
+    assert toks.shape == (2, 6) and (toks[:, 0] == 62).all()
+
+
+def test_caption_tokens_requires_coca(engine):
+    with pytest.raises(TypeError, match="CoCa"):
+        engine.caption_tokens(np.zeros((1, 16, 16, 3), np.float32))

@@ -250,3 +250,67 @@ def test_load_checkpoint_rejects_non_checkpoint_dir(tmp_path):
     (tmp_path / "not_a_ckpt").mkdir()
     with _pytest.raises(Exception):
         load_checkpoint(model, variables, str(tmp_path / "not_a_ckpt"))
+
+
+TINY_COCA_SERVE = {
+    "embed_dim": 32,
+    "vision_cfg": {
+        "image_size": 16, "patch_size": 8, "width": 32, "layers": 2,
+        "head_width": 16, "attentional_pool": True, "attn_pooler_queries": 6,
+        "attn_pooler_heads": 2, "output_tokens": True,
+    },
+    "text_cfg": {
+        "context_length": 12, "vocab_size": 49408, "width": 32, "heads": 4,
+        "layers": 2, "embed_cls": True, "output_tokens": True,
+    },
+    "multimodal_cfg": {
+        "context_length": 12, "vocab_size": 49408, "width": 32, "heads": 4,
+        "layers": 2, "attn_pooler_heads": 2,
+    },
+    "custom_text": True,
+}
+register_model_config("tiny-serve-coca", TINY_COCA_SERVE)
+
+
+def test_caption_endpoint_coca():
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        create_engine,
+    )
+    from refining_clip_via_dinov2_representations_tpu.serve import (
+        ClipServer, make_http_server,
+    )
+
+    engine, preprocess, tokenizer = create_engine(
+        "tiny-serve-coca", buckets=(2,), warm=False
+    )
+    server = ClipServer(engine, preprocess, tokenizer, batch_window_ms=5.0)
+    httpd = make_http_server(server, host="127.0.0.1", port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        img1, _ = _png_b64(np.random.default_rng(0))
+        img2, _ = _png_b64(np.random.default_rng(1))
+        code, out = _post(base, "/v1/caption", {
+            "images_b64": [img1, img2], "seq_len": 8, "num_beams": 2,
+            "num_beam_groups": 1, "min_seq_len": 2,
+        })
+        assert code == 200, out
+        caps = out["captions"]
+        assert len(caps) == 2 and all(isinstance(c, str) for c in caps)
+        # deterministic beam search -> same image, same caption
+        code2, out2 = _post(base, "/v1/caption", {
+            "images_b64": [img1], "seq_len": 8, "num_beams": 2,
+            "num_beam_groups": 1, "min_seq_len": 2,
+        })
+        assert code2 == 200 and out2["captions"][0] == caps[0]
+    finally:
+        httpd.shutdown()
+        server.close()
+
+
+def test_caption_endpoint_rejects_non_coca(bundle):
+    _, _, _, base = bundle
+    img, _ = _png_b64(np.random.default_rng(2))
+    code, out = _post(base, "/v1/caption", {"images_b64": [img]})
+    assert code == 400 and "CoCa" in out["error"]
