@@ -38,7 +38,7 @@ from .models import (
 from .inference import ClipInferenceEngine, create_engine, load_exported
 from .utils import to_2tuple, feature_take_indices, get_2d_sincos_pos_embed
 from .models.openai import load_openai_model, list_openai_models
-from .models import CoCa
+from .models import CoCa, coca_generate, coca_generate_beam
 from .models.clip import CLIP as CustomTextCLIP  # one flax module covers both
 from .models.pretrained import (
     list_pretrained_models_by_tag,

@@ -180,6 +180,12 @@ def top_k_filter(step_logits: jnp.ndarray, top_k: int) -> jnp.ndarray:
     return jnp.where(step_logits < kth, -jnp.inf, step_logits)
 
 
+def _init_caches(b: int, layers: int, heads: int, width: int, length: int, dtype):
+    """Zeroed per-layer (k, v) caches, [B, H, L, Dh] each."""
+    z = jnp.zeros((b, heads, length, width // heads), dtype)
+    return [(z, z) for _ in range(layers)]
+
+
 def top_p_filter(step_logits: jnp.ndarray, top_p: float) -> jnp.ndarray:
     """HF `TopPLogitsWarper`: keep the smallest descending-sorted set whose
     cumulative softmax probability reaches `top_p` (the boundary token is
@@ -211,6 +217,7 @@ def generate(
     min_seq_len: int = 5,
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
+    use_cache: bool = True,
 ) -> jnp.ndarray:
     """Fixed-length jitted caption generation.
 
@@ -228,6 +235,11 @@ def generate(
     a single prompt is tiled across the batch — a superset of the
     reference, which only accepts 1-D text with one image). The beam mode
     ignores it, as the reference's `_generate_beamsearch` does.
+
+    `use_cache=True` (default) decodes incrementally through per-layer KV
+    caches carried in the scan — O(L) transformer work instead of the O(L²)
+    full re-decode, same tokens (token-equality tested) — falling back to
+    the re-decode for HF/non-causal text towers.
     """
     if seq_len <= min_seq_len:
         raise ValueError("seq_len must be larger than min_seq_len")
@@ -238,7 +250,7 @@ def generate(
             seq_len=seq_len, sot_token_id=sot_token_id,
             eot_token_id=eot_token_id, pad_token_id=pad_token_id,
             min_seq_len=min_seq_len, repetition_penalty=repetition_penalty,
-            length_penalty=length_penalty,
+            length_penalty=length_penalty, use_cache=use_cache,
         )
     if generation_type not in ("top_k", "top_p"):
         raise ValueError(
@@ -289,17 +301,14 @@ def generate(
         finished0 = jnp.zeros((b,), bool)
         seen0 = jnp.zeros((b, vocab), bool).at[:, sot_token_id].set(True)
 
-    def body(carry, t):
-        tokens, finished, seen, rng = carry
-        rng, key = jax.random.split(rng)
-        logits = decode_step(tokens)  # [B, L', V]
-        # position t-1 predicts token t; clamp into the decoder's range
-        pos = jnp.minimum(t - 1, logits.shape[1] - 1)
-        step_logits = logits[:, pos, :].astype(jnp.float32)
-
+    def choose(step_logits, tw, finished, seen, key):
+        """The per-position sampling rule (reference order: min-length mask →
+        repetition penalty → warp raw logits → temperature → sample; forced
+        EOT at the final position, PAD for finished rows). `tw` = position
+        being written."""
         # min length: no EOT before min_seq_len (MinLengthLogitsProcessor)
         step_logits = jnp.where(
-            (t < min_seq_len)
+            (tw < min_seq_len)
             & (jnp.arange(step_logits.shape[-1])[None, :] == eot_token_id),
             -jnp.inf,
             step_logits,
@@ -308,8 +317,6 @@ def generate(
             step_logits = _apply_repetition_penalty(
                 step_logits, seen, repetition_penalty
             )
-
-        # warp on raw logits (reference order: warper BEFORE temperature)
         if generation_type == "top_k":
             step_logits = top_k_filter(step_logits, top_k)
             nxt = (
@@ -324,19 +331,82 @@ def generate(
             nxt = jax.random.categorical(
                 key, step_logits / max(temperature, 1e-6)
             )
-
         # the reference forces EOT at the final generated position
-        nxt = jnp.where(t == seq_len - 1, eot_token_id, nxt)
-        nxt = jnp.where(finished, pad_token_id, nxt.astype(jnp.int32))
+        nxt = jnp.where(tw == seq_len - 1, eot_token_id, nxt)
+        return jnp.where(finished, pad_token_id, nxt.astype(jnp.int32))
+
+    can_cache = (
+        use_cache
+        and model.text_cfg.hf_model_name is None
+        and not model.text_cfg.no_causal_mask
+    )
+
+    if can_cache:
+        # Incremental decode: one token per step through KV caches — O(L)
+        # total transformer work instead of the O(L²) full re-decode. The
+        # scan starts at position 0 so prompt tokens prefill the caches
+        # (forced writes, no sampling).
+        tcaches0 = _init_caches(
+            b, model.text_cfg.layers, model.text_cfg.heads,
+            model.text_cfg.width, seq_len, model.dtype,
+        )
+        dcaches0 = _init_caches(
+            b, model.multimodal_cfg.layers, model.multimodal_cfg.heads,
+            model.multimodal_cfg.width, seq_len, model.dtype,
+        )
+        cur0 = tokens0[:, 0:1]
+
+        def body(carry, t):
+            tokens, finished, seen, cur, tcaches, dcaches = carry
+            emb, tcaches = model.apply(
+                variables, cur, tcaches, t,
+                method=lambda m, tok, c, p: m.text(tok, caches=c, pos=p),
+            )
+            logits, dcaches = model.apply(
+                variables, image_embs, emb, dcaches, t,
+                method=lambda m, ie, te, c, p: m.text_decoder(
+                    ie, te, caches=c, pos=p
+                ),
+            )
+            tw = t + 1  # logits at position t predict token t+1
+            key = jax.random.fold_in(rng, tw)
+            sampled = choose(
+                logits[:, 0].astype(jnp.float32), tw, finished, seen, key
+            )
+            forced = jax.lax.dynamic_slice_in_dim(tokens, tw, 1, axis=1)[:, 0]
+            is_forced = tw < start  # prompt prefill
+            nxt = jnp.where(is_forced, forced, sampled)
+            tokens = tokens.at[:, tw].set(nxt)
+            # reference-faithful: a sampled PAD also terminates the row
+            # (`coca_model.py:385` masks rows whose last token is eos OR pad)
+            finished = finished | (
+                ~is_forced & ((nxt == eot_token_id) | (nxt == pad_token_id))
+            )
+            seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
+            return (tokens, finished, seen, nxt[:, None], tcaches, dcaches), None
+
+        (tokens, _, _, _, _, _), _ = jax.lax.scan(
+            body, (tokens0, finished0, seen0, cur0, tcaches0, dcaches0),
+            jnp.arange(0, seq_len - 1),
+        )
+        return tokens
+
+    def body(carry, t):
+        tokens, finished, seen = carry
+        key = jax.random.fold_in(rng, t)
+        logits = decode_step(tokens)  # [B, L', V]
+        # position t-1 predicts token t; clamp into the decoder's range
+        pos = jnp.minimum(t - 1, logits.shape[1] - 1)
+        nxt = choose(logits[:, pos, :].astype(jnp.float32), t, finished, seen, key)
         tokens = tokens.at[:, t].set(nxt)
         # reference-faithful: a sampled PAD also terminates the row
         # (`coca_model.py:385` masks rows whose last token is eos OR pad)
         finished = finished | (nxt == eot_token_id) | (nxt == pad_token_id)
         seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
-        return (tokens, finished, seen, rng), None
+        return (tokens, finished, seen), None
 
-    (tokens, _, _, _), _ = jax.lax.scan(
-        body, (tokens0, finished0, seen0, rng), jnp.arange(start, seq_len)
+    (tokens, _, _), _ = jax.lax.scan(
+        body, (tokens0, finished0, seen0), jnp.arange(start, seq_len)
     )
     return tokens
 
@@ -355,6 +425,7 @@ def generate_beam(
     repetition_penalty: float = 1.0,
     length_penalty: float = 1.0,
     log_softmax_scores: bool = False,
+    use_cache: bool = True,
 ) -> jnp.ndarray:
     """Grouped beam search as a `lax.scan` — the static-shape TPU
     formulation of the reference's `_generate_beamsearch`
@@ -389,6 +460,11 @@ def generate_beam(
 
     Returns the best hypothesis per image, [B, seq_len] (the reference's
     `fixed_output_length=True` shape), EOT-terminated and pad-filled.
+
+    `use_cache=True` (default) decodes incrementally through per-beam KV
+    caches reordered with the beams each step — O(L) transformer work
+    instead of the O(L²) full re-decode, same tokens (token-equality
+    tested) — falling back to the re-decode for HF/non-causal text towers.
     """
     b = image.shape[0]
     w = num_beams
@@ -450,17 +526,18 @@ def generate_beam(
         new_len = jnp.take_along_axis(all_len, keep, axis=2)
         return new_sc, new_tok, new_len
 
-    def body(carry, t):
-        tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, seen = carry
-        logits = decode_step(tokens.reshape(b * w, L))
-        pos = jnp.minimum(t - 1, logits.shape[1] - 1)
-        step = logits[:, pos, :].astype(jnp.float32).reshape(b, w, vocab)
+    def process(step, tw, state):
+        """One BeamSearchScorer.process step given raw step logits `step`
+        [B, W, V] for the position preceding `tw` (the position being
+        written). Returns the updated beam state plus the (idx, write_tok)
+        pair the cached path needs to reorder its KV caches."""
+        tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, seen = state
         if log_softmax_scores:
             step = jax.nn.log_softmax(step, axis=-1)
 
         # logits processors, reference order: min-length then repetition
         step = jnp.where(
-            (t < min_seq_len)
+            (tw < min_seq_len)
             & (jnp.arange(vocab)[None, None, :] == eot_token_id),
             -jnp.inf, step,
         )
@@ -482,15 +559,15 @@ def generate_beam(
 
         # --- hypothesis adds: EOT candidates ranked < S (process())
         add_mask = is_eot[..., :s] & ~done[..., None]  # [B, G, S]
-        gen_len = (t + 1).astype(jnp.float32)  # prefix t tokens + the EOT
+        gen_len = (tw + 1).astype(jnp.float32)  # prefix tw tokens + the EOT
         add_sc = jnp.where(
             add_mask, top_sc[..., :s] / gen_len ** length_penalty, -jnp.inf
         )
         tok_g = tokens.reshape(b, g, s, L)
         add_tok = jnp.take_along_axis(tok_g, src[..., :s, None], axis=2)
-        add_tok = jnp.where(jnp.arange(L)[None, None, None, :] < t,
+        add_tok = jnp.where(jnp.arange(L)[None, None, None, :] < tw,
                             add_tok, pad_token_id)
-        add_len = jnp.where(add_mask, t, 0)
+        add_len = jnp.where(add_mask, tw, 0)
         hyp_scores, hyp_tokens, hyp_len = merge_pool(
             (hyp_scores, hyp_tokens, hyp_len), (add_sc, add_tok, add_len)
         )
@@ -505,7 +582,7 @@ def generate_beam(
         idx = jnp.where(done[..., None], jnp.arange(s)[None, None, :], live_src)
         tok_g = jnp.take_along_axis(tok_g, idx[..., None], axis=2)
         write_tok = jnp.where(done[..., None], pad_token_id, live_tok)
-        tok_g = tok_g.at[:, :, :, t].set(write_tok)
+        tok_g = tok_g.at[:, :, :, tw].set(write_tok)
         tokens = tok_g.reshape(b, w, L)
         scores = jnp.where(
             done[..., None], scores.reshape(b, g, s), live_sc
@@ -516,12 +593,75 @@ def generate_beam(
             )
             seen = (seen | jax.nn.one_hot(write_tok, vocab, dtype=bool)
                     ).reshape(b, w, vocab)
-        return (tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, seen), None
+        state = (tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, seen)
+        return state, idx, write_tok
 
-    carry0 = (tokens0, scores0, done0, hyp_scores0, hyp_tokens0, hyp_len0, seen0)
-    (tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, _), _ = jax.lax.scan(
-        body, carry0, jnp.arange(1, L)
+    state0 = (tokens0, scores0, done0, hyp_scores0, hyp_tokens0, hyp_len0, seen0)
+    can_cache = (
+        use_cache
+        and model.text_cfg.hf_model_name is None
+        and not model.text_cfg.no_causal_mask
     )
+
+    if can_cache:
+        # Incremental decode: per-beam KV caches carried in the scan and
+        # reordered with the beams each step — O(L) transformer work
+        # instead of the O(L²) full re-decode. Same tokens (tested).
+        tcaches0 = _init_caches(
+            b * w, model.text_cfg.layers, model.text_cfg.heads,
+            model.text_cfg.width, L, model.dtype,
+        )
+        dcaches0 = _init_caches(
+            b * w, model.multimodal_cfg.layers, model.multimodal_cfg.heads,
+            model.multimodal_cfg.width, L, model.dtype,
+        )
+        cur0 = tokens0.reshape(b * w, L)[:, 0:1]
+
+        def reorder(cache, idx):
+            k, v = cache
+
+            def take(a):
+                a = a.reshape(b, g, s, *a.shape[1:])
+                a = jnp.take_along_axis(
+                    a, idx.reshape(b, g, s, 1, 1, 1), axis=2
+                )
+                return a.reshape(b * w, *a.shape[3:])
+
+            return take(k), take(v)
+
+        def body(carry, t):
+            state, cur, tcaches, dcaches = carry
+            emb, tcaches = model.apply(
+                variables, cur, tcaches, t,
+                method=lambda m, tok, c, p: m.text(tok, caches=c, pos=p),
+            )
+            logits, dcaches = model.apply(
+                variables, image_embs_rep, emb, dcaches, t,
+                method=lambda m, ie, te, c, p: m.text_decoder(
+                    ie, te, caches=c, pos=p
+                ),
+            )
+            step = logits[:, 0].astype(jnp.float32).reshape(b, w, vocab)
+            state, idx, write_tok = process(step, t + 1, state)
+            tcaches = [reorder(c, idx) for c in tcaches]
+            dcaches = [reorder(c, idx) for c in dcaches]
+            cur = write_tok.reshape(b * w, 1)
+            return (state, cur, tcaches, dcaches), None
+
+        (state, _, _, _), _ = jax.lax.scan(
+            body, (state0, cur0, tcaches0, dcaches0), jnp.arange(0, L - 1)
+        )
+    else:
+        def body(carry, t):
+            logits = decode_step(carry[0].reshape(b * w, L))
+            pos = jnp.minimum(t - 1, logits.shape[1] - 1)
+            step = logits[:, pos, :].astype(jnp.float32).reshape(b, w, vocab)
+            state, _, _ = process(step, t, carry)
+            return state, None
+
+        state, _ = jax.lax.scan(body, state0, jnp.arange(1, L))
+
+    tokens, scores, done, hyp_scores, hyp_tokens, hyp_len, _ = state
 
     # --- finalize: live beams of unfinished groups join the pool at full len
     fin_sc = jnp.where(

@@ -19,7 +19,7 @@ autocast/GradScaler.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -151,7 +151,17 @@ class MultiheadAttention(nn.Module):
         kv: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
-    ) -> jnp.ndarray:
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        pos: Optional[jnp.ndarray] = None,
+    ):
+        """Full mode (cache=None): returns [B, L, D].
+
+        Incremental-decode mode (cache=(k,v) each [B, H, L, Dh], pos=current
+        position): x is the single current token [B, 1, D]; its K/V are
+        written into the cache at `pos` and attention runs over positions
+        <= pos. Returns (out [B, 1, D], new_cache). Numerics go through the
+        same `multi_head_attention` dispatch as the full path.
+        """
         b, lq, d = x.shape
         assert d % self.num_heads == 0
         head_dim = d // self.num_heads
@@ -191,6 +201,21 @@ class MultiheadAttention(nn.Module):
         # not removable overhead. Keep the conventional layout.
         def heads(t, l):
             return t.reshape(b, l, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        if cache is not None:
+            assert lq == 1 and pos is not None, "decode mode takes one token"
+            ck, cv = cache  # [B, H, L, Dh]
+            ck = jax.lax.dynamic_update_slice(ck, heads(k, 1), (0, 0, pos, 0))
+            cv = jax.lax.dynamic_update_slice(cv, heads(v, 1), (0, 0, pos, 0))
+            # additive key mask: only positions <= pos are live
+            key_mask = jnp.where(
+                jnp.arange(ck.shape[2])[None, None, None, :] <= pos, 0.0, -jnp.inf
+            ).astype(jnp.float32)
+            out = multi_head_attention(
+                heads(q, 1), ck, cv, mask=key_mask, impl="xla"
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(b, 1, d)
+            return nn.Dense(d, dtype=self.dtype, name="out_proj")(out), (ck, cv)
 
         out = multi_head_attention(
             heads(q, lq), heads(k, lk), heads(v, lk),

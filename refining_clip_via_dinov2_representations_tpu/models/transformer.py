@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,7 +90,11 @@ class ResidualAttentionBlock(nn.Module):
         kv: Optional[jnp.ndarray] = None,
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
-    ) -> jnp.ndarray:
+        cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        pos: Optional[jnp.ndarray] = None,
+    ):
+        """`cache`/`pos` switch self-attention into incremental-decode mode
+        (see `MultiheadAttention`); returns (x, new_cache) then."""
         d = x.shape[-1]
         ln = lambda name: LayerNorm(name=name, epsilon=self.norm_eps, dtype=self.dtype)
 
@@ -97,10 +102,17 @@ class ResidualAttentionBlock(nn.Module):
         if self.is_cross_attention and kv is not None:
             kv_n = ln("ln_1_kv")(kv)
 
-        attn_out = MultiheadAttention(
+        attn = MultiheadAttention(
             num_heads=self.n_head, dtype=self.dtype, attn_impl=self.attn_impl,
             qkv_bias=self.qkv_bias, name="attn"
-        )(ln("ln_1")(x), kv=kv_n, mask=mask, causal=causal)
+        )
+        new_cache = None
+        if cache is not None:
+            attn_out, new_cache = attn(
+                ln("ln_1")(x), kv=kv_n, cache=cache, pos=pos
+            )
+        else:
+            attn_out = attn(ln("ln_1")(x), kv=kv_n, mask=mask, causal=causal)
         if self.ls_init_value is not None:
             attn_out = LayerScale(self.ls_init_value, name="ls_1", dtype=self.dtype)(attn_out)
         x = x + attn_out
@@ -110,7 +122,10 @@ class ResidualAttentionBlock(nn.Module):
         )(ln("ln_2")(x))
         if self.ls_init_value is not None:
             mlp_out = LayerScale(self.ls_init_value, name="ls_2", dtype=self.dtype)(mlp_out)
-        return x + mlp_out
+        x = x + mlp_out
+        if cache is not None:
+            return x, new_cache
+        return x
 
 
 class Transformer(nn.Module):
@@ -133,10 +148,16 @@ class Transformer(nn.Module):
         x: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
         causal: bool = False,
-    ) -> jnp.ndarray:
+        caches: Optional[list] = None,
+        pos: Optional[jnp.ndarray] = None,
+    ):
+        """`caches` (one (k,v) pair per layer) + `pos` switch every block
+        into incremental decode; returns (x, new_caches) then. Decode has no
+        backward, so remat is bypassed in that mode."""
         block_cls = ResidualAttentionBlock
-        if self.remat:
+        if self.remat and caches is None:
             block_cls = _remat(ResidualAttentionBlock, self.remat_policy)
+        new_caches = [] if caches is not None else None
         for i in range(self.layers):
             blk = block_cls(
                 n_head=self.heads,
@@ -149,7 +170,13 @@ class Transformer(nn.Module):
                 qkv_bias=self.qkv_bias,
                 name=f"resblocks_{i}",
             )
-            x = blk(x, None, mask, causal)
+            if caches is not None:
+                x, c = blk(x, None, None, False, cache=caches[i], pos=pos)
+                new_caches.append(c)
+            else:
+                x = blk(x, None, mask, causal)
+        if caches is not None:
+            return x, new_caches
         return x
 
 
@@ -425,7 +452,13 @@ class TextTransformer(nn.Module):
         return add[:, None, :, :]  # [B, 1, L+1, L+1]
 
     @nn.compact
-    def __call__(self, text: jnp.ndarray, deterministic: bool = True):
+    def __call__(
+        self,
+        text: jnp.ndarray,
+        deterministic: bool = True,
+        caches: Optional[list] = None,
+        pos: Optional[jnp.ndarray] = None,
+    ):
         b, seq_len = text.shape
         x = nn.Embed(
             self.vocab_size,
@@ -434,6 +467,32 @@ class TextTransformer(nn.Module):
             embedding_init=nn.initializers.normal(stddev=0.02),
             name="token_embedding",
         )(text)
+
+        if caches is not None:
+            # Incremental decode (CoCa generation): `text` is the single
+            # current token [B, 1]; returns (token output at `pos`, caches).
+            # Token outputs never see the appended CLS (it sits at the END,
+            # causally invisible to token rows — `_cls_mask` only constrains
+            # the CLS query row), so decode is plain cached causal attention.
+            pos_emb = self.param(
+                "positional_embedding",
+                nn.initializers.normal(stddev=0.01),
+                (self.num_pos, self.width),
+                jnp.float32,
+            )
+            x = x + jax.lax.dynamic_slice_in_dim(pos_emb, pos, 1, axis=0)[None].astype(x.dtype)
+            x, new_caches = Transformer(
+                width=self.width, layers=self.layers, heads=self.heads,
+                mlp_ratio=self.mlp_ratio, ls_init_value=self.ls_init_value,
+                act=self.act, norm_eps=self.norm_eps, dtype=self.dtype,
+                attn_impl=self.attn_impl, name="transformer",
+            )(x, caches=caches, pos=pos)
+            if not self.embed_cls:
+                # tokens are post-ln_final in this branch of the full path
+                x = LayerNorm(
+                    name="ln_final", epsilon=self.norm_eps, dtype=self.dtype
+                )(x)
+            return x, new_caches
 
         mask = None
         causal = not self.no_causal_mask
@@ -525,7 +584,19 @@ class MultimodalTransformer(nn.Module):
     remat_policy: str = "full"
 
     @nn.compact
-    def __call__(self, image_embs: jnp.ndarray, text_embs: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        image_embs: jnp.ndarray,
+        text_embs: jnp.ndarray,
+        caches: Optional[list] = None,
+        pos: Optional[jnp.ndarray] = None,
+    ):
+        """`caches` (one (k,v) per SELF-attention layer) + `pos` switch into
+        incremental decode: `text_embs` is the single current token embedding
+        [B, 1, D]; returns (vocab logits [B, 1, V], new_caches). Cross
+        attention keys/values come from the fixed `image_embs` and are cheap
+        to recompute each step (T_img·D matmuls), so only self-attention is
+        cached."""
         block_kwargs = dict(
             n_head=self.heads,
             mlp_ratio=self.mlp_ratio,
@@ -536,11 +607,17 @@ class MultimodalTransformer(nn.Module):
             attn_impl=self.attn_impl,
         )
         block_cls = ResidualAttentionBlock
-        if self.remat:
+        if self.remat and caches is None:
             block_cls = _remat(ResidualAttentionBlock, self.remat_policy)
         x = text_embs
+        new_caches = [] if caches is not None else None
         for i in range(self.layers):
-            x = block_cls(name=f"resblocks_{i}", **block_kwargs)(x, None, None, True)
+            self_blk = block_cls(name=f"resblocks_{i}", **block_kwargs)
+            if caches is not None:
+                x, c = self_blk(x, None, None, False, cache=caches[i], pos=pos)
+                new_caches.append(c)
+            else:
+                x = self_blk(x, None, None, True)
             x = block_cls(name=f"cross_attn_{i}", is_cross_attention=True, **block_kwargs)(
                 x, image_embs, None, False
             )
@@ -552,4 +629,7 @@ class MultimodalTransformer(nn.Module):
             (self.width, self.output_dim),
             jnp.float32,
         )
-        return x @ proj.astype(x.dtype)
+        out = x @ proj.astype(x.dtype)
+        if caches is not None:
+            return out, new_caches
+        return out

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--quantize", default=None, choices=[None, "int8"])
     ap.add_argument("--buckets", default="8,32,128,256")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--caption", action="store_true",
+                    help="bench CoCa beam-search captioning: KV-cached "
+                         "incremental decode vs full re-decode "
+                         "(use --model coca_ViT-B-32)")
+    ap.add_argument("--seq-len", type=int, default=30)
     args = ap.parse_args()
 
     import jax
@@ -69,6 +74,40 @@ def main():
         jnp.zeros((1, ctx), jnp.int32),
     )
     _log(f"model={args.model} quantize={args.quantize} buckets={buckets}")
+
+    npr0 = np.random.default_rng(0)
+    if args.caption:
+        from refining_clip_via_dinov2_representations_tpu.models.coca import (
+            generate_beam,
+        )
+
+        for b in buckets:
+            imgs = jnp.asarray(
+                npr0.normal(size=(b, img_h, img_w, 3)), jnp.bfloat16
+            )
+            for label, uc in (("cached", True), ("full", False)):
+                fn = jax.jit(
+                    lambda v, im, uc=uc: generate_beam(
+                        model, v, im, seq_len=args.seq_len, use_cache=uc
+                    )
+                )
+                _log(f"caption batch={b} {label}: compiling...")
+                out = fn(variables, imgs)
+                jax.block_until_ready(out)
+                t0 = time.perf_counter()
+                iters = max(3, args.steps // 6)
+                for _ in range(iters):
+                    out = fn(variables, imgs)
+                _ = np.asarray(out)
+                dt = (time.perf_counter() - t0) / iters
+                print(json.dumps({
+                    "mode": f"caption_{label}",
+                    "batch": b,
+                    "seq_len": args.seq_len,
+                    "device_items_per_s": round(b / dt, 1),
+                    "device_ms": round(dt * 1e3, 2),
+                }), flush=True)
+        return
 
     engine = ClipInferenceEngine(
         model, variables, image_size=(img_h, img_w), context_length=ctx,

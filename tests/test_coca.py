@@ -294,3 +294,40 @@ def test_coca_prompt_continuation_parity():
     )
     assert np.asarray(got2).shape == (2, 10)
     np.testing.assert_array_equal(np.asarray(got2)[:, :3], prompt)
+
+
+def test_generation_cache_equals_full():
+    """KV-cached incremental decode (use_cache=True, the default) produces
+    token-identical output to the full re-decode path for every mode —
+    greedy, top_p sampling (per-position fold_in keys make the draws
+    path-independent), prompted continuation, and grouped beam search with
+    repetition penalty."""
+    from refining_clip_via_dinov2_representations_tpu.models.coca import (
+        generate_beam,
+    )
+
+    _, model, variables = _build_pair()
+    images, _ = _batch(b=2, seed=5)
+    imgs = jnp.asarray(images)
+    common = dict(sot_token_id=62, eot_token_id=63, pad_token_id=0)
+
+    for kw in (
+        dict(generation_type="top_k", top_k=1, seq_len=10, min_seq_len=2),
+        dict(generation_type="top_p", top_p=0.7, seq_len=10, min_seq_len=2,
+             rng=jax.random.PRNGKey(3)),
+        dict(generation_type="top_k", top_k=1, seq_len=10, min_seq_len=4,
+             text=jnp.asarray([[62, 5, 9], [62, 11, 3]], jnp.int32),
+             repetition_penalty=1.3),
+    ):
+        cached = generate(model, variables, imgs, use_cache=True, **common, **kw)
+        full = generate(model, variables, imgs, use_cache=False, **common, **kw)
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+    for kw in (
+        dict(num_beams=4, num_beam_groups=2, seq_len=9, min_seq_len=2),
+        dict(num_beams=3, num_beam_groups=1, seq_len=8, min_seq_len=2,
+             repetition_penalty=1.2),
+    ):
+        cached = generate_beam(model, variables, imgs, use_cache=True, **common, **kw)
+        full = generate_beam(model, variables, imgs, use_cache=False, **common, **kw)
+        np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
