@@ -193,6 +193,7 @@ def main():
 
     dino_teacher = None
     teacher_flops = 0.0
+    teacher_split = False
     if teacher_env not in ("", "0"):
         from refining_clip_via_dinov2_representations_tpu.models.dinov2 import (
             DINOV2_CONFIGS,
@@ -227,6 +228,14 @@ def main():
         )
         dino_teacher = LiveDinoTeacher(tmodel, tvars)
         dino_dim = t_hidden
+        # BENCH_TEACHER_SPLIT=1: compile the frozen teacher forward as its
+        # own jit and chain its output into the train step instead of fusing
+        # it into one XLA program. Needed for the big-teacher configs
+        # (ViT-L student + dinov2-large): the axon tunnel drops any single
+        # remote_compile after ~30 min, and the fused program exceeds that.
+        # Perf accounting is identical (teacher FLOPs stay in the MFU
+        # denominator; the loop pipelines both programs, one closing fetch).
+        teacher_split = os.environ.get("BENCH_TEACHER_SPLIT", "") not in ("", "0")
         # frozen forward only (no bwd): 1x tower FLOPs at the teacher's
         # patch-14 sequence length
         t_h = (img_h // tcfg.patch_size) * tcfg.patch_size
@@ -261,8 +270,12 @@ def main():
             loss_type="dino",
             dino=DinoLossCfg(lambda_soft=0.5, soft_mode="kl_teacher", lambda_weighted=0.2),
         )
+    teacher_fn = None
+    if dino_teacher is not None and teacher_split:
+        teacher_fn = jax.jit(dino_teacher.extract)
     train_step = make_train_step(
-        model, tx, step_cfg, head=head, dino_teacher=dino_teacher
+        model, tx, step_cfg, head=head,
+        dino_teacher=None if teacher_fn is not None else dino_teacher,
     )
 
     npr = np.random.default_rng(0)
@@ -280,6 +293,8 @@ def main():
     # completes; fetching the final loss forces the whole chained computation.
     _log("compiling train step...")
     for i in range(2):
+        if teacher_fn is not None:
+            batch_data["dino_features"] = teacher_fn(batch_data["images"])
         state, metrics = train_step(state, batch_data)
         _log(f"warmup step {i} done, loss={float(metrics['total_loss']):.4f}")
 
@@ -288,6 +303,10 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", 30))
     t0 = time.perf_counter()
     for _ in range(n_steps):
+        if teacher_fn is not None:
+            # split mode: re-run the teacher forward every step (its cost is
+            # part of the measured step; the loop pipelines both programs)
+            batch_data["dino_features"] = teacher_fn(batch_data["images"])
         state, metrics = train_step(state, batch_data)
     final_loss = float(metrics["total_loss"])  # sync point
     dt = time.perf_counter() - t0
