@@ -227,6 +227,7 @@ def main():
             jax.random.PRNGKey(2), jnp.zeros((1, img_h, img_w, 3), jnp.bfloat16)
         )
         dino_teacher = LiveDinoTeacher(tmodel, tvars)
+        teacher_vars = tvars
         dino_dim = t_hidden
         # BENCH_TEACHER_SPLIT=1: compile the frozen teacher forward as its
         # own jit and chain its output into the train step instead of fusing
@@ -270,9 +271,17 @@ def main():
             loss_type="dino",
             dino=DinoLossCfg(lambda_soft=0.5, soft_mode="kl_teacher", lambda_weighted=0.2),
         )
+    # teacher weights must thread as jit ARGUMENTS: closure capture bakes
+    # them into the program as HLO literals (~1.2 GB for dinov2-large, which
+    # alone exceeds the tunnel's remote_compile upload window)
     teacher_fn = None
+    frozen = None
     if dino_teacher is not None and teacher_split:
-        teacher_fn = jax.jit(dino_teacher.extract)
+        teacher_fn = jax.jit(
+            lambda tv, im: dino_teacher.extract(im, variables=tv)
+        )
+    elif dino_teacher is not None:
+        frozen = {"dino_teacher": teacher_vars}
     train_step = make_train_step(
         model, tx, step_cfg, head=head,
         dino_teacher=None if teacher_fn is not None else dino_teacher,
@@ -294,8 +303,8 @@ def main():
     _log("compiling train step...")
     for i in range(2):
         if teacher_fn is not None:
-            batch_data["dino_features"] = teacher_fn(batch_data["images"])
-        state, metrics = train_step(state, batch_data)
+            batch_data["dino_features"] = teacher_fn(teacher_vars, batch_data["images"])
+        state, metrics = train_step(state, batch_data, frozen)
         _log(f"warmup step {i} done, loss={float(metrics['total_loss']):.4f}")
 
     # 30 steps amortize the tunnel round-trip of the closing value fetch
@@ -306,8 +315,8 @@ def main():
         if teacher_fn is not None:
             # split mode: re-run the teacher forward every step (its cost is
             # part of the measured step; the loop pipelines both programs)
-            batch_data["dino_features"] = teacher_fn(batch_data["images"])
-        state, metrics = train_step(state, batch_data)
+            batch_data["dino_features"] = teacher_fn(teacher_vars, batch_data["images"])
+        state, metrics = train_step(state, batch_data, frozen)
     final_loss = float(metrics["total_loss"])  # sync point
     dt = time.perf_counter() - t0
 

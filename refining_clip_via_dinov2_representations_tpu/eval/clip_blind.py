@@ -65,12 +65,14 @@ def encode_clip_and_dino_images(model, variables, dino_teacher, dataloader,
     (no --dino_fts_path), where no precomputed feature store exists."""
 
     @jax.jit
-    def encode(images):
+    def encode(tvars, images):
         feats = model.apply(variables, images, method="encode_image")
         feats = feats / jnp.maximum(
             jnp.linalg.norm(feats, axis=-1, keepdims=True), 1e-12
         )
-        dino = dino_teacher.extract(images).astype(jnp.float32)
+        # teacher weights as a traced argument — closure capture would bake
+        # them into the program as HLO literal constants (train/step.py)
+        dino = dino_teacher.extract(images, variables=tvars).astype(jnp.float32)
         dino = dino / jnp.maximum(jnp.linalg.norm(dino, axis=-1, keepdims=True), 1e-12)
         return feats, dino
 
@@ -81,7 +83,7 @@ def encode_clip_and_dino_images(model, variables, dino_teacher, dataloader,
             raise RuntimeError(
                 "Eval batch missing file paths; CsvDataset should return them."
             )
-        c, d = encode(jnp.asarray(batch["images"]))
+        c, d = encode(dino_teacher.variables, jnp.asarray(batch["images"]))
         clip_all.append(np.asarray(c, np.float32))
         dino_all.append(np.asarray(d, np.float32))
         paths_all.extend(_canon_path(p) for p in batch["image_path"])

@@ -85,14 +85,22 @@ class LiveDinoTeacher:
         model, variables = load_dinov2_model(model_name, dtype=dtype, cache_dir=cache_dir)
         return cls(model, variables, input_mean=input_mean, input_std=input_std)
 
-    def extract(self, images: jnp.ndarray) -> jnp.ndarray:
+    def extract(self, images: jnp.ndarray, variables=None) -> jnp.ndarray:
         """CLS features for a batch (`extract_dino_features`,
-        `dino_features_etc.py:17-33`). Input NHWC, CLIP- or [0,1]-normalized."""
+        `dino_features_etc.py:17-33`). Input NHWC, CLIP- or [0,1]-normalized.
+
+        Inside a jit, pass the teacher weights via `variables` so they are
+        traced ARGUMENTS; falling back to `self.variables` closure-captures
+        them, which bakes the full weight tensors into the compiled program
+        as HLO literals (a dinov2-large teacher adds ~1.2 GB of constants to
+        every executable — fine for tiny test teachers, ruinous at scale)."""
         x = images
         if self.from_clip_normalized:
             x = renormalize_clip_to_imagenet(x, self.input_mean, self.input_std)
         x = resize_for_teacher(x, self.model.cfg.patch_size)
-        feats = self.model.apply(self.variables, x)
+        feats = self.model.apply(
+            self.variables if variables is None else variables, x
+        )
         return jax.lax.stop_gradient(feats)
 
 

@@ -376,6 +376,7 @@ def main(args=None):
     # ---- optimizer + schedule ----
     state = None
     train_step = None
+    frozen_vars = None
     total_steps = 0
     if "train" in data:
         steps_per_epoch = data["train"].dataloader.num_batches // max(1, args.accum_freq)
@@ -527,6 +528,16 @@ def main(args=None):
             head=head, dist_model=dist_model, dist_variables=dist_variables,
             mesh=mesh, dino_teacher=dino_teacher,
         )
+        # frozen-teacher weights thread through the step as TRACED ARGUMENTS
+        # (step.py encode_fn): closure-captured variables would be baked into
+        # the compiled program as HLO literal constants (~1.2 GB of literals
+        # for a dinov2-large; similarly for a distill CLIP teacher)
+        frozen_vars = {}
+        if dino_teacher is not None:
+            frozen_vars["dino_teacher"] = dino_teacher.variables
+        if dist_variables is not None:
+            frozen_vars["distill"] = dist_variables
+        frozen_vars = frozen_vars or None
 
     # ---- resume (`main.py:666-686`; remote discovery `main.py:212-249`) ----
     start_epoch = 0
@@ -724,6 +735,7 @@ def main(args=None):
         state, epoch_records, steps_done, applied_skip = train_one_epoch(
             train_step, state, data["train"], mesh, args, epoch, tracker=tracker,
             stop_event=preempt, skip_steps=skip_steps, stop_after=steps_budget,
+            frozen=frozen_vars,
         )
         if steps_budget:
             steps_budget = max(0, steps_budget - steps_done)
@@ -1001,7 +1013,7 @@ def _plot_loss_curves(loss_steps, log_base):
 
 
 def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=None,
-                    stop_event=None, skip_steps=0, stop_after=0):
+                    stop_event=None, skip_steps=0, stop_after=0, frozen=None):
     """One epoch of the hot loop (`train.py:145-584`): iterate, shard, step,
     meter samples/s, log every `--log-every-n-steps`. `stop_event` (set by
     the SIGTERM handler under --save-on-preemption) ends the epoch at the
@@ -1092,7 +1104,7 @@ def train_one_epoch(train_step, state, train_data, mesh, args, epoch, tracker=No
         data_time = time.time() - t_end
         with jax.set_mesh(mesh):
             sharded = shard_batch(batch, mesh, microbatched=accum > 1)
-            state, metrics = train_step(state, sharded)
+            state, metrics = train_step(state, sharded, frozen)
         if prev_sync is not None:
             jax.block_until_ready(prev_sync)
         prev_sync = metrics["total_loss"]

@@ -235,11 +235,18 @@ def make_loss_fn(
             )
         return metrics
 
-    def encode_fn(params, batch, step, rng, batch_stats=None):
+    def encode_fn(params, batch, step, rng, batch_stats=None, frozen=None):
         """Forward both towers (+ teacher/head extras) → (rows, scalars,
         new_batch_stats). `rows` leaves are per-sample [B, ...]; `scalars`
         are batch-independent. Split out from `loss_fn` so gradient
-        accumulation can cache rows and re-assemble full batches."""
+        accumulation can cache rows and re-assemble full batches.
+
+        `frozen` optionally carries the frozen-teacher weights as TRACED
+        ARGUMENTS ({"dino_teacher": vars, "distill": vars}); without it the
+        construction-time variables are closure-captured and baked into the
+        compiled program as HLO literal constants — acceptable for tiny test
+        teachers, ruinous for real ones (a dinov2-large adds ~1.2 GB of
+        constants to every executable)."""
         images = batch["images"]
         if cfg.device_preprocess is not None:
             from ..ops.preprocess import preprocess_train_batch
@@ -292,7 +299,11 @@ def make_loss_fn(
                 # SAME (device-preprocessed) pixels the student sees —
                 # replacing the reference's offline extraction + per-batch
                 # mmap gather (`dino_features_etc.py:10-33`, `main.py:692-707`)
-                dino_feats = dino_teacher.extract(images)
+                dino_feats = dino_teacher.extract(
+                    images,
+                    variables=None if frozen is None
+                    else frozen.get("dino_teacher"),
+                )
             if dino_feats is not None:
                 rows["dino_features"] = dino_feats
                 if cfg.dino.use_projection and head is not None:
@@ -304,6 +315,9 @@ def make_loss_fn(
             if "logit_bias" in out:
                 scalars["logit_bias"] = out["logit_bias"]
         elif cfg.loss_type == "distill":
+            dv = dist_variables
+            if frozen is not None and frozen.get("distill") is not None:
+                dv = frozen["distill"]
             if "dist_image_features" in batch:
                 # accum phase 2: phase-1 teacher rows re-injected via the
                 # batch (the frozen teacher is deterministic and
@@ -314,12 +328,12 @@ def make_loss_fn(
                 # top-level `logit_scale` param and returns it exp'd
                 # (`models/clip.py:422`) — recompute it without the forward
                 scalars["dist_logit_scale"] = jnp.exp(
-                    dist_variables["params"]["logit_scale"]
+                    dv["params"]["logit_scale"]
                 )
             else:
                 # the teacher must see the SAME (device-preprocessed) pixels
                 # as the student, not the raw uint8 batch
-                t_out = dist_model.apply(dist_variables, images, batch["texts"])
+                t_out = dist_model.apply(dv, images, batch["texts"])
                 rows["dist_image_features"] = jax.lax.stop_gradient(
                     t_out["image_features"]
                 )
@@ -357,8 +371,10 @@ def make_loss_fn(
             )(rows, scalars)
         return _compute(rows, scalars)
 
-    def loss_fn(params, batch, step, rng, batch_stats=None):
-        rows, scalars, new_stats = encode_fn(params, batch, step, rng, batch_stats)
+    def loss_fn(params, batch, step, rng, batch_stats=None, frozen=None):
+        rows, scalars, new_stats = encode_fn(
+            params, batch, step, rng, batch_stats, frozen
+        )
         metrics = compute_metrics(rows, scalars)
         return metrics["total_loss"], (metrics, new_stats)
 
@@ -390,16 +406,24 @@ def make_train_step(
     )
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
-    def _forward_backward(params, batch, step, rng, batch_stats):
+    def _forward_backward(params, batch, step, rng, batch_stats, frozen):
         (loss, (metrics, new_stats)), grads = grad_fn(
-            params, batch, step, rng, batch_stats
+            params, batch, step, rng, batch_stats, frozen
         )
         return loss, metrics, grads, new_stats
 
     @partial(
         jax.jit, donate_argnums=(0,), compiler_options=_step_compiler_options()
     )
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def train_step(
+        state: TrainState,
+        batch: Dict[str, jnp.ndarray],
+        frozen: Optional[Dict[str, Any]] = None,
+    ):
+        # `frozen` threads frozen-teacher weights ({"dino_teacher": vars,
+        # "distill": vars}) as traced arguments — see encode_fn. Pass it on
+        # EVERY call for big teachers; omitting it falls back to the
+        # construction-time variables baked in as constants.
         rng, step_rng = jax.random.split(state.rng)
 
         if cfg.accum_freq > 1:
@@ -430,7 +454,7 @@ def make_train_step(
                 idx, micro = inp
                 rows, _, stats = encode_fn(
                     state.params, micro, state.step,
-                    jax.random.fold_in(step_rng, idx), stats,
+                    jax.random.fold_in(step_rng, idx), stats, frozen,
                 )
                 return stats, rows
 
@@ -471,7 +495,7 @@ def make_train_step(
                 def loss_j(params):
                     rows, scalars, st = encode_fn(
                         params, micro, state.step,
-                        jax.random.fold_in(step_rng, idx), stats,
+                        jax.random.fold_in(step_rng, idx), stats, frozen,
                     )
                     full_rows = jax.tree.map(
                         lambda c, r: splice(c, r, idx), cached, rows
@@ -493,7 +517,8 @@ def make_train_step(
             metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_seq)
         else:
             _, metrics, grads, new_stats = _forward_backward(
-                state.params, batch, state.step, step_rng, state.batch_stats
+                state.params, batch, state.step, step_rng, state.batch_stats,
+                frozen,
             )
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)

@@ -428,3 +428,39 @@ def test_fsdp_step_matches_replicated(data, model_axis):
         # still 4x above this floor; the step-2 loss equality above (rel
         # 2e-4) independently pins step-1's params.
         np.testing.assert_allclose(a, b, rtol=3e-4, atol=2.5e-4)
+
+
+def test_frozen_teacher_weights_are_traced_arguments():
+    """Teacher weights passed via the step's `frozen` argument are program
+    PARAMETERS, not baked HLO constants: the SAME compiled step serves
+    different teacher weights (one cache entry, different soft losses).
+    Closure capture would embed the weights as literals — ~1.2 GB of
+    constants for a dinov2-large, which broke the tunnel's remote_compile."""
+    teacher = _tiny_teacher()
+    model = build_model(parse_model_cfg(TINY_CFG))
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32)
+    )
+    params = {"model": variables["params"]}
+    tx, _ = build_optimizer(params, OptimCfg(lr=1e-3), const_lr(1e-3, 0, 100))
+    cfg = StepCfg(loss_type="dino", dino=DINO_CFG)
+    step_fn = make_train_step(model, tx, cfg, dino_teacher=teacher)
+    b = {k: v for k, v in _batch(seed=13).items() if k != "dino_features"}
+
+    tvars_a = teacher.variables
+    tvars_b = jax.tree.map(lambda x: x * 1.5, tvars_a)
+
+    # fresh param/rng buffers per call: the step donates its state
+    state_a = create_train_state(
+        jax.random.PRNGKey(0), jax.tree.map(jnp.copy, variables["params"]), tx
+    )
+    _, m_a = step_fn(state_a, b, {"dino_teacher": tvars_a})
+    state_b = create_train_state(
+        jax.random.PRNGKey(0), jax.tree.map(jnp.copy, variables["params"]), tx
+    )
+    _, m_b = step_fn(state_b, b, {"dino_teacher": tvars_b})
+
+    # different teacher weights -> different soft loss, same compiled program
+    assert float(m_a["soft_loss"]) != pytest.approx(float(m_b["soft_loss"]), rel=1e-3)
+    assert step_fn._cache_size() == 1, step_fn._cache_size()
