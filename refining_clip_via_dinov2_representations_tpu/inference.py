@@ -21,6 +21,7 @@ Mixed precision follows the training stance: bf16 compute, fp32 outputs
 from __future__ import annotations
 
 import logging
+from collections import OrderedDict
 import os
 from typing import Any, Dict, Optional, Sequence, Tuple
 
@@ -39,6 +40,11 @@ def _bucket_for(n: int, buckets: Sequence[int]) -> int:
 
 
 # ---------------------------------------------------------------------------
+# caption_tokens: per-generation-config jit cache bound + beam-width cap
+# (each cached config holds one compiled beam-search executable per bucket)
+_CAPTION_JIT_CACHE = 8
+_CAPTION_MAX_BEAMS = 16
+
 # Weight-only int8 quantization (serving).
 #
 # The reference exposes bitsandbytes int8 linears (`utils.py:replace_linear`,
@@ -233,7 +239,7 @@ class ClipInferenceEngine:
         self._encode_image = jax.jit(encode_image)
         self._encode_text = jax.jit(encode_text)
         self._vars_fn = _vars
-        self._caption_jits: Dict[Tuple, Any] = {}
+        self._caption_jits: "OrderedDict[Tuple, Any]" = OrderedDict()
 
     # -- shape plumbing -----------------------------------------------------
 
@@ -308,7 +314,10 @@ class ClipInferenceEngine:
         grouped beam search (CoCa models only, `coca.generate_beam`):
         [N,H,W,3] floats → [N, seq_len] int32 ids (SOT … EOT, pad-filled).
         Bucketed/padded like the encoders; the jitted search is cached per
-        generation config, and the int8/mesh paths apply unchanged."""
+        generation config (LRU, at most 8 configs — every distinct config
+        compiles per bucket, so unbounded caching would let callers grow the
+        executable set without limit), and the int8/mesh paths apply
+        unchanged."""
         from .models.coca import CoCa, generate_beam
 
         if not isinstance(self.model, CoCa):
@@ -316,10 +325,16 @@ class ClipInferenceEngine:
                 "caption_tokens requires a CoCa model "
                 f"(got {type(self.model).__name__})"
             )
+        if not 1 < num_beams <= _CAPTION_MAX_BEAMS:
+            raise ValueError(
+                f"num_beams must be in [2, {_CAPTION_MAX_BEAMS}], got {num_beams}"
+            )
         key = (seq_len, num_beams, num_beam_groups, min_seq_len,
                repetition_penalty, length_penalty, sot_token_id,
                eot_token_id, pad_token_id)
         fn = self._caption_jits.get(key)
+        if fn is not None:
+            self._caption_jits.move_to_end(key)
         if fn is None:
             model, vars_fn, dtype = self.model, self._vars_fn, self.dtype
 
@@ -335,6 +350,8 @@ class ClipInferenceEngine:
                 )
 
             fn = self._caption_jits[key] = jax.jit(_caption)
+            if len(self._caption_jits) > _CAPTION_JIT_CACHE:
+                self._caption_jits.popitem(last=False)
         return self._run_bucketed(fn, np.asarray(images, np.float32))
 
     def logit_terms(self) -> Tuple[float, float]:

@@ -258,6 +258,14 @@ def generate(
             "'beam_search', 'top_k' (k=1 for greedy) or 'top_p'"
         )
 
+    ctx = model.text_cfg.context_length
+    if seq_len > ctx:
+        # the fixed decode buffer has no sliding window (the reference crops
+        # to max_seq_len=77); past the positional range the cached path's
+        # clamped dynamic slices would silently produce wrong embeddings
+        raise ValueError(
+            f"seq_len {seq_len} exceeds the text tower's context_length {ctx}"
+        )
     b = image.shape[0]
     vocab = model.text_cfg.vocab_size
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -294,12 +302,17 @@ def generate(
         # a prompt already ending in EOT/PAD is finished (the reference's
         # last-token mask, `coca_model.py:385`)
         finished0 = (prompt[:, -1] == eot_token_id) | (prompt[:, -1] == pad_token_id)
-        seen0 = jax.nn.one_hot(prompt, vocab, dtype=bool).any(axis=1)
+        seen0 = (jax.nn.one_hot(prompt, vocab, dtype=bool).any(axis=1)
+                 if use_rep else None)
     else:
         start = 1
         tokens0 = tokens0.at[:, 0].set(sot_token_id)
         finished0 = jnp.zeros((b,), bool)
-        seen0 = jnp.zeros((b, vocab), bool).at[:, sot_token_id].set(True)
+        # the seen accumulator only exists for the repetition penalty —
+        # carrying + one_hot'ing a [B, vocab] buffer per step is pure waste
+        # at the default penalty of 1.0 (None is an empty scan-carry leaf)
+        seen0 = (jnp.zeros((b, vocab), bool).at[:, sot_token_id].set(True)
+                 if use_rep else None)
 
     def choose(step_logits, tw, finished, seen, key):
         """The per-position sampling rule (reference order: min-length mask →
@@ -355,6 +368,12 @@ def generate(
             model.multimodal_cfg.width, seq_len, model.dtype,
         )
         cur0 = tokens0[:, 0:1]
+        # the cross-attention K/V of the fixed image tokens never change —
+        # project them once, reuse in every decode step
+        cross = model.apply(
+            variables, image_embs,
+            method=lambda m, ie: m.text_decoder(ie, None, compute_cross_kv=True),
+        )
 
         def body(carry, t):
             tokens, finished, seen, cur, tcaches, dcaches = carry
@@ -363,9 +382,9 @@ def generate(
                 method=lambda m, tok, c, p: m.text(tok, caches=c, pos=p),
             )
             logits, dcaches = model.apply(
-                variables, image_embs, emb, dcaches, t,
-                method=lambda m, ie, te, c, p: m.text_decoder(
-                    ie, te, caches=c, pos=p
+                variables, None, emb, dcaches, t, cross,
+                method=lambda m, ie, te, c, p, cc: m.text_decoder(
+                    ie, te, caches=c, pos=p, cross_caches=cc
                 ),
             )
             tw = t + 1  # logits at position t predict token t+1
@@ -382,7 +401,8 @@ def generate(
             finished = finished | (
                 ~is_forced & ((nxt == eot_token_id) | (nxt == pad_token_id))
             )
-            seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
+            if use_rep:
+                seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
             return (tokens, finished, seen, nxt[:, None], tcaches, dcaches), None
 
         (tokens, _, _, _, _, _), _ = jax.lax.scan(
@@ -402,7 +422,8 @@ def generate(
         # reference-faithful: a sampled PAD also terminates the row
         # (`coca_model.py:385` masks rows whose last token is eos OR pad)
         finished = finished | (nxt == eot_token_id) | (nxt == pad_token_id)
-        seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
+        if use_rep:
+            seen = seen | jax.nn.one_hot(nxt, vocab, dtype=bool)
         return (tokens, finished, seen), None
 
     (tokens, _, _), _ = jax.lax.scan(
@@ -478,6 +499,11 @@ def generate_beam(
         )
     if seq_len <= min_seq_len:
         raise ValueError("seq_len must be larger than min_seq_len")
+    if seq_len > model.text_cfg.context_length:
+        raise ValueError(
+            f"seq_len {seq_len} exceeds the text tower's context_length "
+            f"{model.text_cfg.context_length}"
+        )
     s = w // g  # group size
     L = seq_len
     vocab = model.text_cfg.vocab_size
@@ -510,7 +536,8 @@ def generate_beam(
     hyp_scores0 = jnp.full((b, g, s), -jnp.inf, jnp.float32)
     hyp_tokens0 = jnp.full((b, g, s, L), pad_token_id, jnp.int32)
     hyp_len0 = jnp.zeros((b, g, s), jnp.int32)
-    seen0 = jnp.zeros((b, w, vocab), bool).at[:, :, sot_token_id].set(True)
+    seen0 = (jnp.zeros((b, w, vocab), bool).at[:, :, sot_token_id].set(True)
+             if use_rep else None)  # penalty-only accumulator (see generate)
 
     def merge_pool(pool, adds):
         """Keep the best S of (existing pool + new adds); existing slots are
@@ -616,6 +643,12 @@ def generate_beam(
             model.multimodal_cfg.width, L, model.dtype,
         )
         cur0 = tokens0.reshape(b * w, L)[:, 0:1]
+        # cross K/V of the fixed image tokens: projected once, beam-invariant
+        # (identical for every beam of an image), so never reordered
+        cross = model.apply(
+            variables, image_embs_rep,
+            method=lambda m, ie: m.text_decoder(ie, None, compute_cross_kv=True),
+        )
 
         def reorder(cache, idx):
             k, v = cache
@@ -636,9 +669,9 @@ def generate_beam(
                 method=lambda m, tok, c, p: m.text(tok, caches=c, pos=p),
             )
             logits, dcaches = model.apply(
-                variables, image_embs_rep, emb, dcaches, t,
-                method=lambda m, ie, te, c, p: m.text_decoder(
-                    ie, te, caches=c, pos=p
+                variables, None, emb, dcaches, t, cross,
+                method=lambda m, ie, te, c, p, cc: m.text_decoder(
+                    ie, te, caches=c, pos=p, cross_caches=cc
                 ),
             )
             step = logits[:, 0].astype(jnp.float32).reshape(b, w, vocab)

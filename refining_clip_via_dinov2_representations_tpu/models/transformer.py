@@ -92,9 +92,14 @@ class ResidualAttentionBlock(nn.Module):
         causal: bool = False,
         cache: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         pos: Optional[jnp.ndarray] = None,
+        static_kv: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        compute_kv: bool = False,
     ):
         """`cache`/`pos` switch self-attention into incremental-decode mode
-        (see `MultiheadAttention`); returns (x, new_cache) then."""
+        (see `MultiheadAttention`); returns (x, new_cache) then. Cross
+        blocks: `compute_kv=True` returns the head-split (k, v) of `kv`
+        (ln_1_kv applied) for reuse across a generation; `static_kv` attends
+        over such a precomputed pair instead of reprojecting `kv`."""
         d = x.shape[-1]
         ln = lambda name: LayerNorm(name=name, epsilon=self.norm_eps, dtype=self.dtype)
 
@@ -106,11 +111,16 @@ class ResidualAttentionBlock(nn.Module):
             num_heads=self.n_head, dtype=self.dtype, attn_impl=self.attn_impl,
             qkv_bias=self.qkv_bias, name="attn"
         )
+        if compute_kv:
+            assert self.is_cross_attention and kv_n is not None
+            return attn(kv_n, kv=kv_n, return_kv=True)
         new_cache = None
         if cache is not None:
             attn_out, new_cache = attn(
                 ln("ln_1")(x), kv=kv_n, cache=cache, pos=pos
             )
+        elif static_kv is not None:
+            attn_out = attn(ln("ln_1")(x), static_kv=static_kv)
         else:
             attn_out = attn(ln("ln_1")(x), kv=kv_n, mask=mask, causal=causal)
         if self.ls_init_value is not None:
@@ -586,17 +596,20 @@ class MultimodalTransformer(nn.Module):
     @nn.compact
     def __call__(
         self,
-        image_embs: jnp.ndarray,
-        text_embs: jnp.ndarray,
+        image_embs: Optional[jnp.ndarray],
+        text_embs: Optional[jnp.ndarray],
         caches: Optional[list] = None,
         pos: Optional[jnp.ndarray] = None,
+        cross_caches: Optional[list] = None,
+        compute_cross_kv: bool = False,
     ):
         """`caches` (one (k,v) per SELF-attention layer) + `pos` switch into
         incremental decode: `text_embs` is the single current token embedding
-        [B, 1, D]; returns (vocab logits [B, 1, V], new_caches). Cross
-        attention keys/values come from the fixed `image_embs` and are cheap
-        to recompute each step (T_img·D matmuls), so only self-attention is
-        cached."""
+        [B, 1, D]; returns (vocab logits [B, 1, V], new_caches). The cross
+        keys/values never change across a generation — precompute them ONCE
+        with `compute_cross_kv=True` (returns one (k, v) per cross layer)
+        and pass the list back as `cross_caches`; without it each decode
+        step reprojects `image_embs` in every layer."""
         block_kwargs = dict(
             n_head=self.heads,
             mlp_ratio=self.mlp_ratio,
@@ -607,8 +620,16 @@ class MultimodalTransformer(nn.Module):
             attn_impl=self.attn_impl,
         )
         block_cls = ResidualAttentionBlock
-        if self.remat and caches is None:
+        if self.remat and caches is None and not compute_cross_kv:
             block_cls = _remat(ResidualAttentionBlock, self.remat_policy)
+        if compute_cross_kv:
+            return [
+                block_cls(
+                    name=f"cross_attn_{i}", is_cross_attention=True,
+                    **block_kwargs,
+                )(image_embs, image_embs, compute_kv=True)
+                for i in range(self.layers)
+            ]
         x = text_embs
         new_caches = [] if caches is not None else None
         for i in range(self.layers):
@@ -618,9 +639,13 @@ class MultimodalTransformer(nn.Module):
                 new_caches.append(c)
             else:
                 x = self_blk(x, None, None, True)
-            x = block_cls(name=f"cross_attn_{i}", is_cross_attention=True, **block_kwargs)(
-                x, image_embs, None, False
+            cross_blk = block_cls(
+                name=f"cross_attn_{i}", is_cross_attention=True, **block_kwargs
             )
+            if cross_caches is not None:
+                x = cross_blk(x, None, static_kv=cross_caches[i])
+            else:
+                x = cross_blk(x, image_embs, None, False)
 
         x = LayerNorm(name="ln_final", epsilon=self.norm_eps, dtype=self.dtype)(x)
         proj = self.param(

@@ -144,7 +144,7 @@ class ClipServer:
         ids = np.asarray(self.tokenizer(list(texts)), np.int32)
         return self._text_batcher.submit(ids)
 
-    def encode_image_b64(self, images_b64: Sequence[str]) -> np.ndarray:
+    def _decode_images(self, images_b64: Sequence[str]) -> np.ndarray:
         if not images_b64:
             raise ValueError("'images_b64' must be a non-empty list")
         from PIL import Image
@@ -153,9 +153,10 @@ class ClipServer:
         for s in images_b64:
             with Image.open(io.BytesIO(base64.b64decode(s))) as img:
                 pixels.append(np.asarray(self.preprocess(img.convert("RGB"))))
-        return self._image_batcher.submit(
-            np.stack(pixels).astype(np.float32)
-        )
+        return np.stack(pixels).astype(np.float32)
+
+    def encode_image_b64(self, images_b64: Sequence[str]) -> np.ndarray:
+        return self._image_batcher.submit(self._decode_images(images_b64))
 
     def similarity(self, texts: Sequence[str],
                    images_b64: Sequence[str]) -> np.ndarray:
@@ -168,20 +169,20 @@ class ClipServer:
         """Caption images with a CoCa engine (grouped beam search, the
         reference's default decode). Generation kwargs vary per request, so
         captioning bypasses the micro-batchers — the engine's bucketing
-        still pads/coalesces the rows of one request."""
-        if not images_b64:
-            raise ValueError("'images_b64' must be a non-empty list")
-        from PIL import Image
+        still pads/coalesces the rows of one request.
 
-        pixels = []
-        for s in images_b64:
-            with Image.open(io.BytesIO(base64.b64decode(s))) as img:
-                pixels.append(np.asarray(self.preprocess(img.convert("RGB"))))
-        tokens = self.engine.caption_tokens(
-            np.stack(pixels).astype(np.float32), **gen_kwargs
-        )
-        eot = int(gen_kwargs.get("eot_token_id", 49407))
-        sot = int(gen_kwargs.get("sot_token_id", 49406))
+        Client-supplied generation parameters are validated and normalized
+        here: every distinct config compiles a beam search per bucket (the
+        engine LRU-caps the cache), so ints are coerced and bounded and the
+        penalties are rounded to 3 decimals to collapse float jitter."""
+        gen_kwargs = self._validate_gen_kwargs(gen_kwargs)
+        pixels = self._decode_images(images_b64)
+        try:
+            tokens = self.engine.caption_tokens(pixels, **gen_kwargs)
+        except TypeError as e:  # non-CoCa engine -> client error, not a 500
+            raise ValueError(str(e))
+        eot = 49407
+        sot = 49406
         out = []
         for row in np.asarray(tokens):
             row = row.tolist()
@@ -191,6 +192,28 @@ class ClipServer:
             decode = getattr(self.tokenizer, "decode", None)
             out.append(decode(body).strip() if decode is not None
                        else " ".join(str(t) for t in body))
+        return out
+
+    def _validate_gen_kwargs(self, gen: dict) -> dict:
+        out = {}
+        ints = {"seq_len": (2, min(77, self.engine.context_length)),
+                "num_beams": (2, 16), "num_beam_groups": (1, 16),
+                "min_seq_len": (1, 76)}
+        for k, (lo, hi) in ints.items():
+            if k in gen:
+                v = int(gen[k])
+                if not lo <= v <= hi:
+                    raise ValueError(f"{k} must be in [{lo}, {hi}], got {v}")
+                out[k] = v
+        for k in ("repetition_penalty", "length_penalty"):
+            if k in gen:
+                v = float(gen[k])
+                if not (0.01 <= v <= 100.0):
+                    raise ValueError(f"{k} must be in [0.01, 100], got {v}")
+                out[k] = round(v, 3)
+        unknown = set(gen) - set(ints) - {"repetition_penalty", "length_penalty"}
+        if unknown:
+            raise ValueError(f"unknown caption parameters: {sorted(unknown)}")
         return out
 
     def close(self):
@@ -243,7 +266,7 @@ def _make_handler(server: ClipServer):
                     self._reply(200, {"captions": caps})
                 else:
                     self._reply(404, {"error": f"unknown path {self.path}"})
-            except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, json.JSONDecodeError) as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # engine/device failure: 500, keep alive
                 logging.exception("serve: request failed")

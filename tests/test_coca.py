@@ -331,3 +331,20 @@ def test_generation_cache_equals_full():
         cached = generate_beam(model, variables, imgs, use_cache=True, **common, **kw)
         full = generate_beam(model, variables, imgs, use_cache=False, **common, **kw)
         np.testing.assert_array_equal(np.asarray(cached), np.asarray(full))
+
+
+def test_generate_rejects_seq_len_beyond_context():
+    """seq_len > context_length must error loudly: the cached decode's
+    clamped dynamic slices would otherwise return silently-wrong tokens
+    (review-confirmed; the full path fails with a shape error)."""
+    from refining_clip_via_dinov2_representations_tpu.models.coca import (
+        generate_beam,
+    )
+
+    _, model, variables = _build_pair()
+    images, _ = _batch()
+    for fn, kw in ((generate, dict(generation_type="top_k", top_k=1)),
+                   (generate_beam, dict(num_beams=2, num_beam_groups=1))):
+        with pytest.raises(ValueError, match="context_length"):
+            fn(model, variables, jnp.asarray(images), seq_len=16,
+               sot_token_id=62, eot_token_id=63, min_seq_len=2, **kw)

@@ -314,3 +314,14 @@ def test_caption_endpoint_rejects_non_coca(bundle):
     img, _ = _png_b64(np.random.default_rng(2))
     code, out = _post(base, "/v1/caption", {"images_b64": [img]})
     assert code == 400 and "CoCa" in out["error"]
+
+
+def test_caption_endpoint_validates_generation_params(bundle):
+    """Generation params are compile-keyed — the endpoint bounds them
+    (seq_len<=context, num_beams<=16, known keys only) before any compile."""
+    _, _, _, base = bundle
+    img, _ = _png_b64(np.random.default_rng(3))
+    for bad in ({"seq_len": 100000}, {"num_beams": 64},
+                {"temperature": 2.0}, {"repetition_penalty": 0.0}):
+        code, out = _post(base, "/v1/caption", {"images_b64": [img], **bad})
+        assert code == 400, (bad, out)
