@@ -71,6 +71,103 @@ def test_get_clip_metrics_head_to_head():
         assert float(ours[k]) == pytest.approx(float(theirs[k]), abs=1e-4), k
 
 
+def test_pair_stats_head_to_head():
+    """CLIP-blind pair statistics — THE thesis metric (`helpers.py:221-285`):
+    identical L2-normalized embeddings through both stacks must give equal
+    counts / percent / relative_percent per threshold and the same ranked
+    top-gap pairs."""
+    from refining_clip_via_dinov2_representations_tpu.eval.clip_blind import (
+        pair_stats,
+    )
+
+    ref_helpers = load_ref_train("helpers")
+    rng = np.random.default_rng(11)
+    n, d = 60, 32
+    clip_z = rng.normal(size=(n, d)).astype(np.float32)
+    # correlate DINO with CLIP so threshold masks are non-degenerate
+    dino_z = (clip_z + 1.5 * rng.normal(size=(n, d))).astype(np.float32)
+    clip_z /= np.linalg.norm(clip_z, axis=1, keepdims=True)
+    dino_z /= np.linalg.norm(dino_z, axis=1, keepdims=True)
+    # the reference's in-training thresholds (main.py:1103-1104) plus
+    # quantile-derived ones guaranteeing mid-range counts on random data
+    iu, ju = np.triu_indices(n, k=1)
+    cs_u = (clip_z @ clip_z.T)[iu, ju]
+    ds_u = (dino_z @ dino_z.T)[iu, ju]
+    thresholds = [
+        (0.90, 0.60), (0.85, 0.65), (0.80, 0.65),
+        (float(np.quantile(cs_u, 0.7)), float(np.quantile(ds_u, 0.6))),
+        (float(np.quantile(cs_u, 0.5)), float(np.quantile(ds_u, 0.8))),
+    ]
+
+    ours = pair_stats(clip_z, dino_z, thresholds=thresholds)
+    theirs = ref_helpers._pair_stats(
+        torch.from_numpy(clip_z), torch.from_numpy(dino_z), thresholds
+    )
+
+    assert ours["total_pairs"] == theirs["total_pairs"]
+    assert set(ours["results"]) == set(theirs["results"])
+    exercised = 0
+    for key, ref_r in theirs["results"].items():
+        r = ours["results"][key]
+        assert r["count"] == ref_r["count"], key
+        assert r["clip_high_count"] == ref_r["clip_high_count"], key
+        assert r["percent"] == pytest.approx(ref_r["percent"], abs=1e-4), key
+        assert r["relative_percent"] == pytest.approx(
+            ref_r["relative_percent"], abs=1e-4
+        ), key
+        exercised += int(0 < ref_r["count"] < ours["total_pairs"])
+    assert exercised >= 2, "thresholds failed to exercise mid-range counts"
+
+    # top-gap ranking: same pairs in the same order (gaps are continuous
+    # random floats, so ties have measure zero), same per-pair values
+    assert len(ours["top_pairs"]) == len(theirs["top_pairs"]) == 200
+    for a, b in zip(ours["top_pairs"], theirs["top_pairs"]):
+        assert (a["i"], a["j"]) == (b["i"], b["j"])
+        for f in ("clip_sim", "dino_sim", "gap"):
+            assert a[f] == pytest.approx(b[f], abs=1e-5)
+
+
+def test_retrieval_score_selection_head_to_head():
+    """Best-epoch selection (`helpers.py:395-458`): recall extraction /
+    normalization, per-dataset score+tie, and the epoch aggregate must match
+    the reference on mixed fraction/percent inputs and missing-recall rows."""
+    from refining_clip_via_dinov2_representations_tpu.train.helpers import (
+        dataset_retrieval_score,
+        epoch_retrieval_score,
+        extract_recalls_0_100,
+    )
+
+    ref_helpers = load_ref_train("helpers")
+    # mixed shapes the reference tolerates: fractions, percents, hyphenated
+    # keys, non-recall keys, a dataset with no recalls at all
+    m1 = {
+        "text_to_image_R@1": 0.314, "text_to_image_R@5": 0.62,
+        "text_to_image_R@10": 0.74, "image_to_text_R@1": 41.0,
+        "image_to_text_R@5": 68.0, "image_to_text_R@10": 79.0,
+        "mean_rank": 7.2, "clip_val_loss": 1.3,
+    }
+    m2 = {"image-to-text-R@1": 0.5, "text-to-image-R@5": 55.0, "epoch": 3}
+    m3 = {"loss": 2.0}
+
+    for m in (m1, m2, m3):
+        assert extract_recalls_0_100(m) == ref_helpers._extract_recalls_0_100(m)
+        s, t = dataset_retrieval_score(m)
+        rs, rt = ref_helpers._dataset_retrieval_score(m)
+        assert (s != s) == (rs != rs)  # NaN-ness matches
+        if s == s:
+            assert s == pytest.approx(rs) and t == pytest.approx(rt)
+
+    epoch_results = [
+        {"val_name": "flickr30k-val", "metrics": m1},
+        {"val_name": "mscoco-val", "metrics": m2},
+        {"val_name": "val", "metrics": m3},
+    ]
+    ours = epoch_retrieval_score(epoch_results)
+    theirs = ref_helpers._epoch_retrieval_score(epoch_results)
+    assert ours[0] == pytest.approx(theirs[0])
+    assert ours[1] == pytest.approx(theirs[1])
+
+
 def test_flickr_retrieval_eval_head_to_head():
     from refining_clip_via_dinov2_representations_tpu.eval.my_metrics import (
         flickr_retrieval_eval_,
