@@ -127,6 +127,66 @@ def test_pair_stats_head_to_head():
             assert a[f] == pytest.approx(b[f], abs=1e-5)
 
 
+def test_clip_blind_alignment_head_to_head():
+    """Path-map building, first-occurrence dedup, and path-first/basename-
+    fallback DINO alignment (`helpers.py:148-219`) on identical inputs."""
+    from refining_clip_via_dinov2_representations_tpu.eval.clip_blind import (
+        align_dino_feats_to_paths,
+        build_dino_path_maps,
+        dedup_by_path,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.data import (
+        _canon_path,
+    )
+
+    ref_helpers = load_ref_train("helpers")
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(8, 16)).astype(np.float32)
+
+    # all three accepted index-map shapes
+    raw_maps = [
+        {"/data/a.JPG": 0, "/data/b.jpg": 1, "ignored": "not-an-int"},
+        {"path_to_index": {"/data/a.JPG": 0, "/data/sub/c.jpg": 2}},
+        {
+            "path_to_index": {"/data/a.JPG": 0},
+            "basename_to_index": {"d.jpg": 3, "/x/e.jpg": 4},
+        },
+    ]
+    for raw in raw_maps:
+        ours_p, ours_b = build_dino_path_maps(raw)
+        ref_p, ref_b = ref_helpers._build_dino_path_maps(raw)
+        assert ours_p == ref_p and ours_b == ref_b, raw
+
+    # dedup: duplicates interleaved, first occurrence kept
+    paths = ["/d/x.jpg", "/d/y.jpg", "/d/x.jpg", "/d/z.jpg", "/d/y.jpg"]
+    clip_z = rng.normal(size=(5, 16)).astype(np.float32)
+    z_u, p_u, keep = dedup_by_path(clip_z, paths)
+    rz, rp, rkeep = ref_helpers._dedup_by_path(torch.from_numpy(clip_z), paths)
+    assert p_u == rp and list(keep) == list(rkeep)
+    np.testing.assert_allclose(z_u, rz.numpy())
+
+    # alignment: exact-path hit, basename fallback, miss — same counters,
+    # same kept rows, same normalized features
+    query = [
+        _canon_path("/data/a.JPG"),      # path hit
+        "/elsewhere/d.jpg",              # basename-only hit
+        "/missing/q.jpg",                # miss
+        _canon_path("/data/sub/c.jpg"),  # path hit
+    ]
+    path2idx, base2idx = build_dino_path_maps(
+        {
+            "path_to_index": {"/data/a.JPG": 0, "/data/sub/c.jpg": 2},
+            "basename_to_index": {"d.jpg": 3},
+        }
+    )
+    ours = align_dino_feats_to_paths(feats, path2idx, base2idx, query)
+    theirs = ref_helpers._align_dino_feats_to_paths(
+        torch.from_numpy(feats), path2idx, base2idx, query
+    )
+    assert ours[1:] == (theirs[1], theirs[2], theirs[3], theirs[4])
+    np.testing.assert_allclose(ours[0], theirs[0].numpy(), atol=1e-6)
+
+
 def test_retrieval_score_selection_head_to_head():
     """Best-epoch selection (`helpers.py:395-458`): recall extraction /
     normalization, per-dataset score+tie, and the epoch aggregate must match
