@@ -89,14 +89,23 @@ def test_pair_stats_head_to_head():
     clip_z /= np.linalg.norm(clip_z, axis=1, keepdims=True)
     dino_z /= np.linalg.norm(dino_z, axis=1, keepdims=True)
     # the reference's in-training thresholds (main.py:1103-1104) plus
-    # quantile-derived ones guaranteeing mid-range counts on random data
+    # quantile-derived ones guaranteeing mid-range counts on random data.
+    # Cutoffs are taken as MIDPOINTS between adjacent data values so no pair
+    # similarity sits within float32-matmul ULP error of a threshold —
+    # otherwise NumPy-vs-torch BLAS differences could flip a count by 1.
     iu, ju = np.triu_indices(n, k=1)
     cs_u = (clip_z @ clip_z.T)[iu, ju]
     ds_u = (dino_z @ dino_z.T)[iu, ju]
+
+    def _mid_quantile(vals, q):
+        s = np.sort(vals)
+        k = min(int(q * (len(s) - 1)), len(s) - 2)
+        return float((s[k] + s[k + 1]) / 2)
+
     thresholds = [
         (0.90, 0.60), (0.85, 0.65), (0.80, 0.65),
-        (float(np.quantile(cs_u, 0.7)), float(np.quantile(ds_u, 0.6))),
-        (float(np.quantile(cs_u, 0.5)), float(np.quantile(ds_u, 0.8))),
+        (_mid_quantile(cs_u, 0.7), _mid_quantile(ds_u, 0.6)),
+        (_mid_quantile(cs_u, 0.5), _mid_quantile(ds_u, 0.8)),
     ]
 
     ours = pair_stats(clip_z, dino_z, thresholds=thresholds)
@@ -118,13 +127,21 @@ def test_pair_stats_head_to_head():
         exercised += int(0 < ref_r["count"] < ours["total_pairs"])
     assert exercised >= 2, "thresholds failed to exercise mid-range counts"
 
-    # top-gap ranking: same pairs in the same order (gaps are continuous
-    # random floats, so ties have measure zero), same per-pair values
+    # top-gap ranking: compared as a set keyed by (i, j) — NumPy-vs-torch BLAS
+    # ULP differences can swap near-equal gaps, so exact order is not portable.
+    # Pairs present on only one side must sit at the rank-200 gap boundary.
     assert len(ours["top_pairs"]) == len(theirs["top_pairs"]) == 200
-    for a, b in zip(ours["top_pairs"], theirs["top_pairs"]):
-        assert (a["i"], a["j"]) == (b["i"], b["j"])
+    ours_by_ij = {(p["i"], p["j"]): p for p in ours["top_pairs"]}
+    theirs_by_ij = {(p["i"], p["j"]): p for p in theirs["top_pairs"]}
+    boundary_gap = min(p["gap"] for p in theirs["top_pairs"])
+    for ij in set(ours_by_ij) ^ set(theirs_by_ij):
+        p = ours_by_ij.get(ij) or theirs_by_ij[ij]
+        assert p["gap"] == pytest.approx(boundary_gap, abs=1e-5), ij
+    common = set(ours_by_ij) & set(theirs_by_ij)
+    assert len(common) >= 195  # near-total agreement away from the boundary
+    for ij in common:
         for f in ("clip_sim", "dino_sim", "gap"):
-            assert a[f] == pytest.approx(b[f], abs=1e-5)
+            assert ours_by_ij[ij][f] == pytest.approx(theirs_by_ij[ij][f], abs=1e-5)
 
 
 def test_clip_blind_alignment_head_to_head():
