@@ -584,6 +584,25 @@ def main(args=None):
                 resume_path = latest_checkpoint(checkpoint_dir)
         else:
             resume_path = args.resume
+            # direct remote resume: the reference's pt_load opens any fsspec
+            # URL (`file_utils.py:69-75`, `main.py:666-686`); orbax restores
+            # local directories only, so mirror the remote checkpoint first
+            if "://" in resume_path:
+                from .checkpoint import fetch_remote_checkpoint
+
+                import fsspec
+
+                fs, root = fsspec.core.url_to_fs(resume_path)
+                if not fs.isdir(root):
+                    raise FileNotFoundError(
+                        f"--resume {args.resume}: not an orbax checkpoint "
+                        "directory (a single-file .pt path? export/convert it "
+                        "first, or point at the epoch_N directory)"
+                    )
+                logging.info("=> fetching remote checkpoint %s", resume_path)
+                resume_path = fetch_remote_checkpoint(
+                    resume_path, checkpoint_dir
+                )
         if resume_path:
             state, start_epoch, resume_step_in_epoch, saved_order = (
                 restore_checkpoint(resume_path, state)

@@ -83,6 +83,53 @@ def test_remote_sync_and_remote_resume(tmp_path):
     assert (remote_run / "checkpoints" / "epoch_2").is_dir()
 
 
+def test_direct_remote_resume_url(tmp_path):
+    """A direct `--resume <fsspec-url>` (non-latest) must fetch the remote
+    orbax directory before restoring, matching the reference's
+    load-anything `pt_load` (`file_utils.py:69-75`, `main.py:666-686`)."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    logs1 = tmp_path / "logs1"
+    main([
+        "--model", "tiny-remote-sync", "--dataset-type", "synthetic",
+        "--train-num-samples", "16", "--batch-size", "2", "--epochs", "1",
+        "--warmup", "1", "--lr", "1e-3", "--precision", "fp32",
+        "--logs", str(logs1), "--name", "run", "--save-frequency", "1",
+        "--log-every-n-steps", "1", "--workers", "2",
+    ])
+    ckpt1 = logs1 / "run" / "checkpoints" / "epoch_1"
+    assert ckpt1.is_dir()
+
+    # fresh logs tree, resume DIRECTLY from the file:// URL of epoch_1
+    logs2 = tmp_path / "logs2"
+    main([
+        "--model", "tiny-remote-sync", "--dataset-type", "synthetic",
+        "--train-num-samples", "16", "--batch-size", "2", "--epochs", "2",
+        "--warmup", "1", "--lr", "1e-3", "--precision", "fp32",
+        "--logs", str(logs2), "--name", "run", "--save-frequency", "1",
+        "--log-every-n-steps", "1", "--workers", "2",
+        "--resume", "file://" + str(ckpt1),
+    ])
+    # the remote checkpoint was mirrored into the new local checkpoint dir,
+    # and only epoch 2 was trained on top of it
+    assert (logs2 / "run" / "checkpoints" / "epoch_1").is_dir()
+    steps = json.loads((logs2 / "run" / "loss_steps.json").read_text())
+    assert [s["epoch"] for s in steps] == [1]
+    assert (logs2 / "run" / "checkpoints" / "epoch_2").is_dir()
+
+    # graceful rejection when the URL is not an orbax checkpoint directory
+    stray = tmp_path / "weights.pt"
+    stray.write_bytes(b"not a checkpoint")
+    with pytest.raises(FileNotFoundError, match="not an orbax checkpoint"):
+        main([
+            "--model", "tiny-remote-sync", "--dataset-type", "synthetic",
+            "--train-num-samples", "16", "--batch-size", "2", "--epochs", "1",
+            "--precision", "fp32", "--logs", str(tmp_path / "logs3"),
+            "--name", "run", "--workers", "2",
+            "--resume", "file://" + str(stray),
+        ])
+
+
 def test_latest_checkpoint_fsspec_url(tmp_path):
     """fsspec-URL discovery: natural-sort across epoch_2/epoch_10."""
     from refining_clip_via_dinov2_representations_tpu.train.checkpoint import (
