@@ -115,6 +115,20 @@ def _resolve_loss_type(args) -> str:
     return "clip"
 
 
+def _lock_text_style(model_name: str) -> str:
+    """Which reference lock_text_tower semantics apply to this model:
+    CustomTextCLIP configs delegate to TextTransformer.lock
+    (`transformer.py:1089-1111`); everything else uses CLIP.lock_text_tower
+    (`model.py:337-398`), which also freezes the non-block text params."""
+    from ..models import get_model_config
+
+    try:
+        cfg = get_model_config(model_name) or {}
+    except Exception:
+        cfg = {}
+    return "custom_text" if cfg.get("custom_text") else "clip"
+
+
 def main(args=None):
     from .params import parse_args
 
@@ -405,6 +419,7 @@ def main(args=None):
             lock_image_unlocked_groups=args.lock_image_unlocked_groups,
             lock_text=args.lock_text,
             lock_text_unlocked_layers=args.lock_text_unlocked_layers,
+            lock_text_style=_lock_text_style(args.model),
             freeze_projection=args.freeze_projection,
             flatten_group_lrs=args.flatten_group_lrs,
             use_param_groups=args.use_param_groups,

@@ -74,6 +74,9 @@ _SLOW_TESTS = {
     "test_adam_mu_dtype_bf16_halves_moment_and_tracks_fp32",  # 2 step compiles
     "test_adafactor_sharded_step_matches_replicated",  # 2x2 sharded compiles, 120 s
     "test_cli_save_on_preemption",                     # full main() + 20 s timer
+    # 50/30-step production-step overlays vs torch (one jit compile + loops)
+    "test_fifty_step_production_step_param_group_overlay",
+    "test_fifty_step_production_overlay_with_grad_clip",
 }
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",
@@ -81,6 +84,7 @@ _DIST_MODULES = {
 _TORCH_MODULES = {
     "test_model_parity", "test_grad_parity", "test_losses",
     "test_training_dynamics_parity", "test_metrics_ref_parity",
+    "test_optim_group_parity",
     "test_scheduler_parity", "test_tokenizer", "test_dinov2",
     "test_hf_text_tower", "test_siglip_tower", "test_swin",
     "test_convert_dispatch", "test_convert_external", "test_dino_workflow_e2e",
