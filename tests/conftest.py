@@ -84,7 +84,7 @@ _DIST_MODULES = {
 _TORCH_MODULES = {
     "test_model_parity", "test_grad_parity", "test_losses",
     "test_training_dynamics_parity", "test_metrics_ref_parity",
-    "test_optim_group_parity",
+    "test_optim_group_parity", "test_zero_shot_parity",
     "test_scheduler_parity", "test_tokenizer", "test_dinov2",
     "test_hf_text_tower", "test_siglip_tower", "test_swin",
     "test_convert_dispatch", "test_convert_external", "test_dino_workflow_e2e",
