@@ -57,6 +57,7 @@ _SLOW_MODULES = {
     # full-model tower builds (one XLA compile each on this 1-CPU host)
     "test_convnext", "test_swin", "test_vitamin", "test_fastvit",
     "test_eva", "test_eva02", "test_resnet", "test_coca", "test_siglip_tower",
+    "test_tower_fixtures",
 }
 # individually compile-heavy tests inside otherwise-fast modules (each is a
 # full-model XLA build or an 8-device shard_map compile on this 1-CPU host);
