@@ -780,3 +780,99 @@ def test_cli_profile_trace_written(tmp_path):
     trace_dir = tmp_path / "prof-e2e" / "profile"
     traces = list(trace_dir.rglob("*.trace.json.gz"))
     assert traces, f"no trace written under {trace_dir}"
+
+
+def _write_wds_shards(tmp_path, n_shards=2, records_per_shard=36,
+                      corrupt_every=3):
+    """Synthetic tar shards: jpeg+txt records, every `corrupt_every`-th
+    record carries INVALID jpeg bytes (decode-time drop)."""
+    rng = np.random.default_rng(0)
+    for shard in range(n_shards):
+        with tarfile.open(tmp_path / f"shard-{shard:03d}.tar", "w") as tf:
+            for i in range(records_per_shard):
+                key = f"{shard}_{i:04d}"
+                if i % corrupt_every == corrupt_every - 1:
+                    data = b"\xff\xd8 definitely not a jpeg"
+                else:
+                    img = Image.fromarray(
+                        rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+                    )
+                    buf = io.BytesIO()
+                    img.save(buf, format="JPEG")
+                    data = buf.getvalue()
+                info = tarfile.TarInfo(f"{key}.jpg")
+                info.size = len(data)
+                tf.addfile(info, io.BytesIO(data))
+                cap = f"a photo number {key}".encode()
+                info = tarfile.TarInfo(f"{key}.txt")
+                info.size = len(cap)
+                tf.addfile(info, io.BytesIO(cap))
+    return str(tmp_path / ("shard-{000..%03d}.tar" % (n_shards - 1)))
+
+
+def test_cli_webdataset_device_preprocess_mid_epoch_resume(tmp_path):
+    """Webdataset full-CLI e2e (VERDICT r3 #7): train over synthetic tar
+    shards with --device-preprocess (host decodes raw uint8, the step crops
+    + normalizes on-device), then a mid-epoch preemption + `--resume latest`
+    exercising the raw-record skip WITH corrupt samples in the skipped
+    prefix (every 3rd record is undecodable, so the 32-record prefix
+    certainly contains them). The skip counts raw records — corrupt drops
+    skew the resume order by design (webdataset.py skip_next_batches
+    docstring; reference wds handles bad samples non-fatally too,
+    `data.py:260-272`) — so the pinned guarantees are: non-fatal decode
+    drops, correct step counts across the preempt/resume boundary, preserved
+    history, finite losses, and a completed epoch checkpoint."""
+    from refining_clip_via_dinov2_representations_tpu.train.main import main
+
+    urls = _write_wds_shards(tmp_path)
+    cache = str(tmp_path / "xla_cache")
+    common = [
+        "--model", "tiny-e2e-model",
+        "--dataset-type", "webdataset",
+        "--train-data", urls,
+        "--train-num-samples", "64",   # global batch 16 -> 4 steps/epoch
+        "--batch-size", "2",
+        "--epochs", "1",
+        "--warmup", "2",
+        "--lr", "1e-3",
+        "--precision", "fp32",
+        "--device-preprocess",
+        "--device-preprocess-raw-size", "24",
+        "--logs", str(tmp_path),
+        "--log-every-n-steps", "1",
+        "--workers", "2",
+        "--seed", "0",
+        "--compile-cache", cache,
+    ]
+
+    # ---- straight run: corrupt records dropped non-fatally, epoch completes
+    main(common + ["--name", "wds-straight"])
+    straight = json.loads(
+        (tmp_path / "wds-straight" / "loss_steps.json").read_text()
+    )
+    assert [r["step"] for r in straight] == [1, 2, 3, 4]
+    assert all(np.isfinite(r["total_loss"]) for r in straight)
+    assert (tmp_path / "wds-straight" / "checkpoints" / "epoch_1").is_dir()
+
+    # ---- preempt at step 2, resume mid-epoch over the same shards ----
+    main(common + ["--name", "wds-resumed", "--stop-after-steps", "2",
+                   "--save-frequency", "0"])
+    ckpt_dir = tmp_path / "wds-resumed" / "checkpoints"
+    assert (ckpt_dir / "epoch_0_preempt").is_dir()
+
+    main(common + ["--name", "wds-resumed", "--resume", "latest"])
+    resumed = json.loads(
+        (tmp_path / "wds-resumed" / "loss_steps.json").read_text()
+    )
+    # continued at step 3 (2 batches of raw records skipped, corrupt
+    # included), full history preserved, epoch completed
+    assert [r["step"] for r in resumed] == [1, 2, 3, 4]
+    assert all(r["epoch"] == 0 for r in resumed)
+    assert all(np.isfinite(r["total_loss"]) for r in resumed)
+    assert (ckpt_dir / "epoch_1").is_dir()
+    # pre-preemption steps are bit-identical to the straight run (same seed,
+    # same shuffle order, shared compile cache); post-resume steps are the
+    # documented raw-record-skip semantics (order may skew by the corrupt
+    # drops in the prefix, so values are only required finite)
+    for r, s in zip(resumed[:2], straight[:2]):
+        np.testing.assert_allclose(r["total_loss"], s["total_loss"], rtol=0, atol=0)
