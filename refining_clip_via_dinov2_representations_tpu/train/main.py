@@ -115,11 +115,12 @@ def _resolve_loss_type(args) -> str:
     return "clip"
 
 
-def _lock_text_style(model_name: str) -> str:
-    """Which reference lock_text_tower semantics apply to this model:
-    CustomTextCLIP configs delegate to TextTransformer.lock
-    (`transformer.py:1089-1111`); everything else uses CLIP.lock_text_tower
-    (`model.py:337-398`), which also freezes the non-block text params."""
+def _text_tower_style(model_name: str) -> str:
+    """Which reference text-tower semantics apply to this model:
+    CustomTextCLIP/CoCa configs delegate locking to TextTransformer.lock
+    (`transformer.py:1089-1111`) and have no `model.transformer` for the
+    param-group block loop (`main.py:610-620`); everything else follows the
+    CLIP class (`model.py:337-398`)."""
     from ..models import get_model_config
 
     try:
@@ -419,7 +420,7 @@ def main(args=None):
             lock_image_unlocked_groups=args.lock_image_unlocked_groups,
             lock_text=args.lock_text,
             lock_text_unlocked_layers=args.lock_text_unlocked_layers,
-            lock_text_style=_lock_text_style(args.model),
+            text_tower_style=_text_tower_style(args.model),
             freeze_projection=args.freeze_projection,
             flatten_group_lrs=args.flatten_group_lrs,
             use_param_groups=args.use_param_groups,

@@ -61,12 +61,17 @@ class OptimCfg:
     lock_image_unlocked_groups: int = 0
     lock_text: bool = False
     lock_text_unlocked_layers: int = 0
-    # which reference lock_text_tower semantics to reproduce: the CLIP class
-    # ALWAYS freezes the non-block text params — embeddings, ln_final,
-    # text_projection (`model.py:376-398`) — while CustomTextCLIP's
-    # TextTransformer.lock frees them unless unlocked_layers == 0
-    # (`transformer.py:1102-1111`). main.py selects by model config.
-    lock_text_style: str = "clip"  # "clip" | "custom_text"
+    # which reference text-tower semantics to reproduce (main.py selects by
+    # the model config's custom_text flag):
+    # * locking — the CLIP class ALWAYS freezes the non-block text params
+    #   (embeddings/ln_final/text_projection, `model.py:376-398`) while
+    #   CustomTextCLIP's TextTransformer.lock frees them unless
+    #   unlocked_layers == 0 (`transformer.py:1102-1111`);
+    # * grouping — the reference's unlocked-text-block loop iterates
+    #   `model.transformer.resblocks` (`main.py:610-620`), which only the
+    #   CLIP class has; for CustomTextCLIP/CoCa the loop never runs, so
+    #   lock_text_unlocked_layers moves NO blocks into the text group.
+    text_tower_style: str = "clip"  # "clip" | "custom_text"
     freeze_projection: bool = False  # bug-compatible: don't train the DINO head
     flatten_group_lrs: bool = False  # bug-compatible: scheduler overrides group LRs
     use_param_groups: bool = True    # False → single-group AdamW at base lr
@@ -151,7 +156,7 @@ def label_params(
                 if tb < text_layers - cfg.lock_text_unlocked_layers:
                     return "frozen"
             elif (
-                cfg.lock_text_style == "clip"
+                cfg.text_tower_style == "clip"
                 or cfg.lock_text_unlocked_layers == 0
             ):
                 # non-block text params (embeddings/ln_final/projection):
@@ -186,19 +191,24 @@ def label_params(
             return "resnet_l3"
 
         # ---- group 4: text ----
-        tb = _text_block_index(p)
-        if tb is not None and tb >= text_start and n_unlock_text > 0:
-            return "text"
-        # QUIRK KEPT (reference main.py:615-620): the block selector is the
-        # substring f"transformer.resblocks.{i}." — which ALSO matches
-        # "visual.transformer.resblocks.{i}.", so visual blocks whose index
-        # falls in the unlocked TEXT range join the text group (at text_lr).
-        vb = _vision_block_index(p)
-        if (
-            vb is not None and n_unlock_text > 0
-            and text_start <= vb < text_layers
-        ):
-            return "text"
+        # the reference's unlocked-block loop only exists for the CLIP class
+        # (it walks `model.transformer.resblocks`, absent on
+        # CustomTextCLIP/CoCa — `main.py:610-612` hasattr guard)
+        if cfg.text_tower_style == "clip":
+            tb = _text_block_index(p)
+            if tb is not None and tb >= text_start and n_unlock_text > 0:
+                return "text"
+            # QUIRK KEPT (reference main.py:615-620): the block selector is
+            # the substring f"transformer.resblocks.{i}." — which ALSO
+            # matches "visual.transformer.resblocks.{i}.", so visual blocks
+            # whose index falls in the unlocked TEXT range join the text
+            # group (at text_lr).
+            vb = _vision_block_index(p)
+            if (
+                vb is not None and n_unlock_text > 0
+                and text_start <= vb < text_layers
+            ):
+                return "text"
         if "token_embedding" in p or "positional_embedding" in p:
             return "text"  # note: catches visual pos-embed too (quirk kept)
 

@@ -195,7 +195,7 @@ def test_param_group_leaf_parity(case):
     lrs = group_base_lrs(ocfg)
     name_map = _torch_to_flax_path_map(ref)
 
-    checked = 0
+    seen = set()
     mismatches = []
     for path, label in jax.tree_util.tree_leaves_with_path(labels["model"]):
         p = "/".join(x.key for x in path)
@@ -207,13 +207,101 @@ def test_param_group_leaf_parity(case):
             "frozen" if label == "frozen"
             else (lrs[label], GROUP_WD[label] if GROUP_WD[label] is not None else ocfg.wd)
         )
-        checked += 1
+        seen.add(torch_name)  # one torch param may split into several leaves
         if got != want:
             mismatches.append(f"{torch_name} ({p}): ref={want} ours={got} [{label}]")
-    assert checked == sum(1 for _ in ref.named_parameters()), (
+    assert not mismatches, "\n".join(mismatches)
+    assert seen == {n for n, _ in ref.named_parameters()}, (
         "some torch parameters never reached the flax tree"
     )
+
+
+TINY_COCA = {
+    "embed_dim": 32,
+    "vision_cfg": {
+        "image_size": 32, "patch_size": 8, "width": 32, "layers": 2,
+        "head_width": 16, "attentional_pool": True, "attn_pooler_queries": 8,
+        "attn_pooler_heads": 2, "output_tokens": True,
+    },
+    "text_cfg": {
+        "context_length": 12, "vocab_size": 64, "width": 32, "heads": 4,
+        "layers": 2, "embed_cls": True, "output_tokens": True,
+    },
+    "multimodal_cfg": {
+        "context_length": 12, "vocab_size": 64, "width": 32, "heads": 4,
+        "layers": 2, "attn_pooler_heads": 2,
+    },
+    "custom_text": True,
+}
+
+
+@pytest.mark.parametrize("unlocked_text_layers", [0, 2])
+def test_param_group_leaf_parity_coca(unlocked_text_layers):
+    """CoCa exercises the name patterns the CLIP cases can't: a text_decoder
+    with interleaved self/cross blocks (every *proj* lands in the heads
+    group), attentional pooler, cls_emb — and the CustomTextCLIP-family
+    quirk that `lock_text_unlocked_layers` moves NO blocks into the text
+    group because the reference's block loop walks `model.transformer`,
+    which CoCa lacks (`main.py:610-620`)."""
+    coca_mod = load_ref("coca_model")
+    torch.manual_seed(0)
+    ref = coca_mod.CoCa(
+        embed_dim=32,
+        multimodal_cfg=dict(TINY_COCA["multimodal_cfg"]),
+        text_cfg=dict(TINY_COCA["text_cfg"]),
+        vision_cfg=dict(TINY_COCA["vision_cfg"]),
+    )
+    # reference quirk: this tensor is allocated with torch.empty and never
+    # initialized — give it sane values so the fill-map roundtrip is clean
+    with torch.no_grad():
+        ref.text_decoder.text_projection.normal_(std=32 ** -0.5)
+
+    args = SimpleNamespace(
+        lr=1e-3, wd=0.1, head_lr=1e-4, logit_scale_lr=1e-6,
+        resnet_lr4=2e-5, resnet_lr3=1e-5, text_lr=5e-5,
+        lock_text_unlocked_layers=unlocked_text_layers,
+    )
+    param_groups = _ref_param_groups(ref, args)
+    id2lw = {}
+    for g in param_groups:
+        for p in g["params"]:
+            id2lw[id(p)] = (g["lr"], g["weight_decay"])
+    ref_triples = {
+        n: ("frozen" if not p.requires_grad else id2lw[id(p)])
+        for n, p in ref.named_parameters()
+    }
+
+    ocfg = OptimCfg(
+        lr=args.lr, wd=args.wd, head_lr=args.head_lr,
+        logit_scale_lr=args.logit_scale_lr, text_lr=args.text_lr,
+        lock_text_unlocked_layers=unlocked_text_layers,
+        text_tower_style="custom_text",  # what main.py selects for CoCa
+    )
+    params = convert_clip_variables(
+        {k: v.float() for k, v in ref.state_dict().items()}
+    )["params"]
+    labels = label_params({"model": params}, ocfg)
+    lrs = group_base_lrs(ocfg)
+    name_map = _torch_to_flax_path_map(ref)
+
+    seen, mismatches = set(), []
+    for path, label in jax.tree_util.tree_leaves_with_path(labels["model"]):
+        p = "/".join(x.key for x in path)
+        want = ref_triples.get(name_map[p])
+        if want is None:
+            continue  # buffer
+        got = (
+            "frozen" if label == "frozen"
+            else (lrs[label],
+                  GROUP_WD[label] if GROUP_WD[label] is not None else ocfg.wd)
+        )
+        seen.add(name_map[p])  # one torch param may split into several leaves
+        if got != want:
+            mismatches.append(f"{name_map[p]} ({p}): ref={want} ours={got} [{label}]")
     assert not mismatches, "\n".join(mismatches)
+    assert seen == {n for n, _ in ref.named_parameters()}, (
+        "some torch parameters never reached the flax tree"
+    )
 
 
 def test_param_group_wd_and_lr_values_cover_all_groups():
