@@ -115,16 +115,27 @@ def _resolve_loss_type(args) -> str:
     return "clip"
 
 
-def _text_tower_style(model_name: str) -> str:
+def _text_tower_style(args, model) -> str:
     """Which reference text-tower semantics apply to this model:
-    CustomTextCLIP/CoCa configs delegate locking to TextTransformer.lock
+    CustomTextCLIP/CoCa delegate locking to TextTransformer.lock
     (`transformer.py:1089-1111`) and have no `model.transformer` for the
     param-group block loop (`main.py:610-620`); everything else follows the
-    CLIP class (`model.py:337-398`)."""
+    CLIP class (`model.py:337-398`). The reference builds CustomTextCLIP
+    when the config sets custom_text, when --force-custom-text is given, or
+    when the text tower is an HF model (`factory.py:405-406`) — all three
+    signals are honored here, reading the HF case off the BUILT model's
+    text cfg so hf-hub:/unregistered configs resolve too."""
+    if getattr(args, "force_custom_text", False):
+        return "custom_text"
+    if "coca" in args.model.lower() or getattr(args, "use_coca", False):
+        return "custom_text"
+    if getattr(getattr(model, "text_cfg", None), "hf_model_name", None):
+        return "custom_text"
     from ..models import get_model_config
 
     try:
-        cfg = get_model_config(model_name) or {}
+        # create_model normalizes '/' spellings the same way
+        cfg = get_model_config(args.model.replace("/", "-")) or {}
     except Exception:
         cfg = {}
     return "custom_text" if cfg.get("custom_text") else "clip"
@@ -420,7 +431,7 @@ def main(args=None):
             lock_image_unlocked_groups=args.lock_image_unlocked_groups,
             lock_text=args.lock_text,
             lock_text_unlocked_layers=args.lock_text_unlocked_layers,
-            text_tower_style=_text_tower_style(args.model),
+            text_tower_style=_text_tower_style(args, model),
             freeze_projection=args.freeze_projection,
             flatten_group_lrs=args.flatten_group_lrs,
             use_param_groups=args.use_param_groups,
@@ -616,9 +627,17 @@ def main(args=None):
                         "first, or point at the epoch_N directory)"
                     )
                 logging.info("=> fetching remote checkpoint %s", resume_path)
-                resume_path = fetch_remote_checkpoint(
-                    resume_path, checkpoint_dir
-                )
+                # mirror into a CLEARED staging dir: merging over an existing
+                # local epoch_N of the same name would leave stale orbax
+                # files in a mixed tree, and a foreign checkpoint must not
+                # join this run's own `latest`/prune history (its name only
+                # matches the epoch_N scan at the checkpoints/ top level)
+                import shutil
+
+                staging = os.path.join(checkpoint_dir, "_remote_staging")
+                shutil.rmtree(staging, ignore_errors=True)
+                os.makedirs(staging, exist_ok=True)
+                resume_path = fetch_remote_checkpoint(resume_path, staging)
         if resume_path:
             state, start_epoch, resume_step_in_epoch, saved_order = (
                 restore_checkpoint(resume_path, state)

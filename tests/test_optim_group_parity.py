@@ -127,6 +127,51 @@ def _torch_to_flax_path_map(ref_model):
     return mapping
 
 
+def _assert_leaf_parity(ref, args, ocfg):
+    """Shared contract: every parameter's (lr, wd, trainable) triple from
+    the exec'd reference grouping must equal ours, over the mechanical
+    torch-name→flax-path map."""
+    param_groups = _ref_param_groups(ref, args)
+    id2lw = {
+        id(p): (g["lr"], g["weight_decay"])
+        for g in param_groups for p in g["params"]
+    }
+    ref_triples = {}
+    for n, p in ref.named_parameters():
+        if not p.requires_grad:
+            ref_triples[n] = "frozen"
+        else:
+            assert id(p) in id2lw, f"reference left trainable {n} unassigned"
+            ref_triples[n] = id2lw[id(p)]
+
+    params = convert_clip_variables(
+        {k: v.float() for k, v in ref.state_dict().items()}
+    )["params"]
+    labels = label_params({"model": params}, ocfg)
+    lrs = group_base_lrs(ocfg)
+    name_map = _torch_to_flax_path_map(ref)
+
+    seen, mismatches = set(), []
+    for path, label in jax.tree_util.tree_leaves_with_path(labels["model"]):
+        p = "/".join(x.key for x in path)
+        torch_name = name_map[p]
+        want = ref_triples.get(torch_name)
+        if want is None:
+            continue  # buffer (attn_mask / BN stats) — not an optimizer leaf
+        got = (
+            "frozen" if label == "frozen"
+            else (lrs[label],
+                  GROUP_WD[label] if GROUP_WD[label] is not None else ocfg.wd)
+        )
+        seen.add(torch_name)  # one torch param may split into several leaves
+        if got != want:
+            mismatches.append(f"{torch_name} ({p}): ref={want} ours={got} [{label}]")
+    assert not mismatches, "\n".join(mismatches)
+    assert seen == {n for n, _ in ref.named_parameters()}, (
+        "some torch parameters never reached the flax tree"
+    )
+
+
 _GROUP_CASES = [
     # (id, cfg_dict, lock_image_groups, lock_text, lock_text_layers)
     ("vit-default", TINY_VIT, None, False, 0),
@@ -165,20 +210,6 @@ def test_param_group_leaf_parity(case):
         resnet_lr4=2e-5, resnet_lr3=1e-5, text_lr=5e-5,
         lock_text_unlocked_layers=lock_text_layers,
     )
-    param_groups = _ref_param_groups(ref, args)
-    id2lw = {}
-    for g in param_groups:
-        for p in g["params"]:
-            id2lw[id(p)] = (g["lr"], g["weight_decay"])
-    ref_triples = {}
-    for n, p in ref.named_parameters():
-        if not p.requires_grad:
-            ref_triples[n] = "frozen"
-        else:
-            assert id(p) in id2lw, f"reference left trainable {n} unassigned"
-            ref_triples[n] = id2lw[id(p)]
-
-    # ---- ours: label the converted tree with the same hyperparams ----
     ocfg = OptimCfg(
         lr=args.lr, wd=args.wd, head_lr=args.head_lr,
         logit_scale_lr=args.logit_scale_lr, resnet_lr4=args.resnet_lr4,
@@ -188,32 +219,7 @@ def test_param_group_leaf_parity(case):
         lock_text=lock_text,
         lock_text_unlocked_layers=lock_text_layers,
     )
-    params = convert_clip_variables(
-        {k: v.float() for k, v in ref.state_dict().items()}
-    )["params"]
-    labels = label_params({"model": params}, ocfg)
-    lrs = group_base_lrs(ocfg)
-    name_map = _torch_to_flax_path_map(ref)
-
-    seen = set()
-    mismatches = []
-    for path, label in jax.tree_util.tree_leaves_with_path(labels["model"]):
-        p = "/".join(x.key for x in path)
-        torch_name = name_map[p]
-        want = ref_triples.get(torch_name)
-        if want is None:
-            continue  # buffer (attn_mask / BN stats) — not an optimizer leaf
-        got = (
-            "frozen" if label == "frozen"
-            else (lrs[label], GROUP_WD[label] if GROUP_WD[label] is not None else ocfg.wd)
-        )
-        seen.add(torch_name)  # one torch param may split into several leaves
-        if got != want:
-            mismatches.append(f"{torch_name} ({p}): ref={want} ours={got} [{label}]")
-    assert not mismatches, "\n".join(mismatches)
-    assert seen == {n for n, _ in ref.named_parameters()}, (
-        "some torch parameters never reached the flax tree"
-    )
+    _assert_leaf_parity(ref, args, ocfg)
 
 
 TINY_COCA = {
@@ -261,47 +267,13 @@ def test_param_group_leaf_parity_coca(unlocked_text_layers):
         resnet_lr4=2e-5, resnet_lr3=1e-5, text_lr=5e-5,
         lock_text_unlocked_layers=unlocked_text_layers,
     )
-    param_groups = _ref_param_groups(ref, args)
-    id2lw = {}
-    for g in param_groups:
-        for p in g["params"]:
-            id2lw[id(p)] = (g["lr"], g["weight_decay"])
-    ref_triples = {
-        n: ("frozen" if not p.requires_grad else id2lw[id(p)])
-        for n, p in ref.named_parameters()
-    }
-
     ocfg = OptimCfg(
         lr=args.lr, wd=args.wd, head_lr=args.head_lr,
         logit_scale_lr=args.logit_scale_lr, text_lr=args.text_lr,
         lock_text_unlocked_layers=unlocked_text_layers,
         text_tower_style="custom_text",  # what main.py selects for CoCa
     )
-    params = convert_clip_variables(
-        {k: v.float() for k, v in ref.state_dict().items()}
-    )["params"]
-    labels = label_params({"model": params}, ocfg)
-    lrs = group_base_lrs(ocfg)
-    name_map = _torch_to_flax_path_map(ref)
-
-    seen, mismatches = set(), []
-    for path, label in jax.tree_util.tree_leaves_with_path(labels["model"]):
-        p = "/".join(x.key for x in path)
-        want = ref_triples.get(name_map[p])
-        if want is None:
-            continue  # buffer
-        got = (
-            "frozen" if label == "frozen"
-            else (lrs[label],
-                  GROUP_WD[label] if GROUP_WD[label] is not None else ocfg.wd)
-        )
-        seen.add(name_map[p])  # one torch param may split into several leaves
-        if got != want:
-            mismatches.append(f"{name_map[p]} ({p}): ref={want} ours={got} [{label}]")
-    assert not mismatches, "\n".join(mismatches)
-    assert seen == {n for n, _ in ref.named_parameters()}, (
-        "some torch parameters never reached the flax tree"
-    )
+    _assert_leaf_parity(ref, args, ocfg)
 
 
 def test_param_group_wd_and_lr_values_cover_all_groups():
