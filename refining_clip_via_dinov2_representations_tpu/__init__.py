@@ -21,19 +21,32 @@ from .models import (
     CLIPModelCfg,
     CLIPTextCfg,
     CLIPVisionCfg,
+    TracedModel,
     add_model_config,
     build_model,
     convert_clip_state_dict,
+    convert_weights_to_fp16,
+    convert_weights_to_lp,
     create_model,
     create_model_and_transforms,
     create_model_from_pretrained,
+    download_pretrained,
+    download_pretrained_from_url,
+    get_cast_dtype,
+    get_input_dtype,
     get_model_config,
+    get_model_preprocess_cfg,
+    get_model_tokenize_cfg,
     get_pretrained_cfg,
+    get_pretrained_url,
     get_tokenizer,
+    is_pretrained_cfg,
     list_models,
     list_pretrained,
     load_checkpoint,
     parse_model_cfg,
+    set_model_preprocess_cfg,
+    trace_model,
 )
 from .inference import ClipInferenceEngine, create_engine, load_exported
 from .utils import to_2tuple, feature_take_indices, get_2d_sincos_pos_embed

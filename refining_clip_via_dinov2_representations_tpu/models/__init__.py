@@ -30,13 +30,41 @@ from .factory import (
     load_checkpoint,
 )
 from .pretrained import (
+    download_pretrained,
+    download_pretrained_from_url,
     get_pretrained_cfg,
+    get_pretrained_url,
+    is_pretrained_cfg,
     list_pretrained,
     list_pretrained_models_by_tag,
     list_pretrained_tags_by_model,
 )
+from .api_utils import (
+    TracedModel,
+    convert_weights_to_fp16,
+    convert_weights_to_lp,
+    get_cast_dtype,
+    get_input_dtype,
+    get_model_preprocess_cfg,
+    get_model_tokenize_cfg,
+    set_model_preprocess_cfg,
+    trace_model,
+)
 
 __all__ = [
+    "TracedModel",
+    "convert_weights_to_fp16",
+    "convert_weights_to_lp",
+    "download_pretrained",
+    "download_pretrained_from_url",
+    "get_cast_dtype",
+    "get_input_dtype",
+    "get_model_preprocess_cfg",
+    "get_model_tokenize_cfg",
+    "get_pretrained_url",
+    "is_pretrained_cfg",
+    "set_model_preprocess_cfg",
+    "trace_model",
     "CLIP",
     "create_model",
     "create_model_and_transforms",

@@ -12,6 +12,7 @@ mirrors the reference call signatures.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import logging
 import math
@@ -37,6 +38,7 @@ from ..transform import (
     merge_preprocess_dict,
     merge_preprocess_kwargs,
 )
+from .api_utils import set_model_preprocess_cfg
 from .clip import build_model
 from .config import get_model_config, list_models, parse_model_cfg, to_2tuple
 from .convert import convert_clip_state_dict, normalize_state_dict_keys
@@ -426,6 +428,9 @@ def create_model(
         preprocess_cfg = PreprocessCfg(
             **merge_preprocess_dict(preprocess_cfg, {"size": cfg.vision_cfg.image_size})
         )
+    # attach the resolved cfg so get_model_preprocess_cfg(model) answers like
+    # the reference factory's set_model_preprocess_cfg call (`factory.py:394`)
+    set_model_preprocess_cfg(model, dataclasses.asdict(preprocess_cfg))
     return model, variables, preprocess_cfg
 
 

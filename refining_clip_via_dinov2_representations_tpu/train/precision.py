@@ -9,25 +9,9 @@ from __future__ import annotations
 
 import contextlib
 
-import jax.numpy as jnp
-
-
-def get_cast_dtype(precision: str):
-    """Weight/compute dtype for a precision flag (reference `model.py:148-155`)."""
-    if precision in ("bf16", "pure_bf16", "amp_bf16", "amp_bfloat16"):
-        return jnp.bfloat16
-    if precision in ("fp16", "pure_fp16"):
-        return jnp.bfloat16  # fp16 has no TPU advantage; mapped to bf16
-    return None
-
-
-def get_input_dtype(precision: str):
-    """Input-pixel dtype for a precision flag (reference `model.py:157-163`)."""
-    if precision in ("bf16", "pure_bf16", "amp_bf16", "amp_bfloat16"):
-        return jnp.bfloat16
-    if precision in ("fp16", "pure_fp16"):
-        return jnp.bfloat16
-    return jnp.float32
+# canonical impls live in the library layer (the reference defines them in
+# `open_clip/model.py:148-163` and the train harness imports them; same here)
+from ..models.api_utils import get_cast_dtype, get_input_dtype  # noqa: F401
 
 
 def get_autocast(precision: str, device_type: str = "tpu"):

@@ -1,0 +1,156 @@
+"""Top-level API-surface parity with the reference `open_clip/__init__.py`,
+plus behavior tests for the `model.py` helpers it re-exports
+(`convert_weights_to_lp`, `trace_model`, preprocess/tokenize cfg accessors).
+"""
+
+import ast
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from flax import traverse_util
+
+import refining_clip_via_dinov2_representations_tpu as oc
+from refining_clip_via_dinov2_representations_tpu.models import register_model_config
+
+REF_INIT = "/root/reference/src/open_clip/__init__.py"
+
+TINY_CFG = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 32, "patch_size": 8, "width": 48, "layers": 2, "head_width": 24},
+    "text_cfg": {"context_length": 16, "vocab_size": 128, "width": 32, "heads": 4, "layers": 2},
+}
+register_model_config("tiny-api-test-model", TINY_CFG)
+
+
+@pytest.mark.skipif(not os.path.exists(REF_INIT), reason="reference not mounted")
+def test_every_reference_export_is_present():
+    """Every name the reference exports at top level exists on our package
+    (reference `src/open_clip/__init__.py:1-18`)."""
+    with open(REF_INIT, "r", encoding="utf-8") as f:
+        tree = ast.parse(f.read())
+    names = []
+    for node in ast.walk(tree):
+        if isinstance(node, ast.ImportFrom):
+            for alias in node.names:
+                names.append(alias.asname or alias.name)
+    assert names, "failed to parse reference exports"
+    missing = [n for n in names if not hasattr(oc, n)]
+    assert not missing, f"missing top-level exports: {missing}"
+
+
+def _build_tiny():
+    model, variables, _ = oc.create_model("tiny-api-test-model")
+    return model, variables
+
+
+def test_convert_weights_to_lp_selective_cast():
+    """Kernels/biases/attention projections/raw proj matrices are cast;
+    LayerNorm, embeddings, positional/class embeddings, and logit_scale stay
+    fp32 — the reference's `_convert_weights` set (`model.py:794-826`)."""
+    model, variables = _build_tiny()
+    lp = oc.convert_weights_to_lp(variables, dtype=jnp.bfloat16)
+
+    flat = traverse_util.flatten_dict(lp["params"])
+    orig = traverse_util.flatten_dict(variables["params"])
+    # input tree untouched (pure function)
+    assert all(v.dtype == jnp.float32 for v in orig.values())
+
+    cast, kept = [], []
+    for path, leaf in flat.items():
+        (cast if leaf.dtype == jnp.bfloat16 else kept).append("/".join(path))
+
+    def any_with(frag, names):
+        return any(frag in n for n in names)
+
+    # cast: dense/conv kernels, attention projections, raw projections
+    assert any_with("conv1/kernel", cast)
+    assert any_with("in_proj_kernel", cast)
+    assert any_with("in_proj_bias", cast)
+    assert any_with("out_proj/kernel", cast)
+    assert any_with("mlp", cast)
+    assert any_with("text_projection", cast) or any_with("proj", cast)
+    # kept fp32: LN scale+bias, token embedding, positional/class embeddings,
+    # logit_scale
+    assert any_with("ln_", kept)
+    assert not any_with("ln_", cast)
+    assert any_with("token_embedding/embedding", kept)
+    assert any_with("positional_embedding", kept)
+    assert any_with("class_embedding", kept)
+    assert any_with("logit_scale", kept)
+
+    # the cast model still runs and tracks the fp32 outputs
+    img = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 3)), jnp.float32)
+    txt = jnp.asarray(np.random.default_rng(1).integers(1, 127, (2, 16)), jnp.int32)
+    out32 = model.apply(variables, img, txt)
+    out16 = model.apply(lp, img, txt)
+    cos = np.sum(
+        np.asarray(out32["image_features"]) * np.asarray(out16["image_features"])
+    ) / 2.0  # features are L2-normalized per row
+    assert cos > 0.99
+
+
+def test_convert_weights_to_lp_bare_params_and_fp16_alias():
+    _, variables = _build_tiny()
+    bare = oc.convert_weights_to_lp(variables["params"])
+    assert "params" not in bare  # same structure in, same structure out
+    fp16 = oc.convert_weights_to_fp16(variables, dtype=jnp.float16)
+    flat = traverse_util.flatten_dict(fp16["params"])
+    assert any(v.dtype == jnp.float16 for v in flat.values())
+
+
+def test_trace_model_matches_direct_apply():
+    model, variables = _build_tiny()
+    traced = oc.trace_model(model, variables, batch_size=2)
+    assert traced.image_size == (32, 32) and traced.context_length == 16
+
+    img = jnp.asarray(np.random.default_rng(2).normal(size=(2, 32, 32, 3)), jnp.float32)
+    txt = jnp.asarray(np.random.default_rng(3).integers(1, 127, (2, 16)), jnp.int32)
+
+    out = traced(img, txt)
+    ref = model.apply(variables, img, txt)
+    np.testing.assert_allclose(
+        np.asarray(out["image_features"]), np.asarray(ref["image_features"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(traced.encode_image(img)),
+        np.asarray(model.apply(variables, img, method=model.encode_image)),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(traced.encode_text(txt)),
+        np.asarray(model.apply(variables, txt, method=model.encode_text)),
+        atol=1e-6,
+    )
+    # shape-specialized, like a torch trace
+    with pytest.raises(Exception):
+        traced.encode_text(jnp.zeros((3, 16), jnp.int32))
+
+
+def test_preprocess_and_tokenize_cfg_accessors():
+    # factory attaches the RESOLVED cfg (mean/std overrides included)
+    model, _, pp_train, _ = oc.create_model_and_transforms(
+        "tiny-api-test-model", image_mean=(0.5, 0.5, 0.5), image_std=(0.25, 0.25, 0.25)
+    )
+    cfg = oc.get_model_preprocess_cfg(model)
+    assert cfg["mean"] == (0.5, 0.5, 0.5) and cfg["std"] == (0.25, 0.25, 0.25)
+    assert cfg["size"] in (32, (32, 32))
+
+    tok = oc.get_model_tokenize_cfg(model)
+    assert tok == {"context_length": 16, "vocab_size": 128}
+
+    # set → get roundtrip, reference mutation semantics (`model.py:1057-1065`)
+    oc.set_model_preprocess_cfg(model, {**cfg, "size": 48})
+    assert oc.get_model_preprocess_cfg(model)["size"] == 48
+
+    # derivation fallback for a bare module that never went through the factory
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model, get_model_config, parse_model_cfg,
+    )
+    bare = build_model(parse_model_cfg(get_model_config("tiny-api-test-model")))
+    derived = oc.get_model_preprocess_cfg(bare)
+    assert derived["size"] == 32
+    assert derived["mean"] == oc.OPENAI_DATASET_MEAN
