@@ -193,6 +193,19 @@ def _free_port():
         return s.getsockname()[1]
 
 
+def _cache_env(repo_root):
+    """Hand the spawned workers the same persistent compile cache the parent
+    suite uses (conftest.py) — jax reads these env vars at import, which is
+    early enough even under the deployment's sitecustomize. The pjit step
+    compiles dominate these tests' wall time."""
+    if os.environ.get("REFINING_CLIP_TEST_NO_CACHE", "") not in ("", "0"):
+        return {}
+    return {
+        "JAX_COMPILATION_CACHE_DIR": os.path.join(repo_root, ".jax_cache_tests"),
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1.0",
+    }
+
+
 def test_two_process_distributed_init_and_sharding(tmp_path):
     port = _free_port()
     script = tmp_path / "worker.py"
@@ -206,6 +219,7 @@ def test_two_process_distributed_init_and_sharding(tmp_path):
             WORLD_SIZE="2", RANK=str(rank), MASTER_ADDR="127.0.0.1",
             MASTER_PORT=str(port), REPO_ROOT=repo_root,
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            **_cache_env(repo_root),
         )
         env.pop("JAX_PLATFORMS", None)  # worker pins cpu itself (sitecustomize)
         procs.append(
@@ -243,6 +257,7 @@ def _run_train_workers(tmp_path, world_size):
             WORLD_SIZE=str(world_size), RANK=str(rank),
             MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
             REPO_ROOT=repo_root,
+            **_cache_env(repo_root),
         )
         env.pop("JAX_PLATFORMS", None)
         env.pop("XLA_FLAGS", None)  # worker sets its own device count
