@@ -161,16 +161,19 @@ class TracedModel:
         return self.forward(image, text)
 
 
-def trace_model(model, variables, batch_size: int = 256, device=None):
+def trace_model(model, variables, batch_size: int = 256, device=None,
+                image_dtype=jnp.float32):
     """AOT-compile the model's three entry points at a fixed batch size
     (`model.py:938-954`). `variables` is closed over (traced as a constant
     of the executable, like weights baked into a torch trace); pass the
-    fp32 or `convert_weights_to_lp`-cast tree as desired."""
+    fp32 or `convert_weights_to_lp`-cast tree as desired. `image_dtype`
+    fixes the pixel-input dtype the executables accept — pass
+    `get_input_dtype(precision)` for a bf16 input pipeline."""
     from ..utils import to_2tuple
 
     ih, iw = to_2tuple(model.vision_cfg.image_size)
     ctx = model.text_cfg.context_length
-    img_s = jax.ShapeDtypeStruct((batch_size, ih, iw, 3), jnp.float32)
+    img_s = jax.ShapeDtypeStruct((batch_size, ih, iw, 3), image_dtype)
     txt_s = jax.ShapeDtypeStruct((batch_size, ctx), jnp.int32)
 
     def forward(image, text):
@@ -219,12 +222,18 @@ def get_model_preprocess_cfg(model) -> Dict[str, Any]:
         return copy.deepcopy(sidecar)
     from ..transform import PreprocessCfg
 
-    cfg = PreprocessCfg()
     vision_cfg = getattr(model, "vision_cfg", None)
-    if vision_cfg is not None:
-        cfg = PreprocessCfg(
-            **{**asdict(cfg), "size": vision_cfg.image_size}
+    if vision_cfg is None:
+        # the reference's legacy fallback reads `module.image_size` with no
+        # default (`model.py:1044`) — a module with neither sidecar nor
+        # vision cfg must error, not get a plausible-looking default
+        raise AttributeError(
+            "model has no attached preprocess cfg and no vision_cfg to "
+            "derive one from (was it built outside the factory?)"
         )
+    cfg = PreprocessCfg(
+        **{**asdict(PreprocessCfg()), "size": vision_cfg.image_size}
+    )
     return asdict(cfg)
 
 

@@ -36,7 +36,7 @@ def main():
         ("qkv      [18912,768]x[768,2304]", (M, 768), (768, 2304)),
     ]
 
-    def bench(fn, args, n=50, tag=""):
+    def bench(fn, args, n=50):
         out = fn(*args)
         out = fn(*args)
         _ = float(jax.tree.leaves(out)[0].astype(jnp.float32).sum())

@@ -16,7 +16,9 @@ from flax import traverse_util
 import refining_clip_via_dinov2_representations_tpu as oc
 from refining_clip_via_dinov2_representations_tpu.models import register_model_config
 
-REF_INIT = "/root/reference/src/open_clip/__init__.py"
+from tests.ref_loader import REF_SRC, reference_available
+
+REF_INIT = os.path.join(REF_SRC, "open_clip", "__init__.py")
 
 TINY_CFG = {
     "embed_dim": 64,
@@ -26,7 +28,7 @@ TINY_CFG = {
 register_model_config("tiny-api-test-model", TINY_CFG)
 
 
-@pytest.mark.skipif(not os.path.exists(REF_INIT), reason="reference not mounted")
+@pytest.mark.skipif(not reference_available(), reason="reference not mounted")
 def test_every_reference_export_is_present():
     """Every name the reference exports at top level exists on our package
     (reference `src/open_clip/__init__.py:1-18`)."""
@@ -72,7 +74,14 @@ def test_convert_weights_to_lp_selective_cast():
     assert any_with("in_proj_bias", cast)
     assert any_with("out_proj/kernel", cast)
     assert any_with("mlp", cast)
-    assert any_with("text_projection", cast) or any_with("proj", cast)
+    # the RAW 2-D projection params specifically (exact leaf names, so a
+    # substring hit on in_proj_kernel/out_proj can't mask a regression)
+    raw_projs = [
+        n for n in cast + kept
+        if n.rsplit("/", 1)[-1] in ("proj", "text_projection")
+    ]
+    assert raw_projs, "tiny model should carry raw proj/text_projection params"
+    assert all(n in cast for n in raw_projs), raw_projs
     # kept fp32: LN scale+bias, token embedding, positional/class embeddings,
     # logit_scale
     assert any_with("ln_", kept)
@@ -211,3 +220,8 @@ def test_preprocess_and_tokenize_cfg_accessors():
     derived = oc.get_model_preprocess_cfg(bare)
     assert derived["size"] == 32
     assert derived["mean"] == oc.OPENAI_DATASET_MEAN
+
+    # no sidecar AND no vision_cfg → error, like the reference's
+    # no-default `module.image_size` read (`model.py:1044`)
+    with pytest.raises(AttributeError):
+        oc.get_model_preprocess_cfg(object())
