@@ -159,6 +159,15 @@ def main():
     # single-chip microbatch of the 32k-global SigLIP step; per-chip compute
     # is loss-dominated-identical across ring impls at world=1)
     loss_kind = os.environ.get("BENCH_LOSS", "dino")
+    # BENCH_PRECISION=pure_bf16: params (and hence AdamW moments) stored in
+    # bf16 instead of fp32 — the reference's --precision pure_bf16. Removes
+    # the fp32→bf16 weight casts feeding every matmul and halves the
+    # optimizer update's HBM traffic, at bf16 master-weight accuracy risk.
+    precision = os.environ.get("BENCH_PRECISION", "bf16")
+    if precision not in ("bf16", "pure_bf16"):
+        raise SystemExit(
+            f"BENCH_PRECISION={precision!r} not supported (bf16 | pure_bf16)"
+        )
     if loss_kind not in ("dino", "siglip"):
         raise SystemExit(
             f"BENCH_LOSS={loss_kind!r} not supported (dino | siglip) — "
@@ -189,6 +198,12 @@ def main():
     _log("init params...")
     variables = jax.jit(model.init)(rng, images, texts)
     jax.block_until_ready(variables)
+    if precision == "pure_bf16":
+        variables = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x,
+            variables,
+        )
     _log("init done")
 
     dino_teacher = None
@@ -264,6 +279,10 @@ def main():
         head_params = head.init(jax.random.PRNGKey(1), jnp.zeros((1, cfg.embed_dim)))[
             "params"
         ]
+        if precision == "pure_bf16":
+            head_params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16), head_params
+            )
         params = {"model": variables["params"], "dino_head": head_params}
         tx, _ = build_optimizer(params, OptimCfg(opt=opt_name, lr=5e-4, mu_dtype=mu_dtype), cosine_lr(5e-4, 100, 10000))
         state = create_train_state(rng, variables["params"], tx, head_params)
@@ -337,6 +356,7 @@ def main():
                     + ("_live_teacher" if dino_teacher is not None else "")
                     + ("_remat" if use_remat else "")
                     + ("" if opt_name == "adamw" else f"_{opt_name}")
+                    + ("" if precision == "bf16" else f"_{precision}")
                 ),
                 "value": round(ips, 2),
                 "unit": "img/s/chip",
@@ -347,7 +367,9 @@ def main():
                 "backend": backend,
                 "chips": n_chips,
                 "opt": opt_name,
-                "mu_dtype": mu_dtype or "float32",
+                "precision": precision,
+                "mu_dtype": mu_dtype
+                or ("bfloat16" if precision == "pure_bf16" else "float32"),
                 "loss": round(float(metrics["total_loss"]), 4),
             }
         )

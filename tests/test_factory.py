@@ -35,6 +35,24 @@ def test_create_model_and_transforms_smoke():
     assert out["image_features"].shape == (1, 64)
 
 
+def test_create_model_pure_bf16_casts_all_float_params():
+    """--precision pure_bf16 stores the params themselves in bf16, like the
+    reference's whole-model cast (`factory.py:439-441`); the model still
+    runs and normalizes."""
+    model, variables, _ = oc.create_model("tiny-test-model", precision="pure_bf16")
+    leaves = jax.tree.leaves(variables)
+    assert leaves and all(
+        leaf.dtype == jnp.bfloat16
+        for leaf in leaves
+        if jnp.issubdtype(leaf.dtype, jnp.floating)
+    )
+    out = model.apply(
+        variables, jnp.zeros((1, 32, 32, 3), jnp.bfloat16), jnp.zeros((1, 16), jnp.int32)
+    )
+    norms = np.linalg.norm(np.asarray(out["image_features"], np.float32), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=2e-2)  # bf16 norm tolerance
+
+
 def test_eval_transform_matches_reference_geometry():
     """Shortest-edge resize + center crop coordinates match torchvision."""
     pp = oc.image_transform(8, is_train=False)

@@ -95,6 +95,33 @@ def test_clip_train_step_decreases_loss():
     assert int(state.step) == 8
 
 
+def test_pure_bf16_params_train_step():
+    """pure_bf16 (reference `factory.py:439-441`): params stored in bf16,
+    optimized directly, and they stay bf16 across steps."""
+    model = build_model(parse_model_cfg(TINY_CFG), dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        rng, jnp.zeros((2, 16, 16, 3)), jnp.zeros((2, 12), jnp.int32)
+    )
+    bf16_params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), variables["params"]
+    )
+    tx, _ = build_optimizer(
+        {"model": bf16_params}, OptimCfg(lr=1e-3, wd=0.01), const_lr(1e-3, 0, 100)
+    )
+    state = create_train_state(rng, bf16_params, tx)
+    step_fn = make_train_step(model, tx, StepCfg(loss_type="clip"))
+    batch = _batch()
+    losses = []
+    for _ in range(6):
+        state, metrics = step_fn(state, batch)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert all(
+        leaf.dtype == jnp.bfloat16 for leaf in jax.tree.leaves(state.params)
+    )
+
+
 def test_dino_train_step_updates_projection_head():
     """The head is a real optimized subtree (fixes the reference bug)."""
     _, state, step_fn, _ = _setup("dino", dino=DinoLossCfg(lambda_soft=1.0))
