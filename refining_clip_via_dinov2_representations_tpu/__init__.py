@@ -48,7 +48,12 @@ from .models import (
     set_model_preprocess_cfg,
     trace_model,
 )
-from .inference import ClipInferenceEngine, create_engine, load_exported
+from .inference import (
+    ClipInferenceEngine,
+    create_engine,
+    load_exported,
+    load_exported_sharded,
+)
 from .utils import to_2tuple, feature_take_indices, get_2d_sincos_pos_embed
 from .models.openai import load_openai_model, list_openai_models
 from .models import CoCa, coca_generate, coca_generate_beam

@@ -382,18 +382,21 @@ class ClipInferenceEngine:
     def export(self, out_dir: str) -> Dict[str, str]:
         """Serialize per-bucket StableHLO executables (`jax.export`).
 
-        Writes `encode_image_b{B}.shlo` / `encode_text_b{B}.shlo`; params are
-        baked into the artifact as constants (a serving host reloads with
-        `load_exported`, no flax/model code needed). Returns {name: path}.
+        Writes `encode_image_b{B}.shlo` / `encode_text_b{B}.shlo`.
+
+        Single-device engines bake the params into the artifact as constants
+        (a serving host reloads with `load_exported`, no flax/model code
+        needed). Mesh-sharded engines export the params as CALL ARGUMENTS
+        instead (GB-scale sharded constants don't belong inside StableHLO):
+        the weights land in `params.npz` and every leaf's PartitionSpec plus
+        the mesh shape in `sharding_manifest.json`; a serving host reloads
+        with `load_exported_sharded(out_dir, name, mesh)` on a mesh with the
+        same axis names/sizes (GSPMD partitioning is topology-specific by
+        construction). Returns {name: path}.
         """
-        if self.mesh is not None:
-            raise NotImplementedError(
-                "export() serializes a single-device executable; a "
-                "mesh-sharded engine serves in-process (StableHLO export of "
-                "GSPMD-partitioned functions pins the exact device topology "
-                "into the artifact). Build an engine without `mesh` to export."
-            )
         os.makedirs(out_dir, exist_ok=True)
+        if self.mesh is not None:
+            return self._export_sharded(out_dir)
         written = {}
         for b in self.buckets:
             for name, fn, spec in (
@@ -405,6 +408,67 @@ class ClipInferenceEngine:
                 with open(path, "wb") as f:
                     f.write(exp.serialize())
                 written[f"{name}_b{b}"] = path
+        return written
+
+    def _export_sharded(self, out_dir: str) -> Dict[str, str]:
+        import json
+
+        from flax.core import unfreeze
+        from jax.tree_util import tree_flatten_with_path
+
+        # plain nested dicts: the reload side rebuilds the same pytree
+        # structure from the manifest, so the exported call signature must
+        # not depend on FrozenDict-vs-dict
+        variables = unfreeze(self.variables)
+        var_specs = jax.tree.map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
+            variables,
+        )
+        written = {}
+        for b in self.buckets:
+            for name, fn, spec in (
+                ("encode_image", self._encode_image, self._image_spec(b)),
+                ("encode_text", self._encode_text, self._text_spec(b)),
+            ):
+                exp = jax.export.export(fn)(var_specs, spec)
+                path = os.path.join(out_dir, f"{name}_b{b}.shlo")
+                with open(path, "wb") as f:
+                    f.write(exp.serialize())
+                written[f"{name}_b{b}"] = path
+
+        flat, _ = tree_flatten_with_path(variables)
+        arrays, leaves_meta = {}, []
+        for i, (path, leaf) in enumerate(flat):
+            arr = np.asarray(leaf)
+            dtype_name = str(arr.dtype)
+            if arr.dtype.kind not in "fiub" or dtype_name == "bfloat16":
+                # npy can't serialize ml_dtypes extension dtypes; bf16→fp32
+                # is bit-exact roundtripped back on load
+                arr = arr.astype(np.float32)
+            spec = [
+                list(s) if isinstance(s, tuple) else s
+                for s in tuple(leaf.sharding.spec)
+            ]
+            arrays[f"leaf_{i:05d}"] = arr
+            leaves_meta.append({
+                "path": [str(getattr(k, "key", k)) for k in path],
+                "spec": spec,
+                "dtype": dtype_name,
+            })
+        np.savez(os.path.join(out_dir, "params.npz"), **arrays)
+        manifest = {
+            "mesh_axes": {str(k): int(v) for k, v in self.mesh.shape.items()},
+            "batch_spec": [
+                list(s) if isinstance(s, tuple) else s
+                for s in tuple(self._batch_sharding.spec)
+            ],
+            "leaves": leaves_meta,
+        }
+        mpath = os.path.join(out_dir, "sharding_manifest.json")
+        with open(mpath, "w") as f:
+            json.dump(manifest, f)
+        written["params"] = os.path.join(out_dir, "params.npz")
+        written["manifest"] = mpath
         return written
 
     def _bake(self, fn):
@@ -421,6 +485,60 @@ def load_exported(path: str):
     with open(path, "rb") as f:
         exp = jax.export.deserialize(f.read())
     return jax.jit(exp.call)
+
+
+def load_exported_sharded(out_dir: str, name: str, mesh):
+    """Reload one mesh-sharded exported encoder (e.g. ``encode_image_b8``)
+    from an `export()`ed directory onto `mesh`.
+
+    `mesh` must have the same axis names and sizes as the exporting engine's
+    (the manifest records them; a mismatch raises). The params are read from
+    `params.npz`, device_put once by their recorded PartitionSpecs, and
+    closed over — the returned callable takes one full (bucket-sized) host
+    batch and returns the features. No flax/model code is needed, only jax
+    and the artifact.
+    """
+    import json
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    with open(os.path.join(out_dir, "sharding_manifest.json")) as f:
+        manifest = json.load(f)
+    want = manifest["mesh_axes"]
+    have = {str(k): int(v) for k, v in mesh.shape.items()}
+    if have != want:
+        raise ValueError(
+            f"mesh mismatch: artifact was exported on mesh axes {want}, "
+            f"got {have} (GSPMD artifacts are topology-specific)"
+        )
+
+    def to_spec(entries):
+        return PartitionSpec(
+            *[tuple(s) if isinstance(s, list) else s for s in entries]
+        )
+
+    data = np.load(os.path.join(out_dir, "params.npz"))
+    variables: Dict[str, Any] = {}
+    for i, meta in enumerate(manifest["leaves"]):
+        arr = data[f"leaf_{i:05d}"]
+        if str(arr.dtype) != meta["dtype"]:
+            arr = arr.astype(jnp.dtype(meta["dtype"]))  # bf16 roundtrip
+        node = variables
+        for k in meta["path"][:-1]:
+            node = node.setdefault(k, {})
+        node[meta["path"][-1]] = jax.device_put(
+            arr, NamedSharding(mesh, to_spec(meta["spec"]))
+        )
+
+    with open(os.path.join(out_dir, f"{name}.shlo"), "rb") as f:
+        exp = jax.export.deserialize(f.read())
+    call = jax.jit(exp.call)
+    batch_sharding = NamedSharding(mesh, to_spec(manifest["batch_spec"]))
+
+    def run(x):
+        return call(variables, jax.device_put(np.asarray(x), batch_sharding))
+
+    return run
 
 
 def create_engine(

@@ -263,9 +263,50 @@ def test_engine_mesh_sharded_serving():
     )
     # warmup compiles the sharded buckets without error
     sharded.warmup()
-    # export is single-device-only: clear error instead of a broken artifact
-    with pytest.raises(NotImplementedError):
-        sharded.export("/tmp/never-written")
+
+
+def test_engine_mesh_sharded_export_roundtrip(tmp_path):
+    """Mesh-sharded export: params ride as call arguments (npz + sharding
+    manifest), and `load_exported_sharded` reassembles on a same-shape mesh
+    without any model code — outputs equal the live engine's."""
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        load_exported_sharded,
+    )
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        create_mesh,
+    )
+
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    mesh = create_mesh(data=4, model=2)
+    sharded = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(4,), dtype=jnp.float32, mesh=mesh,
+    )
+    written = sharded.export(str(tmp_path))
+    assert "params" in written and "manifest" in written
+
+    rng = np.random.default_rng(11)
+    imgs = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+    texts = rng.integers(1, 63, size=(4, 12)).astype(np.int32)
+
+    # a FRESH mesh object (same axes) on the reload side
+    mesh2 = create_mesh(data=4, model=2)
+    run_img = load_exported_sharded(str(tmp_path), "encode_image_b4", mesh2)
+    run_txt = load_exported_sharded(str(tmp_path), "encode_text_b4", mesh2)
+    np.testing.assert_allclose(
+        np.asarray(run_img(imgs)), sharded.encode_image(imgs), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(run_txt(texts)), sharded.encode_text(texts), atol=1e-6
+    )
+
+    # topology mismatch is a clear error, not a broken artifact
+    bad_mesh = create_mesh(data=8, model=1)
+    with pytest.raises(ValueError, match="mesh mismatch"):
+        load_exported_sharded(str(tmp_path), "encode_image_b4", bad_mesh)
 
 
 TINY_COCA_CFG = {
