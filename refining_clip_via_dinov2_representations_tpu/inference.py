@@ -424,6 +424,11 @@ class ClipInferenceEngine:
             lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype, sharding=a.sharding),
             variables,
         )
+        # Serialize every bucket's HLO and gather every param leaf to host
+        # memory BEFORE touching the filesystem: an error mid-way (e.g. a
+        # leaf spanning non-addressable devices) must not leave a
+        # half-written artifact directory.
+        blobs = {}
         written = {}
         for b in self.buckets:
             for name, fn, spec in (
@@ -431,31 +436,43 @@ class ClipInferenceEngine:
                 ("encode_text", self._encode_text, self._text_spec(b)),
             ):
                 exp = jax.export.export(fn)(var_specs, spec)
-                path = os.path.join(out_dir, f"{name}_b{b}.shlo")
-                with open(path, "wb") as f:
-                    f.write(exp.serialize())
-                written[f"{name}_b{b}"] = path
+                blobs[f"{name}_b{b}"] = exp.serialize()
+                written[f"{name}_b{b}"] = os.path.join(out_dir, f"{name}_b{b}.shlo")
+
+        multihost = jax.process_count() > 1
+        if multihost:
+            # a TP-sharded leaf spans non-addressable devices on a multi-host
+            # mesh; np.asarray would raise — gather the global value instead
+            from jax.experimental import multihost_utils
 
         flat, _ = tree_flatten_with_path(variables)
         arrays, leaves_meta = {}, []
         for i, (path, leaf) in enumerate(flat):
-            arr = np.asarray(leaf)
-            dtype_name = str(arr.dtype)
-            if arr.dtype.kind not in "fiub" or dtype_name == "bfloat16":
-                # npy can't serialize ml_dtypes extension dtypes; bf16→fp32
-                # is bit-exact roundtripped back on load
-                arr = arr.astype(np.float32)
             spec = [
                 list(s) if isinstance(s, tuple) else s
                 for s in tuple(leaf.sharding.spec)
             ]
+            if multihost:
+                arr = np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+            else:
+                arr = np.asarray(leaf)
+            dtype_name = str(arr.dtype)
+            if dtype_name == "bfloat16":
+                # npy can't serialize ml_dtypes extension dtypes; store the
+                # raw bit pattern (the manifest records the real dtype; the
+                # load side views it back) — half the artifact bytes of an
+                # fp32 widening, which matters at the GB scale this targets
+                arr = arr.view(np.uint16)
+            elif arr.dtype.kind not in "fiub":
+                # other extension dtypes (fp8 etc.): widen to fp32 — exact,
+                # and exact again on the astype back at load
+                arr = arr.astype(np.float32)
             arrays[f"leaf_{i:05d}"] = arr
             leaves_meta.append({
                 "path": [str(getattr(k, "key", k)) for k in path],
                 "spec": spec,
                 "dtype": dtype_name,
             })
-        np.savez(os.path.join(out_dir, "params.npz"), **arrays)
         manifest = {
             "mesh_axes": {str(k): int(v) for k, v in self.mesh.shape.items()},
             "batch_spec": [
@@ -464,11 +481,20 @@ class ClipInferenceEngine:
             ],
             "leaves": leaves_meta,
         }
-        mpath = os.path.join(out_dir, "sharding_manifest.json")
-        with open(mpath, "w") as f:
-            json.dump(manifest, f)
         written["params"] = os.path.join(out_dir, "params.npz")
-        written["manifest"] = mpath
+        written["manifest"] = os.path.join(out_dir, "sharding_manifest.json")
+
+        # everything gathered — write, on one process only when out_dir is a
+        # shared filesystem (every process returns the same path mapping)
+        if jax.process_index() == 0:
+            for key, blob in blobs.items():
+                with open(written[key], "wb") as f:
+                    f.write(blob)
+            np.savez(written["params"], **arrays)
+            with open(written["manifest"], "w") as f:
+                json.dump(manifest, f)
+        if multihost:
+            multihost_utils.sync_global_devices("export_sharded_written")
         return written
 
     def _bake(self, fn):
@@ -487,20 +513,30 @@ def load_exported(path: str):
     return jax.jit(exp.call)
 
 
-def load_exported_sharded(out_dir: str, name: str, mesh):
-    """Reload one mesh-sharded exported encoder (e.g. ``encode_image_b8``)
-    from an `export()`ed directory onto `mesh`.
+def _to_partition_spec(entries):
+    from jax.sharding import PartitionSpec
 
-    `mesh` must have the same axis names and sizes as the exporting engine's
-    (the manifest records them; a mismatch raises). The params are read from
-    `params.npz`, device_put once by their recorded PartitionSpecs, and
-    closed over — the returned callable takes one full (bucket-sized) host
-    batch and returns the features. No flax/model code is needed, only jax
-    and the artifact.
-    """
+    return PartitionSpec(
+        *[tuple(s) if isinstance(s, list) else s for s in entries]
+    )
+
+
+# (abspath(out_dir), mesh) -> (manifest, device-resident variables pytree):
+# every encoder/bucket loaded from the same artifact onto the same mesh
+# shares ONE device copy of the weights (a default-bucket two-tower engine
+# is 6 loads; private copies would multiply GB-scale weight HBM by 6)
+_SHARDED_PARAMS_CACHE: Dict[Any, Any] = {}
+
+
+def _load_sharded_params(out_dir: str, mesh):
     import json
 
-    from jax.sharding import NamedSharding, PartitionSpec
+    from jax.sharding import NamedSharding
+
+    key = (os.path.abspath(out_dir), mesh)
+    hit = _SHARDED_PARAMS_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     with open(os.path.join(out_dir, "sharding_manifest.json")) as f:
         manifest = json.load(f)
@@ -512,28 +548,43 @@ def load_exported_sharded(out_dir: str, name: str, mesh):
             f"got {have} (GSPMD artifacts are topology-specific)"
         )
 
-    def to_spec(entries):
-        return PartitionSpec(
-            *[tuple(s) if isinstance(s, list) else s for s in entries]
-        )
-
-    data = np.load(os.path.join(out_dir, "params.npz"))
     variables: Dict[str, Any] = {}
-    for i, meta in enumerate(manifest["leaves"]):
-        arr = data[f"leaf_{i:05d}"]
-        if str(arr.dtype) != meta["dtype"]:
-            arr = arr.astype(jnp.dtype(meta["dtype"]))  # bf16 roundtrip
-        node = variables
-        for k in meta["path"][:-1]:
-            node = node.setdefault(k, {})
-        node[meta["path"][-1]] = jax.device_put(
-            arr, NamedSharding(mesh, to_spec(meta["spec"]))
-        )
+    with np.load(os.path.join(out_dir, "params.npz")) as data:
+        for i, meta in enumerate(manifest["leaves"]):
+            arr = data[f"leaf_{i:05d}"]
+            if str(arr.dtype) != meta["dtype"]:
+                target = jnp.dtype(meta["dtype"])
+                if arr.dtype == np.uint16 and meta["dtype"] == "bfloat16":
+                    arr = arr.view(target)  # stored bit pattern, not values
+                else:
+                    arr = arr.astype(target)
+            node = variables
+            for k in meta["path"][:-1]:
+                node = node.setdefault(k, {})
+            node[meta["path"][-1]] = jax.device_put(
+                arr, NamedSharding(mesh, _to_partition_spec(meta["spec"]))
+            )
+    _SHARDED_PARAMS_CACHE[key] = (manifest, variables)
+    return manifest, variables
 
-    with open(os.path.join(out_dir, f"{name}.shlo"), "rb") as f:
-        exp = jax.export.deserialize(f.read())
-    call = jax.jit(exp.call)
-    batch_sharding = NamedSharding(mesh, to_spec(manifest["batch_spec"]))
+
+def load_exported_sharded(out_dir: str, name: str, mesh):
+    """Reload one mesh-sharded exported encoder (e.g. ``encode_image_b8``)
+    from an `export()`ed directory onto `mesh`.
+
+    `mesh` must have the same axis names and sizes as the exporting engine's
+    (the manifest records them; a mismatch raises). The params are read from
+    `params.npz`, device_put ONCE per (artifact, mesh) by their recorded
+    PartitionSpecs and shared across every encoder/bucket loaded from the
+    same directory — the returned callable takes one full (bucket-sized)
+    host batch and returns the features. No flax/model code is needed, only
+    jax and the artifact.
+    """
+    from jax.sharding import NamedSharding
+
+    manifest, variables = _load_sharded_params(out_dir, mesh)
+    call = load_exported(os.path.join(out_dir, f"{name}.shlo"))
+    batch_sharding = NamedSharding(mesh, _to_partition_spec(manifest["batch_spec"]))
 
     def run(x):
         return call(variables, jax.device_put(np.asarray(x), batch_sharding))

@@ -308,6 +308,50 @@ def test_engine_mesh_sharded_export_roundtrip(tmp_path):
     with pytest.raises(ValueError, match="mesh mismatch"):
         load_exported_sharded(str(tmp_path), "encode_image_b4", bad_mesh)
 
+    # both encoders loaded from one artifact share ONE device copy of the
+    # weights (GB-scale checkpoints: N loads must not mean N x weight HBM)
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        _SHARDED_PARAMS_CACHE,
+    )
+    keys = [k for k in _SHARDED_PARAMS_CACHE if k[0] == str(tmp_path)]
+    assert len(keys) == 1, keys
+
+
+def test_engine_mesh_sharded_export_bf16_bit_exact(tmp_path):
+    """bf16 param leaves are stored as raw bit patterns (uint16), not
+    widened to fp32: the artifact stays at bf16 size and the roundtrip is
+    bit-exact."""
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        load_exported_sharded,
+    )
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        create_mesh,
+    )
+
+    model = build_model(parse_model_cfg(TINY_CFG))
+    variables = model.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32)
+    )
+    variables = jax.tree.map(lambda a: a.astype(jnp.bfloat16), variables)
+    mesh = create_mesh(data=4, model=2)
+    sharded = ClipInferenceEngine(
+        model, variables, image_size=(16, 16), context_length=12,
+        buckets=(4,), dtype=jnp.bfloat16, mesh=mesh,
+    )
+    sharded.export(str(tmp_path))
+
+    # on-disk leaves are uint16 bit patterns, half the fp32-widened size
+    with np.load(tmp_path / "params.npz") as data:
+        dtypes = {data[k].dtype for k in data.files}
+    assert dtypes == {np.dtype(np.uint16)}, dtypes
+
+    run_img = load_exported_sharded(str(tmp_path), "encode_image_b4", mesh)
+    rng = np.random.default_rng(3)
+    imgs = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+    live = sharded.encode_image(imgs)
+    reloaded = np.asarray(run_img(imgs))
+    assert np.array_equal(reloaded, live)  # bit-exact params -> bit-exact out
+
 
 TINY_COCA_CFG = {
     "embed_dim": 32,

@@ -286,6 +286,140 @@ def _run_train_workers(tmp_path, world_size):
     return json.loads(line.split(" ", 1)[1])
 
 
+# ---------------------------------------------------------------------------
+# Multi-host mesh-sharded export: a TP-sharded engine on 2 processes × 2
+# devices exports (leaves gathered via process_allgather, files written by
+# process 0 only, barrier before return) and reloads through
+# `load_exported_sharded` — features must match the 1-process × 4-device
+# export of the same engine.
+# ---------------------------------------------------------------------------
+
+_EXPORT_WORKER = r"""
+import os, sys, json
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=%d" % (
+    4 // int(os.environ.get("WORLD_SIZE", "1"))
+)
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import types
+import numpy as np
+import jax.numpy as jnp
+
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from refining_clip_via_dinov2_representations_tpu.train.distributed import (
+    init_distributed_device,
+)
+from refining_clip_via_dinov2_representations_tpu.parallel.mesh import create_mesh
+from refining_clip_via_dinov2_representations_tpu.models import (
+    build_model, parse_model_cfg,
+)
+from refining_clip_via_dinov2_representations_tpu.inference import (
+    ClipInferenceEngine, load_exported_sharded,
+)
+
+args = types.SimpleNamespace()
+init_distributed_device(args)
+rank = jax.process_index()
+assert jax.device_count() == 4, jax.device_count()
+
+mesh = create_mesh(data=2, model=2)
+TINY = {
+    "embed_dim": 32,
+    "vision_cfg": {"image_size": 16, "patch_size": 8, "width": 32,
+                   "layers": 2, "head_width": 16},
+    "text_cfg": {"context_length": 12, "vocab_size": 64, "width": 32,
+                 "heads": 4, "layers": 2},
+}
+model = build_model(parse_model_cfg(TINY))
+variables = model.init(
+    jax.random.PRNGKey(0),
+    jnp.zeros((1, 16, 16, 3)), jnp.zeros((1, 12), jnp.int32),
+)
+# host numpy: every process holds the (identical, seeded) full value, so the
+# engine's device_put onto the cross-process mesh is valid
+variables = jax.tree.map(np.asarray, variables)
+engine = ClipInferenceEngine(
+    model, variables, image_size=(16, 16), context_length=12,
+    buckets=(4,), dtype=jnp.float32, mesh=mesh,
+)
+out_dir = os.environ["EXPORT_DIR"]
+written = engine.export(out_dir)
+# the barrier inside export() guarantees the artifact is complete here
+for key, path in written.items():
+    assert os.path.exists(path), (rank, key, path)
+
+run_img = load_exported_sharded(out_dir, "encode_image_b4", mesh)
+rng = np.random.default_rng(5)
+imgs = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+feats = run_img(imgs)
+from jax.experimental import multihost_utils
+full = np.asarray(multihost_utils.process_allgather(feats, tiled=True))
+if rank == 0:
+    print("EXPORT_RESULT", json.dumps(
+        {"sum": float(full.sum()), "first": [float(v) for v in full[0, :4]],
+         "files": sorted(os.path.basename(p) for p in written.values())}
+    ))
+"""
+
+
+def _run_export_workers(tmp_path, world_size):
+    script = tmp_path / f"export_worker_{world_size}.py"
+    script.write_text(_EXPORT_WORKER)
+    export_dir = tmp_path / f"artifact_{world_size}"
+    export_dir.mkdir()
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    port = _free_port()
+
+    procs = []
+    for rank in range(world_size):
+        env = dict(os.environ)
+        env.update(
+            WORLD_SIZE=str(world_size), RANK=str(rank),
+            MASTER_ADDR="127.0.0.1", MASTER_PORT=str(port),
+            REPO_ROOT=repo_root, EXPORT_DIR=str(export_dir),
+            **_cache_env(repo_root),
+        )
+        env.pop("JAX_PLATFORMS", None)
+        env.pop("XLA_FLAGS", None)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(script)], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=360)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for rank, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {rank}/{world_size} failed:\n{out}"
+    import json
+
+    line = next(
+        l for l in outs[0].splitlines() if l.startswith("EXPORT_RESULT")
+    )
+    return json.loads(line.split(" ", 1)[1])
+
+
+def test_cross_process_mesh_sharded_export(tmp_path):
+    """export() on a 2-process TP mesh gathers the non-addressable leaves,
+    writes once, and reloads to the same features as the 1-process export."""
+    two = _run_export_workers(tmp_path, world_size=2)
+    one = _run_export_workers(tmp_path, world_size=1)
+
+    import numpy as np
+
+    assert two["files"] == one["files"]
+    np.testing.assert_allclose(two["sum"], one["sum"], rtol=1e-6)
+    np.testing.assert_allclose(two["first"], one["first"], rtol=1e-6)
+
+
 def test_cross_process_train_step_equality(tmp_path):
     """3 pjit'd DINO train steps on 2 processes × 2 devices == the same run
     on 1 process × 4 devices: losses, grad norms, and final params must
