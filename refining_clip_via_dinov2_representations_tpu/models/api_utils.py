@@ -146,16 +146,32 @@ class TracedModel:
     calling with other shapes raises (as a torch trace would silently
     mis-run or error). `image_size` and `context_length` mirror the
     attributes the reference re-attaches after tracing (`model.py:953`).
+
+    The weight pytree is a traced ARGUMENT of each executable, held on
+    `self.variables` and passed at call time — never closure-captured, which
+    would bake every weight into the HLO as literal constants (multi-GB
+    programs for production towers; the same rule train/step.py follows for
+    frozen teacher weights).
     """
 
-    def __init__(self, compiled_forward, compiled_image, compiled_text,
-                 image_size, context_length, batch_size):
-        self.forward = compiled_forward
-        self.encode_image = compiled_image
-        self.encode_text = compiled_text
+    def __init__(self, variables, compiled_forward, compiled_image,
+                 compiled_text, image_size, context_length, batch_size):
+        self.variables = variables
+        self._forward = compiled_forward
+        self._encode_image = compiled_image
+        self._encode_text = compiled_text
         self.image_size = image_size
         self.context_length = context_length
         self.batch_size = batch_size
+
+    def forward(self, image, text):
+        return self._forward(self.variables, image, text)
+
+    def encode_image(self, image):
+        return self._encode_image(self.variables, image)
+
+    def encode_text(self, text):
+        return self._encode_text(self.variables, text)
 
     def __call__(self, image, text):
         return self.forward(image, text)
@@ -164,39 +180,45 @@ class TracedModel:
 def trace_model(model, variables, batch_size: int = 256, device=None,
                 image_dtype=jnp.float32):
     """AOT-compile the model's three entry points at a fixed batch size
-    (`model.py:938-954`). `variables` is closed over (traced as a constant
-    of the executable, like weights baked into a torch trace); pass the
-    fp32 or `convert_weights_to_lp`-cast tree as desired. `image_dtype`
-    fixes the pixel-input dtype the executables accept — pass
+    (`model.py:938-954`). `variables` rides as a traced argument (device_put
+    once, passed on every call) — pass the fp32 or
+    `convert_weights_to_lp`-cast tree as desired. `image_dtype` fixes the
+    pixel-input dtype the executables accept — pass
     `get_input_dtype(precision)` for a bf16 input pipeline."""
     from ..utils import to_2tuple
 
     ih, iw = to_2tuple(model.vision_cfg.image_size)
     ctx = model.text_cfg.context_length
+    if device is not None:
+        variables = jax.device_put(variables, device)
     img_s = jax.ShapeDtypeStruct((batch_size, ih, iw, 3), image_dtype)
     txt_s = jax.ShapeDtypeStruct((batch_size, ctx), jnp.int32)
+    vars_s = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        variables,
+    )
 
-    def forward(image, text):
-        return model.apply(variables, image, text)
+    def forward(vars_, image, text):
+        return model.apply(vars_, image, text)
 
-    def encode_image(image):
+    def encode_image(vars_, image):
         return model.apply(
-            variables, image, method=model.encode_image, normalize=False
+            vars_, image, method=model.encode_image, normalize=False
         )
 
-    def encode_text(text):
+    def encode_text(vars_, text):
         return model.apply(
-            variables, text, method=model.encode_text, normalize=False
+            vars_, text, method=model.encode_text, normalize=False
         )
 
     opts = {}
     if device is not None:
         opts["device"] = device
-    compiled_forward = jax.jit(forward, **opts).lower(img_s, txt_s).compile()
-    compiled_image = jax.jit(encode_image, **opts).lower(img_s).compile()
-    compiled_text = jax.jit(encode_text, **opts).lower(txt_s).compile()
+    compiled_forward = jax.jit(forward, **opts).lower(vars_s, img_s, txt_s).compile()
+    compiled_image = jax.jit(encode_image, **opts).lower(vars_s, img_s).compile()
+    compiled_text = jax.jit(encode_text, **opts).lower(vars_s, txt_s).compile()
     return TracedModel(
-        compiled_forward, compiled_image, compiled_text,
+        variables, compiled_forward, compiled_image, compiled_text,
         image_size=(ih, iw), context_length=ctx, batch_size=batch_size,
     )
 
@@ -231,10 +253,7 @@ def get_model_preprocess_cfg(model) -> Dict[str, Any]:
             "model has no attached preprocess cfg and no vision_cfg to "
             "derive one from (was it built outside the factory?)"
         )
-    cfg = PreprocessCfg(
-        **{**asdict(PreprocessCfg()), "size": vision_cfg.image_size}
-    )
-    return asdict(cfg)
+    return asdict(PreprocessCfg(size=vision_cfg.image_size))
 
 
 def get_model_tokenize_cfg(model) -> Dict[str, Any]:

@@ -476,7 +476,7 @@ def build_model(
     if cfg.multimodal_cfg is not None:
         from .coca import CoCa
 
-        return CoCa(
+        module = CoCa(
             embed_dim=cfg.embed_dim,
             vision_cfg=cfg.vision_cfg,
             text_cfg=cfg.text_cfg,
@@ -488,14 +488,32 @@ def build_model(
             attn_impl=attn_impl,
             remat=remat,
         )
-    return CLIP(
-        embed_dim=cfg.embed_dim,
-        vision_cfg=cfg.vision_cfg,
-        text_cfg=cfg.text_cfg,
-        quick_gelu=cfg.quick_gelu or force_quick_gelu,
-        init_logit_scale=cfg.init_logit_scale or DEFAULT_INIT_LOGIT_SCALE,
-        init_logit_bias=cfg.init_logit_bias,
-        dtype=dtype,
-        attn_impl=attn_impl,
-        remat=remat,
+    else:
+        module = CLIP(
+            embed_dim=cfg.embed_dim,
+            vision_cfg=cfg.vision_cfg,
+            text_cfg=cfg.text_cfg,
+            quick_gelu=cfg.quick_gelu or force_quick_gelu,
+            init_logit_scale=cfg.init_logit_scale or DEFAULT_INIT_LOGIT_SCALE,
+            init_logit_bias=cfg.init_logit_bias,
+            dtype=dtype,
+            attn_impl=attn_impl,
+            remat=remat,
+        )
+    # Sidecar recording whether the reference factory would have built
+    # CustomTextCLIP/CoCa for this config (`factory.py:398-414`): config
+    # flag, HF text tower, or a multimodal (CoCa) head. Lock/param-group
+    # semantics in the trainer key off this (CustomTextCLIP delegates text
+    # locking to TextTransformer.lock and has no `model.transformer`), and
+    # reading it off the BUILT module means hf-hub:/unregistered configs
+    # resolve without a registry lookup.
+    object.__setattr__(
+        module,
+        "_custom_text",
+        bool(
+            cfg.custom_text
+            or cfg.text_cfg.hf_model_name
+            or cfg.multimodal_cfg is not None
+        ),
     )
+    return module

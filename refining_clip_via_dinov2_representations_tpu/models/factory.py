@@ -310,7 +310,7 @@ def create_model(
     pretrained: Optional[str] = None,
     precision: str = "fp32",
     force_quick_gelu: bool = False,
-    force_custom_text: bool = False,  # accepted for API parity; no-op in JAX
+    force_custom_text: bool = False,  # flips the module's custom_text sidecar
     force_patch_dropout: Optional[float] = None,
     force_image_size: Optional[Union[int, Tuple[int, int]]] = None,
     force_preprocess_cfg: Optional[Dict[str, Any]] = None,
@@ -370,6 +370,11 @@ def create_model(
     model = build_model(
         cfg, dtype=compute_dtype, attn_impl=attn_impl, remat=grad_checkpointing
     )
+    if force_custom_text:
+        # Same effect as the reference's force_custom_text (`factory.py:405`):
+        # the one flax CLIP class serves both layouts, but lock/param-group
+        # semantics downstream read this sidecar (set by build_model).
+        object.__setattr__(model, "_custom_text", True)
 
     # resolve pretrained tag/path
     if pretrained:

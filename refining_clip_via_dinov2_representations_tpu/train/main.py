@@ -123,12 +123,17 @@ def _text_tower_style(args, model) -> str:
     CLIP class (`model.py:337-398`). The reference builds CustomTextCLIP
     when the config sets custom_text, when --force-custom-text is given, or
     when the text tower is an HF model (`factory.py:405-406`) — all three
-    signals are honored here, reading the HF case off the BUILT model's
-    text cfg so hf-hub:/unregistered configs resolve too."""
+    signals are honored: the primary source is the `_custom_text` sidecar
+    build_model/create_model attach to the BUILT module (covers hf-hub:
+    and unregistered configs, whose registry lookup would return None),
+    with args/registry fallbacks for modules built outside the factory."""
     if getattr(args, "force_custom_text", False):
         return "custom_text"
     if "coca" in args.model.lower() or getattr(args, "use_coca", False):
         return "custom_text"
+    sidecar = getattr(model, "_custom_text", None)
+    if sidecar is not None:
+        return "custom_text" if sidecar else "clip"
     if getattr(getattr(model, "text_cfg", None), "hf_model_name", None):
         return "custom_text"
     from ..models import get_model_config
@@ -154,14 +159,28 @@ def main(args=None):
         # numerical sanity monitor (SURVEY §5 "race detection" analogue):
         # raise on the first NaN-producing op instead of training through it
         jax.config.update("jax_debug_nans", True)
-    if args.compile_cache:
-        # Persistent XLA compilation cache: a preempted-and-resumed run (the
-        # TPU-fleet norm) skips the multi-minute train-step recompile. The
-        # cache key covers HLO + compiler flags + topology, so sharing one
-        # dir across configs is safe.
-        os.makedirs(args.compile_cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", args.compile_cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if not args.compile_cache:
+        return _main(args)
+    # Persistent XLA compilation cache: a preempted-and-resumed run (the
+    # TPU-fleet norm) skips the multi-minute train-step recompile. The cache
+    # key covers HLO + compiler flags + topology, so sharing one dir across
+    # configs is safe. The config is PROCESS-GLOBAL, so save/restore around
+    # the run — an in-process caller (the test suite, a notebook) must not
+    # have its own cache dir permanently rebound to ours.
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    os.makedirs(args.compile_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", args.compile_cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        return _main(args)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+
+
+def _main(args):
+    import jax
 
     # ---- multi-host init (`main.py:113` -> `distributed.py:93-195`) ----
     # Must run before any other backend use: joins the job when launched
@@ -627,14 +646,21 @@ def main(args=None):
                         "first, or point at the epoch_N directory)"
                     )
                 logging.info("=> fetching remote checkpoint %s", resume_path)
-                # mirror into a CLEARED staging dir: merging over an existing
-                # local epoch_N of the same name would leave stale orbax
-                # files in a mixed tree, and a foreign checkpoint must not
+                # mirror into a CLEARED, PER-PROCESS staging dir: merging over
+                # an existing local epoch_N of the same name would leave stale
+                # orbax files in a mixed tree; a foreign checkpoint must not
                 # join this run's own `latest`/prune history (its name only
-                # matches the epoch_N scan at the checkpoints/ top level)
+                # matches the epoch_N scan at the checkpoints/ top level); and
+                # on a shared filesystem each multi-host process fetches its
+                # own copy (as the reference's per-rank pt_load does,
+                # `file_utils.py:69-75`) — a shared dir would let one
+                # process's rmtree race another's restore
                 import shutil
 
-                staging = os.path.join(checkpoint_dir, "_remote_staging")
+                staging = os.path.join(
+                    checkpoint_dir,
+                    f"_remote_staging_p{jax.process_index()}",
+                )
                 shutil.rmtree(staging, ignore_errors=True)
                 os.makedirs(staging, exist_ok=True)
                 resume_path = fetch_remote_checkpoint(resume_path, staging)

@@ -27,11 +27,16 @@ jax.config.update("jax_platforms", "cpu")
 # 1-CPU host: full suite 56:36 cold → see COMPONENTS.md for the warm number.
 # Safe across code changes (different HLO → different key); delete
 # `.jax_cache_tests/` to force a cold run. Disable with REFINING_CLIP_TEST_NO_CACHE=1.
+# TEST_CACHE_* are the single source of truth — subprocess-spawning tests
+# (test_multihost) hand workers the same cache via these constants.
+TEST_CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tests"
+)
+TEST_CACHE_MIN_COMPILE_SECS = 1.0
 if os.environ.get("REFINING_CLIP_TEST_NO_CACHE", "") in ("", "0"):
-    _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tests")
-    os.makedirs(_cache_dir, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.makedirs(TEST_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", TEST_CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", TEST_CACHE_MIN_COMPILE_SECS)
 
 import pathlib
 import sys

@@ -390,3 +390,36 @@ def test_default_train_branch_warns_on_timm_only_keys():
     warns (`transform.py:357-358`)."""
     with pytest.warns(UserWarning, match="Unused augmentation cfg"):
         oc.image_transform(16, is_train=True, aug_cfg={"re_prob": 0.25})
+
+
+def test_custom_text_sidecar_drives_text_tower_style():
+    """Lock/param-group semantics are derived from the BUILT module's
+    `_custom_text` sidecar (build_model/create_model attach it), so hf-hub:
+    and unregistered configs with `custom_text: true` get CustomTextCLIP
+    semantics even though their registry lookup returns None (reference
+    builds CustomTextCLIP from the hub config, `factory.py:398-414`)."""
+    import argparse
+
+    from refining_clip_via_dinov2_representations_tpu.models import (
+        build_model, parse_model_cfg,
+    )
+    from refining_clip_via_dinov2_representations_tpu.train.main import (
+        _text_tower_style,
+    )
+
+    args = argparse.Namespace(
+        model="hf-hub:org/unregistered-custom-text", force_custom_text=False
+    )
+    custom = build_model(parse_model_cfg({**TINY_CFG, "custom_text": True}))
+    assert custom._custom_text is True
+    assert _text_tower_style(args, custom) == "custom_text"
+
+    plain = build_model(parse_model_cfg(TINY_CFG))
+    assert plain._custom_text is False
+    assert _text_tower_style(args, plain) == "clip"
+
+    # force_custom_text flips the sidecar through the factory, like the
+    # reference's force path (`factory.py:405`)
+    model, _, _ = oc.create_model("tiny-test-model", force_custom_text=True,
+                                  init_params=False)
+    assert model._custom_text is True

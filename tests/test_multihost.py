@@ -195,14 +195,18 @@ def _free_port():
 
 def _cache_env(repo_root):
     """Hand the spawned workers the same persistent compile cache the parent
-    suite uses (conftest.py) — jax reads these env vars at import, which is
-    early enough even under the deployment's sitecustomize. The pjit step
-    compiles dominate these tests' wall time."""
+    suite uses — dir/threshold come from conftest's TEST_CACHE_* constants so
+    the two can't drift (a renamed cache dir would otherwise leave workers
+    writing a second, never-persisted cache). jax reads these env vars at
+    import, which is early enough even under the deployment's sitecustomize.
+    The pjit step compiles dominate these tests' wall time."""
     if os.environ.get("REFINING_CLIP_TEST_NO_CACHE", "") not in ("", "0"):
         return {}
+    from tests.conftest import TEST_CACHE_DIR, TEST_CACHE_MIN_COMPILE_SECS
+
     return {
-        "JAX_COMPILATION_CACHE_DIR": os.path.join(repo_root, ".jax_cache_tests"),
-        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": "1.0",
+        "JAX_COMPILATION_CACHE_DIR": TEST_CACHE_DIR,
+        "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS": str(TEST_CACHE_MIN_COMPILE_SECS),
     }
 
 

@@ -113,7 +113,7 @@ def test_direct_remote_resume_url(tmp_path):
     # the remote checkpoint was mirrored into a STAGING dir (not the run's
     # own history: a foreign epoch_1 must not be discoverable by a later
     # `--resume latest` or the prune logic), and only epoch 2 was trained
-    assert (logs2 / "run" / "checkpoints" / "_remote_staging" / "epoch_1").is_dir()
+    assert (logs2 / "run" / "checkpoints" / "_remote_staging_p0" / "epoch_1").is_dir()
     assert not (logs2 / "run" / "checkpoints" / "epoch_1").exists()
     steps = json.loads((logs2 / "run" / "loss_steps.json").read_text())
     assert [s["epoch"] for s in steps] == [1]
