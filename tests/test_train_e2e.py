@@ -54,6 +54,11 @@ def test_cli_synthetic_training(tmp_path):
     assert len(steps) >= 1 and np.isfinite(steps[-1]["total_loss"])
     # --compile-cache: the train-step compile (>1 s) must have persisted
     assert any((tmp_path / "xla_cache").iterdir())
+    # ... and main() must have RESTORED the process-global cache config on
+    # exit — in-process callers (this suite) keep their own cache dir
+    import jax
+
+    assert jax.config.jax_compilation_cache_dir != str(tmp_path / "xla_cache")
 
 
 def test_cli_dino_synthetic_training(tmp_path):
