@@ -319,28 +319,58 @@ def main():
     # warmup / compile. NOTE: timing must end on a VALUE FETCH — on the
     # tunneled axon backend `block_until_ready` returns before execution
     # completes; fetching the final loss forces the whole chained computation.
+    # The persistent-cache file count before/after distinguishes a cache hit
+    # (compile_s ~ seconds: deserialization only) from a miss (minutes over
+    # the tunnel) — recorded in the JSON so round-over-round compile-time
+    # swings are self-explaining.
+    cache_files_before = len(list(os.scandir(cache_dir)))
     _log("compiling train step...")
+    t_compile = time.perf_counter()
     for i in range(2):
         if teacher_fn is not None:
             batch_data["dino_features"] = teacher_fn(teacher_vars, batch_data["images"])
         state, metrics = train_step(state, batch_data, frozen)
         _log(f"warmup step {i} done, loss={float(metrics['total_loss']):.4f}")
+    compile_s = time.perf_counter() - t_compile
+    cache_miss = len(list(os.scandir(cache_dir))) > cache_files_before
 
-    # 30 steps amortize the tunnel round-trip of the closing value fetch
-    # (~35 ms RTT / n_steps of bias at 10 steps; ~1 ms at 30)
-    n_steps = int(os.environ.get("BENCH_STEPS", 30))
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
+    # Window design (r5 measurement study): the chip ramps for ~10-15 s after
+    # the compile/warmup — a 5x100-step run on the same HEAD read 832.8 on
+    # window 0 and then 884.0/884.2/884.5/885.2 (steady to ±0.1%). r04's
+    # single 30-step window right after warmup caught that ramp and recorded
+    # 859 as a phantom regression. So: (a) BENCH_RAMP_STEPS untimed steps
+    # first, (b) 100-step windows (amortize the ~35 ms tunnel fetch to
+    # ~0.3%), (c) BENCH_REPEATS windows (default 3) with the MEDIAN as the
+    # headline — any residual ramp window lands at the bottom and is
+    # discarded by construction.
+    n_steps = int(os.environ.get("BENCH_STEPS", 100))
+    n_repeats = max(1, int(os.environ.get("BENCH_REPEATS", 3)))
+    ramp_steps = int(os.environ.get("BENCH_RAMP_STEPS", 30))
+    for _ in range(ramp_steps):
         if teacher_fn is not None:
-            # split mode: re-run the teacher forward every step (its cost is
-            # part of the measured step; the loop pipelines both programs)
             batch_data["dino_features"] = teacher_fn(teacher_vars, batch_data["images"])
         state, metrics = train_step(state, batch_data, frozen)
-    final_loss = float(metrics["total_loss"])  # sync point
-    dt = time.perf_counter() - t0
+    float(metrics["total_loss"])  # fetch: drain the ramp before timing
+    window_ips = []
+    for w in range(n_repeats):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            if teacher_fn is not None:
+                # split mode: re-run the teacher forward every step (its cost
+                # is part of the measured step; the loop pipelines both)
+                batch_data["dino_features"] = teacher_fn(teacher_vars, batch_data["images"])
+            state, metrics = train_step(state, batch_data, frozen)
+        float(metrics["total_loss"])  # sync point: forces the whole window
+        dt = time.perf_counter() - t0
+        window_ips.append(batch / (dt / n_steps) / n_chips)
+        _log(f"window {w}: {window_ips[-1]:.2f} img/s/chip")
 
-    step_time = dt / n_steps
-    ips = batch / step_time / n_chips
+    window_ips.sort()
+    ips = window_ips[len(window_ips) // 2]  # median (windows are few and odd by default)
+    if len(window_ips) % 2 == 0:
+        ips = (ips + window_ips[len(window_ips) // 2 - 1]) / 2
+    spread_pct = (window_ips[-1] - window_ips[0]) / ips * 100 if ips else 0.0
+    step_time = batch / (ips * n_chips)
 
     flops = _analytic_step_flops(batch, cfg) + teacher_flops
     peak = {"tpu": 197e12, "cpu": 1e12}.get(backend, 100e12)  # v5e bf16 peak
@@ -371,6 +401,10 @@ def main():
                 "mu_dtype": mu_dtype
                 or ("bfloat16" if precision == "pure_bf16" else "float32"),
                 "loss": round(float(metrics["total_loss"]), 4),
+                "windows": [round(w, 2) for w in window_ips],
+                "spread_pct": round(spread_pct, 2),
+                "compile_s": round(compile_s, 1),
+                "compile_cache": "miss" if cache_miss else "hit",
             }
         )
     )

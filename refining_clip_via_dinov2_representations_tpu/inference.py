@@ -392,7 +392,10 @@ class ClipInferenceEngine:
         the mesh shape in `sharding_manifest.json`; a serving host reloads
         with `load_exported_sharded(out_dir, name, mesh)` on a mesh with the
         same axis names/sizes (GSPMD partitioning is topology-specific by
-        construction). Returns {name: path}.
+        construction). On a multi-host mesh, process 0 writes the artifact
+        and `out_dir` MUST be on a filesystem shared by all processes
+        (NFS/GCS-fuse); every process verifies visibility after the barrier
+        and raises if the files aren't there. Returns {name: path}.
         """
         os.makedirs(out_dir, exist_ok=True)
         if self.mesh is not None:
@@ -495,6 +498,20 @@ class ClipInferenceEngine:
                 json.dump(manifest, f)
         if multihost:
             multihost_utils.sync_global_devices("export_sharded_written")
+            # the path mapping is only meaningful if every process can see
+            # the files process 0 wrote — i.e. out_dir is on a SHARED
+            # filesystem. On per-host local disks ranks != 0 would otherwise
+            # pass the barrier and fail much later at load time.
+            missing = [p for p in written.values() if not os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"export(out_dir={out_dir!r}): process "
+                    f"{jax.process_index()} cannot see "
+                    f"{[os.path.basename(m) for m in missing]} written by "
+                    "process 0 — multi-host export requires out_dir on a "
+                    "filesystem shared by all processes (NFS/GCS-fuse); "
+                    "point out_dir at shared storage or export single-host"
+                )
         return written
 
     def _bake(self, fn):
@@ -521,11 +538,23 @@ def _to_partition_spec(entries):
     )
 
 
-# (abspath(out_dir), mesh) -> (manifest, device-resident variables pytree):
-# every encoder/bucket loaded from the same artifact onto the same mesh
-# shares ONE device copy of the weights (a default-bucket two-tower engine
-# is 6 loads; private copies would multiply GB-scale weight HBM by 6)
+# (abspath(out_dir), freshness, mesh) -> (manifest, device-resident
+# variables pytree): every encoder/bucket loaded from the same artifact onto
+# the same mesh shares ONE device copy of the weights (a default-bucket
+# two-tower engine is 6 loads; private copies would multiply GB-scale weight
+# HBM by 6). The freshness token (mtime+size of manifest and params.npz)
+# makes a re-export to the same directory a cache miss instead of silently
+# serving stale weights; stale entries are dropped so their device copies
+# can be collected.
 _SHARDED_PARAMS_CACHE: Dict[Any, Any] = {}
+
+
+def _artifact_freshness(out_dir: str):
+    token = []
+    for name in ("sharding_manifest.json", "params.npz"):
+        st = os.stat(os.path.join(out_dir, name))
+        token.append((name, st.st_mtime_ns, st.st_size))
+    return tuple(token)
 
 
 def _load_sharded_params(out_dir: str, mesh):
@@ -533,10 +562,18 @@ def _load_sharded_params(out_dir: str, mesh):
 
     from jax.sharding import NamedSharding
 
-    key = (os.path.abspath(out_dir), mesh)
+    base = os.path.abspath(out_dir)
+    fresh = _artifact_freshness(out_dir)
+    key = (base, fresh, mesh)
     hit = _SHARDED_PARAMS_CACHE.get(key)
     if hit is not None:
         return hit
+    # drop entries for SUPERSEDED versions of this artifact (same dir,
+    # older freshness) — same-version entries on other meshes stay live
+    for stale in [
+        k for k in _SHARDED_PARAMS_CACHE if k[0] == base and k[1] != fresh
+    ]:
+        del _SHARDED_PARAMS_CACHE[stale]
 
     with open(os.path.join(out_dir, "sharding_manifest.json")) as f:
         manifest = json.load(f)

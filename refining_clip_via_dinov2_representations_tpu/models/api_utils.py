@@ -189,8 +189,11 @@ def trace_model(model, variables, batch_size: int = 256, device=None,
 
     ih, iw = to_2tuple(model.vision_cfg.image_size)
     ctx = model.text_cfg.context_length
-    if device is not None:
-        variables = jax.device_put(variables, device)
+    # materialize on device ONCE, unconditionally (device=None places on the
+    # default device) — a host/numpy pytree left as-is would re-transfer the
+    # whole weight tree on every call, the exact regression trace_model exists
+    # to avoid
+    variables = jax.device_put(variables, device)
     img_s = jax.ShapeDtypeStruct((batch_size, ih, iw, 3), image_dtype)
     txt_s = jax.ShapeDtypeStruct((batch_size, ctx), jnp.int32)
     vars_s = jax.tree.map(

@@ -87,16 +87,24 @@ def _window_reverse(x: jnp.ndarray, w: int, h: int, wd: int) -> jnp.ndarray:
 
 
 def _shift_attn_mask(h: int, wd: int, w: int, shift: int) -> np.ndarray:
-    """Additive [-inf/0] mask [nW, w*w, w*w] for shifted windows."""
+    """Additive [-inf/0] mask [nW, w*w, w*w] for shifted windows.
+
+    Pure numpy on purpose: this runs at TRACE time (shapes are static), so it
+    must stay concrete — routing it through jnp ops would stage it as tracers
+    and crash the jitted train step on `np.asarray` (caught by the r5
+    abstract-init sweep over all registry configs)."""
     img = np.zeros((1, h, wd, 1), np.float32)
     cnt = 0
     for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
         for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
             img[:, hs, ws, :] = cnt
             cnt += 1
-    win = np.asarray(
-        _window_partition(jnp.asarray(img), w)
-    ).reshape(-1, w * w)
+    # numpy clone of _window_partition: [1, H, W, 1] -> [nW, w*w]
+    win = (
+        img.reshape(1, h // w, w, wd // w, w, 1)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(-1, w * w)
+    )
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 

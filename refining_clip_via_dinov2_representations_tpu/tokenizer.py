@@ -556,34 +556,146 @@ class HFTokenizer:
 
 
 class SigLipTokenizer:
-    """SentencePiece tokenizer wrapper for SigLIP models (T5/mT5 vocabs)."""
+    """SentencePiece tokenizer wrapper for SigLIP models (T5/mT5/Gemma vocabs,
+    reference `tokenizer.py:464-528`).
+
+    The reference auto-downloads the vocab from GCS on every construction;
+    this rebuild is offline-first and resolves `tokenizer_name` through a
+    documented chain instead:
+
+    1. An existing local path — a sentencepiece ``.model`` (needs the
+       `sentencepiece` package), a serialized fast-tokenizer ``.json``, or a
+       `save_pretrained` directory.
+    2. A logical vocab name (``c4-en`` / ``mc4`` / ``gemma``) or a SigLIP
+       model name (``ViT-B-16-SigLIP`` → ``c4-en``, ``*-i18n`` → ``mc4``,
+       ``*SigLIP2*`` → ``gemma``), looked up as a file named
+       ``VOCAB_FILES[name]`` (or its ``.json`` sibling) in
+       ``$REFINING_CLIP_VOCAB_DIR``.
+    3. The local HuggingFace cache (no network): the same vocabs ship with
+       public HF models — ``c4-en`` is byte-identical to `t5-base`'s
+       cc_en.32000 spiece model, ``mc4`` to `google/mt5-base`'s, ``gemma``
+       to `google/gemma-2b`'s tokenizer.
+
+    Gemma vocabs load through `GemmaTokenizerFast` (right-padding, EOS
+    appended, pad id 0) exactly as the reference does; everything else
+    through `T5TokenizerFast` (pad id forced to 1, the SigLIP convention).
+    """
 
     VOCAB_FILES = {
-        # english, vocab_size=32000
+        # english, vocab_size=32000 (reference: t5-data cc_en.32000)
         "c4-en": "c4_en_32000.model",
-        # used in multilingual models (mT5, PaLI), vocab_size=250000
+        # multilingual (mT5, PaLI), vocab_size=250000
         "mc4": "mc4_250000.model",
-        # SigLIP2 uses a Gemma vocab (wrong family for T5TokenizerFast) —
-        # resolved via HFTokenizer when the config names one; kept here so
-        # the logical name fails with guidance instead of a file-not-found.
+        # SigLIP2, vocab_size=256000 (big_vision gemma tokenizer)
         "gemma": "gemma_256000.model",
     }
+    # logical name -> public HF repo carrying the identical vocab (cache-only
+    # fallback; never triggers a download)
+    HF_CACHE_EQUIVALENTS = {
+        "c4-en": "t5-base",
+        "mc4": "google/mt5-base",
+        "gemma": "google/gemma-2b",
+    }
+
+    @classmethod
+    def _logical_name(cls, tokenizer_name: str) -> Optional[str]:
+        if tokenizer_name in cls.VOCAB_FILES:
+            return tokenizer_name
+        lname = tokenizer_name.lower()
+        if "siglip" in lname:  # model name (factory.py:124-184 dispatch rule)
+            if "siglip2" in lname or "gemma" in lname:
+                return "gemma"
+            return "mc4" if "i18n" in lname else "c4-en"
+        return None
+
+    def _build(self, gemma: bool, **load_kwargs):
+        if gemma:
+            from transformers import GemmaTokenizerFast
+
+            tok = GemmaTokenizerFast(
+                padding_side="right", add_bos_token=False, add_eos_token=True,
+                legacy=False, **load_kwargs,
+            )
+            tok.pad_token_id = 0
+        else:
+            from transformers import T5TokenizerFast
+
+            tok = T5TokenizerFast(extra_ids=0, legacy=False, **load_kwargs)
+            tok.pad_token_id = 1
+        tok.eos_token_id = 1
+        return tok
 
     def __init__(self, tokenizer_name: str, context_length: Optional[int] = 64):
-        from transformers import T5TokenizerFast
+        # an existing path wins over name-based dispatch: a path like
+        # "vocabs/siglip/foo.model" must never be re-routed as a logical name
+        logical = None if os.path.exists(tokenizer_name) else self._logical_name(
+            tokenizer_name
+        )
+        gemma = "gemma" in (logical or tokenizer_name).lower()
 
-        if tokenizer_name in self.VOCAB_FILES or not os.path.exists(tokenizer_name):
-            raise NotImplementedError(
-                f"SigLIP tokenizer '{tokenizer_name}' is a logical vocab name or a "
-                "missing path. Bundled sentencepiece vocabs require network "
-                "download; pass a local .model path, or set "
-                "text_cfg.hf_tokenizer_name (SigLIP2's Gemma vocab must come "
-                "through HFTokenizer, not T5TokenizerFast)."
+        # 1. explicit local artifact
+        if os.path.exists(tokenizer_name):
+            if os.path.isdir(tokenizer_name):
+                from transformers import AutoTokenizer
+
+                self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+                self.tokenizer.pad_token_id = 0 if gemma else 1
+                self.tokenizer.eos_token_id = 1
+            elif tokenizer_name.endswith(".json"):
+                self.tokenizer = self._build(gemma, tokenizer_file=tokenizer_name)
+            else:
+                self.tokenizer = self._build(gemma, vocab_file=tokenizer_name)
+            self.context_length = context_length
+            return
+
+        if logical is None:
+            raise FileNotFoundError(
+                f"SigLIP tokenizer '{tokenizer_name}' is neither an existing "
+                "local path nor a known logical vocab name "
+                f"({sorted(self.VOCAB_FILES)}) or SigLIP model name."
             )
-        self.tokenizer = T5TokenizerFast(tokenizer_name, legacy=False)
-        self.tokenizer.pad_token_id = 1
-        self.tokenizer.eos_token_id = 1
-        self.context_length = context_length
+
+        # 2. $REFINING_CLIP_VOCAB_DIR/<vocab file> (.model or .json sibling)
+        vocab_dir = os.environ.get("REFINING_CLIP_VOCAB_DIR", "")
+        if vocab_dir:
+            base = os.path.join(vocab_dir, self.VOCAB_FILES[logical])
+            for cand in (base, os.path.splitext(base)[0] + ".json"):
+                if os.path.exists(cand):
+                    self.tokenizer = self._build(
+                        gemma,
+                        **(
+                            {"tokenizer_file": cand}
+                            if cand.endswith(".json")
+                            else {"vocab_file": cand}
+                        ),
+                    )
+                    self.context_length = context_length
+                    return
+
+        # 3. local HF cache of a public model with the identical vocab
+        try:
+            from transformers import AutoTokenizer
+
+            tok = AutoTokenizer.from_pretrained(
+                self.HF_CACHE_EQUIVALENTS[logical], local_files_only=True
+            )
+            tok.pad_token_id = 0 if gemma else 1
+            tok.eos_token_id = 1
+            self.tokenizer = tok
+            self.context_length = context_length
+            return
+        except Exception:
+            pass
+
+        raise FileNotFoundError(
+            f"SigLIP vocab '{logical}' not found offline. Options: "
+            f"(a) pass a local sentencepiece .model / fast-tokenizer .json "
+            f"path directly; (b) place {self.VOCAB_FILES[logical]!r} (or its "
+            f".json sibling) in $REFINING_CLIP_VOCAB_DIR; (c) populate the "
+            f"HF cache with {self.HF_CACHE_EQUIVALENTS[logical]!r} (same "
+            f"vocab) on a connected machine; (d) use a config with "
+            f"text_cfg.hf_tokenizer_name (HFTokenizer path)."
+        )
 
     def save_pretrained(self, dest):
         self.tokenizer.save_pretrained(dest)

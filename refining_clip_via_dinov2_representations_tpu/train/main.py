@@ -166,17 +166,26 @@ def main(args=None):
     # key covers HLO + compiler flags + topology, so sharing one dir across
     # configs is safe. The config is PROCESS-GLOBAL, so save/restore around
     # the run — an in-process caller (the test suite, a notebook) must not
-    # have its own cache dir permanently rebound to ours.
+    # have its own cache dir permanently rebound to ours. jax (0.9) binds
+    # the cache object at the FIRST compile and ignores later config
+    # updates, so each rebinding must also reset_cache() to take effect
+    # (otherwise --compile-cache is a silent no-op whenever any compile
+    # preceded main() in-process, and the restore leaves the suite writing
+    # into the run's dir).
+    from jax._src import compilation_cache as _cc
+
     prev_dir = jax.config.jax_compilation_cache_dir
     prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
     os.makedirs(args.compile_cache, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", args.compile_cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _cc.reset_cache()
     try:
         return _main(args)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", prev_min)
+        _cc.reset_cache()
 
 
 def _main(args):

@@ -317,6 +317,47 @@ def test_engine_mesh_sharded_export_roundtrip(tmp_path):
     assert len(keys) == 1, keys
 
 
+def test_engine_sharded_reexport_invalidates_param_cache(tmp_path):
+    """Re-exporting updated weights to the SAME directory must not serve the
+    stale cached params on reload (ADVICE r4: cache keyed on path+mesh only);
+    the stale entry is dropped so its device copies can be collected."""
+    import time
+
+    from refining_clip_via_dinov2_representations_tpu.inference import (
+        _SHARDED_PARAMS_CACHE,
+        load_exported_sharded,
+    )
+    from refining_clip_via_dinov2_representations_tpu.parallel.mesh import (
+        create_mesh,
+    )
+
+    model = build_model(parse_model_cfg(TINY_CFG))
+    mesh = create_mesh(data=4, model=2)
+    rng = np.random.default_rng(7)
+    imgs = rng.normal(size=(4, 16, 16, 3)).astype(np.float32)
+
+    outs = []
+    for seed in (0, 1):
+        variables = model.init(
+            jax.random.PRNGKey(seed), jnp.zeros((1, 16, 16, 3)),
+            jnp.zeros((1, 12), jnp.int32),
+        )
+        engine = ClipInferenceEngine(
+            model, variables, image_size=(16, 16), context_length=12,
+            buckets=(4,), dtype=jnp.float32, mesh=mesh,
+        )
+        engine.export(str(tmp_path))
+        run = load_exported_sharded(str(tmp_path), "encode_image_b4", mesh)
+        outs.append(np.asarray(run(imgs)))
+        if seed == 0:
+            time.sleep(0.01)  # guarantee a distinguishable mtime_ns
+
+    assert not np.allclose(outs[0], outs[1])  # new weights actually served
+    np.testing.assert_allclose(outs[1], engine.encode_image(imgs), atol=1e-6)
+    keys = [k for k in _SHARDED_PARAMS_CACHE if k[0] == str(tmp_path)]
+    assert len(keys) == 1, keys  # stale seed-0 entry evicted, not retained
+
+
 def test_engine_mesh_sharded_export_bf16_bit_exact(tmp_path):
     """bf16 param leaves are stored as raw bit patterns (uint16), not
     widened to fp32: the artifact stays at bf16 size and the roundtrip is

@@ -1,5 +1,7 @@
 """Token-id parity vs the PyTorch reference tokenizer (SURVEY §4 strategy a)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -138,15 +140,54 @@ def test_reduction_masks_respect_global_numpy_seed():
         assert np.array_equal(r1, r2), mask
 
 
-def test_siglip_tokenizer_logical_names_raise_guidance():
-    """Logical vocab names (incl. SigLIP2's gemma) fail with guidance, not a
-    T5 file-not-found crash."""
+def test_siglip_tokenizer_unresolvable_names_raise_guidance(monkeypatch):
+    """Logical vocab names with no offline source fail with the full option
+    list (local path / $REFINING_CLIP_VOCAB_DIR / HF cache / hf_tokenizer_name),
+    not a T5 file-not-found crash."""
     pytest.importorskip("transformers")
     from refining_clip_via_dinov2_representations_tpu.tokenizer import SigLipTokenizer
 
-    for name in ("c4-en", "mc4", "gemma", "/nonexistent/path.model"):
-        with pytest.raises(NotImplementedError):
+    monkeypatch.delenv("REFINING_CLIP_VOCAB_DIR", raising=False)
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # never consult a warm HF cache
+    for name in ("mc4", "gemma"):
+        with pytest.raises(FileNotFoundError, match="REFINING_CLIP_VOCAB_DIR"):
             SigLipTokenizer(name)
+    with pytest.raises(FileNotFoundError, match="neither an existing"):
+        SigLipTokenizer("/nonexistent/path.model")
+
+
+SIGLIP_VOCAB_DIR = os.path.join(os.path.dirname(__file__), "assets", "siglip_vocab")
+
+
+def test_siglip_tokenizer_offline_resolution_chain(monkeypatch):
+    """`SigLipTokenizer("ViT-B-16-SigLIP")` works fully offline (VERDICT r4
+    missing #3): the committed miniature T5-style vocab resolves through
+    $REFINING_CLIP_VOCAB_DIR for the model name, the logical name, and the
+    direct path — all three producing identical ids with T5 framing
+    (</s>-terminated, padded with eos id 1, reference tokenizer.py:505-507)."""
+    pytest.importorskip("transformers")
+    from refining_clip_via_dinov2_representations_tpu.tokenizer import SigLipTokenizer
+
+    texts = ["a photo of a cat", "Two dogs playing fetch!"]
+    direct = SigLipTokenizer(
+        os.path.join(SIGLIP_VOCAB_DIR, "c4_en_32000.json"), context_length=16
+    )(texts)
+    assert direct.shape == (2, 16) and direct.dtype == np.int32
+
+    monkeypatch.setenv("REFINING_CLIP_VOCAB_DIR", SIGLIP_VOCAB_DIR)
+    by_model_name = SigLipTokenizer("ViT-B-16-SigLIP", context_length=16)(texts)
+    by_logical = SigLipTokenizer("c4-en", context_length=16)(texts)
+    assert np.array_equal(direct, by_model_name)
+    assert np.array_equal(direct, by_logical)
+
+    # T5/SigLIP framing: every row ends in </s> (id 1) then pads with id 1
+    row = direct[0]
+    content = row[row != 1]
+    assert row[len(content)] == 1
+    # i18n model names route to the mc4 vocab, which the asset dir lacks
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    with pytest.raises(FileNotFoundError, match="mc4"):
+        SigLipTokenizer("ViT-B-16-SigLIP-i18n", context_length=16)
 
 
 @pytest.mark.skipif(not reference_available(), reason="reference not mounted")

@@ -52,13 +52,27 @@ def test_cli_synthetic_training(tmp_path):
     assert (base / "params.txt").exists()
     steps = json.loads((base / "loss_steps.json").read_text())
     assert len(steps) >= 1 and np.isfinite(steps[-1]["total_loss"])
-    # --compile-cache: the train-step compile (>1 s) must have persisted
+    # --compile-cache: the train-step compile (>1 s) must have persisted.
+    # This holds regardless of whether earlier suite tests already compiled
+    # (jax binds the cache at first compile; main() must reset_cache() on
+    # rebind — ADVICE r4 medium).
     assert any((tmp_path / "xla_cache").iterdir())
-    # ... and main() must have RESTORED the process-global cache config on
-    # exit — in-process callers (this suite) keep their own cache dir
+    # ... and main() must have RESTORED the EFFECTIVE cache binding on exit,
+    # not just the config value: suite compiles after main() must land in
+    # the conftest cache dir, not keep writing into the run's dir. Assert
+    # on the cache object jax would actually use for the next compile.
     import jax
+    from jax._src import compilation_cache as _cc
 
     assert jax.config.jax_compilation_cache_dir != str(tmp_path / "xla_cache")
+    effective = _cc._get_cache(jax.devices()[0].client)
+    assert effective is not None
+    assert os.path.realpath(effective.path) != os.path.realpath(
+        tmp_path / "xla_cache"
+    )
+    assert os.path.realpath(effective.path) == os.path.realpath(
+        jax.config.jax_compilation_cache_dir
+    )
 
 
 def test_cli_dino_synthetic_training(tmp_path):
