@@ -329,6 +329,7 @@ def _build_text_tower(
                 pooler_type=cfg.hf_pooler_type if cfg.hf_pooler_type else None,
                 pretrained=False,
                 dtype=dtype,
+                output_tokens=cfg.output_tokens,  # CoCa towers return tokens
             )
         except OSError as e:
             raise RuntimeError(

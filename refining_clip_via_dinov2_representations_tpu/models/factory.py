@@ -275,11 +275,9 @@ def load_hf_pretrained_text_params(
     `create_model` calls this after `model.init` whenever
     `text_cfg.hf_model_pretrained` is set and no full CLIP checkpoint
     supersedes it."""
-    from transformers import AutoConfig
+    from .hf_model import ARCH_DICT, _instantiate_hf, resolve_hf_config
 
-    from .hf_model import ARCH_DICT, _instantiate_hf
-
-    config = AutoConfig.from_pretrained(text_cfg.hf_model_name, cache_dir=cache_dir)
+    config = resolve_hf_config(text_cfg.hf_model_name, cache_dir=cache_dir)
     pooler_type = text_cfg.hf_pooler_type or ARCH_DICT.get(
         config.model_type, {}
     ).get("pooler", "mean_pooler")

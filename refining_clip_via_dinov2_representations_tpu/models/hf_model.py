@@ -156,11 +156,119 @@ class HFTextEncoder(nn.Module):
         return pooled
 
 
+# Frozen architecture hyperparameters of every hub model the 126-config
+# registry names (reference `model_configs/*.json` hf_model_name values).
+# Used ONLY when the hub config is neither cached nor fetchable — these are
+# immutable public architecture constants, so zero-egress hosts can still
+# BUILD (fresh-init) every registry config; pretrained WEIGHTS still require
+# a warm cache.
+_OFFLINE_HF_CONFIGS = {
+    "roberta-base": dict(
+        model_type="roberta", vocab_size=50265, hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    ),
+    "xlm-roberta-base": dict(
+        model_type="xlm-roberta", vocab_size=250002, hidden_size=768,
+        num_hidden_layers=12, num_attention_heads=12, intermediate_size=3072,
+        max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    ),
+    "xlm-roberta-large": dict(
+        model_type="xlm-roberta", vocab_size=250002, hidden_size=1024,
+        num_hidden_layers=24, num_attention_heads=16, intermediate_size=4096,
+        max_position_embeddings=514, type_vocab_size=1, layer_norm_eps=1e-5,
+        pad_token_id=1, bos_token_id=0, eos_token_id=2,
+    ),
+    "google/mt5-base": dict(
+        model_type="mt5", vocab_size=250112, d_model=768, d_kv=64, d_ff=2048,
+        num_layers=12, num_decoder_layers=12, num_heads=12,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, decoder_start_token_id=0,
+    ),
+    "google/mt5-xl": dict(
+        model_type="mt5", vocab_size=250112, d_model=2048, d_kv=64, d_ff=5120,
+        num_layers=24, num_decoder_layers=24, num_heads=32,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        pad_token_id=0, eos_token_id=1, decoder_start_token_id=0,
+    ),
+    "facebook/nllb-200-distilled-600M": dict(
+        model_type="m2m_100", vocab_size=256206, d_model=1024,
+        encoder_layers=12, decoder_layers=12, encoder_ffn_dim=4096,
+        decoder_ffn_dim=4096, encoder_attention_heads=16,
+        decoder_attention_heads=16, max_position_embeddings=1024,
+        scale_embedding=True, activation_function="relu", pad_token_id=1,
+        bos_token_id=0, eos_token_id=2, decoder_start_token_id=2,
+    ),
+    "facebook/nllb-200-distilled-1.3B": dict(
+        model_type="m2m_100", vocab_size=256206, d_model=1024,
+        encoder_layers=24, decoder_layers=24, encoder_ffn_dim=8192,
+        decoder_ffn_dim=8192, encoder_attention_heads=16,
+        decoder_attention_heads=16, max_position_embeddings=1024,
+        scale_embedding=True, activation_function="relu", pad_token_id=1,
+        bos_token_id=0, eos_token_id=2, decoder_start_token_id=2,
+    ),
+}
+
+
+def resolve_hf_config(model_name: str, cache_dir=None):
+    """AutoConfig for `model_name` without requiring a network: local HF
+    cache first, then the frozen `_OFFLINE_HF_CONFIGS` table for registry
+    architectures, then (unknown names only) a live hub fetch."""
+    import logging
+
+    from transformers import AutoConfig
+
+    try:
+        return AutoConfig.from_pretrained(
+            model_name, cache_dir=cache_dir, local_files_only=True
+        )
+    except Exception:
+        pass
+    known = _OFFLINE_HF_CONFIGS.get(model_name)
+    if known is not None:
+        logging.info(
+            "hf config %s: not hub-cached; using the built-in architecture "
+            "table (identical hyperparameters; pretrained weights still "
+            "need a warm cache)", model_name,
+        )
+        kwargs = dict(known)
+        return AutoConfig.for_model(kwargs.pop("model_type"), **kwargs)
+    return AutoConfig.from_pretrained(model_name, cache_dir=cache_dir)
+
+
 def _instantiate_hf(model_name, config, pooler_type, pretrained, cache_dir):
-    """Build the FlaxAutoModel with reference-matching pooling-head layout:
-    the tanh pooler head exists only for cls_pooler towers (reference passes
-    `add_pooling_layer=uses_transformer_pooler`, `hf_model.py:126`) so
-    converted checkpoints carry no orphan pooler weights."""
+    """Build the flax model for `config`, reference-matching:
+
+    - encoder-only architectures get the pooling-head layout the reference
+      uses (`add_pooling_layer=uses_transformer_pooler`, `hf_model.py:126`)
+      so converted checkpoints carry no orphan pooler weights;
+    - encoder-DECODER architectures (t5/mt5) keep only the encoder, exactly
+      as the reference's `self.transformer = self.transformer.encoder`
+      (`hf_model.py:129-137`) — via the Flax*EncoderModel classes;
+    - m2m_100 (NLLB) has no transformers-flax implementation at all: the
+      native `FlaxM2M100EncoderModule` (m2m100.py) fills that hole.
+    """
+    if config.model_type == "m2m_100":
+        from .m2m100 import FlaxM2M100EncoderModel
+
+        if pretrained:
+            return FlaxM2M100EncoderModel.from_pretrained(
+                model_name, cache_dir=cache_dir
+            )
+        return FlaxM2M100EncoderModel(config)
+    if getattr(config, "is_encoder_decoder", False):
+        from transformers import FlaxMT5EncoderModel, FlaxT5EncoderModel
+
+        cls = FlaxMT5EncoderModel if config.model_type == "mt5" else FlaxT5EncoderModel
+        if pretrained:
+            return cls.from_pretrained(model_name, cache_dir=cache_dir)
+        # _do_init=False: construction stays weight-free (HFTextEncoder only
+        # wraps .module; eager init would materialize mt5-xl's 1.2B encoder
+        # params just to throw them away)
+        return cls(config, _do_init=False)
+
     from transformers import FlaxAutoModel
 
     kwargs = {"add_pooling_layer": pooler_type == "cls_pooler"}
@@ -169,12 +277,12 @@ def _instantiate_hf(model_name, config, pooler_type, pretrained, cache_dir):
             return FlaxAutoModel.from_pretrained(
                 model_name, cache_dir=cache_dir, **kwargs
             )
-        return FlaxAutoModel.from_config(config, **kwargs)
+        return FlaxAutoModel.from_config(config, _do_init=False, **kwargs)
     except TypeError:
-        # architecture without a pooling-layer knob (t5/mt5/m2m)
+        # architecture without a pooling-layer knob
         if pretrained:
             return FlaxAutoModel.from_pretrained(model_name, cache_dir=cache_dir)
-        return FlaxAutoModel.from_config(config)
+        return FlaxAutoModel.from_config(config, _do_init=False)
 
 
 def build_hf_text_tower(
@@ -185,18 +293,18 @@ def build_hf_text_tower(
     pretrained: bool = True,
     dtype=jnp.float32,
     cache_dir: Optional[str] = None,
+    output_tokens: bool = False,
 ):
     """Resolve an HF model name to (HFTextEncoder, pretrained_params|None).
 
     With `pretrained=True` the returned params must be overlaid onto the
     initialized variable tree (the factory does this via
     `load_hf_pretrained_text_params`); the module itself is weight-free.
-    Requires the model to be hub-cached or a local directory (zero-egress
-    environments must pre-download).
+    Architecture configs resolve offline for every registry name
+    (`resolve_hf_config`); pretrained WEIGHTS require the model to be
+    hub-cached or a local directory (zero-egress hosts must pre-download).
     """
-    from transformers import AutoConfig
-
-    config = AutoConfig.from_pretrained(model_name, cache_dir=cache_dir)
+    config = resolve_hf_config(model_name, cache_dir=cache_dir)
     if pooler_type is None:
         pooler_type = ARCH_DICT.get(config.model_type, {}).get("pooler", "mean_pooler")
 
@@ -208,6 +316,7 @@ def build_hf_text_tower(
         output_dim=output_dim,
         pooler_type=pooler_type,
         proj_type=proj_type,
+        output_tokens=output_tokens,
         dtype=dtype,
     )
     return tower, hf_params

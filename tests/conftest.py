@@ -96,6 +96,9 @@ _SLOW_TESTS = {
     # 50/30-step production-step overlays vs torch (one jit compile + loops)
     "test_fifty_step_production_step_param_group_overlay",
     "test_fifty_step_production_overlay_with_grad_clip",
+    # ~7 min of pure tracing over every registry config (fast canary subset
+    # stays in the fast profile as test_registry_config_abstract_init_fast)
+    "test_every_registry_config_abstract_inits",
 }
 _DIST_MODULES = {
     "test_step_distributed_semantics", "test_multihost", "test_mesh_specs",
@@ -111,6 +114,7 @@ _TORCH_MODULES = {
     "test_scheduler_parity", "test_tokenizer", "test_dinov2",
     "test_hf_text_tower", "test_siglip_tower", "test_swin",
     "test_convert_dispatch", "test_convert_external", "test_dino_workflow_e2e",
+    "test_m2m100",
 }
 
 

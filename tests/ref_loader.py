@@ -93,6 +93,28 @@ def _install_stubs():
             datasets.ImageFolder = object
             tv.datasets = datasets
 
+            # FUNCTIONAL transforms (tests/tv_stub.py): enough to run the
+            # reference's image pipeline + full training CLI for the
+            # dress-rehearsal parity runs, not just satisfy imports
+            import tests.tv_stub as _tv_impl
+
+            transforms = _stub_module("torchvision.transforms")
+            for name in (
+                "InterpolationMode", "Compose", "ToTensor", "Normalize",
+                "Resize", "CenterCrop", "RandomResizedCrop", "Grayscale",
+                "ColorJitter",
+            ):
+                setattr(transforms, name, getattr(_tv_impl, name))
+            functional = _stub_module("torchvision.transforms.functional")
+            for name in (
+                "resize", "crop", "pad", "center_crop", "resized_crop",
+                "to_tensor", "normalize", "InterpolationMode",
+            ):
+                setattr(functional, name, getattr(_tv_impl, name))
+            transforms.functional = functional
+            transforms.__path__ = []
+            tv.transforms = transforms
+
 
 def _ensure_pkg():
     if "ref_open_clip" in sys.modules:
@@ -116,16 +138,18 @@ def _ensure_pkg():
     # lazy attribute resolution for `from open_clip import X` without running
     # the reference package __init__ (which needs torchvision)
     def _pkg_getattr(name):
+        # factory/transform resolve too now that the torchvision stub is
+        # functional (tests/tv_stub.py) — the full reference training CLI
+        # is drivable for the dress-rehearsal parity runs
         for mod_name in ("model", "tokenizer", "zero_shot_classifier",
-                         "zero_shot_metadata", "loss"):
-            mod = importlib.import_module(f"ref_open_clip.{mod_name}")
+                         "zero_shot_metadata", "loss", "factory", "transform",
+                         "my_metrics"):
+            try:
+                mod = importlib.import_module(f"ref_open_clip.{mod_name}")
+            except Exception:
+                continue
             if hasattr(mod, name):
                 return getattr(mod, name)
-        if name in ("get_tokenizer", "create_model_and_transforms", "create_model"):
-            def _unavailable(*a, **k):
-                raise RuntimeError(f"reference factory.{name} not loadable in tests")
-
-            return _unavailable
         raise AttributeError(name)
 
     pkg.__getattr__ = _pkg_getattr
