@@ -44,6 +44,24 @@ def load_feats(path: str):
 
 
 def save_feats(path: str, feats: np.ndarray, labels: np.ndarray, classes=None):
+    """Write a feature dump `load_feats` can read back at the SAME path.
+
+    A `.pt` path gets the reference's torch layout
+    (`extract_features_from_csv.py:63-89`: {feats, labels[, classes]}) —
+    interop both ways. Anything else goes through np.savez, which appends
+    `.npz` itself when missing (passing a `.pt` name to np.savez used to
+    strand the dump at `<name>.pt.npz` where load_feats can't find it)."""
+    if str(path).endswith(".pt"):
+        import torch
+
+        payload = {
+            "feats": torch.from_numpy(np.ascontiguousarray(feats, np.float32)),
+            "labels": torch.from_numpy(np.ascontiguousarray(labels, np.int64)),
+        }
+        if classes is not None:
+            payload["classes"] = list(classes)
+        torch.save(payload, path)
+        return
     payload = {"feats": feats.astype(np.float32), "labels": labels.astype(np.int64)}
     if classes is not None:
         payload["classes"] = np.asarray(classes)

@@ -255,9 +255,30 @@ def _build_vision_tower(
                 remat_policy=remat_policy,
                 name=name,
             )
+        # every timm name the 126-config registry uses resolves above; only
+        # names OUTSIDE the registry land here (the reference wraps any timm
+        # trunk, timm_model.py:23-198 — this rebuild scopes to native ports)
+        from .convnext import CONVNEXT_DIMS as _cn
+        from .eva import EVA01_DIMS as _e1
+        from .eva02 import EVA02_DIMS as _e2
+        from .fastvit import FASTVIT_DIMS as _fv
+        from .swin import SWIN_DIMS as _sw
+        from .vitamin import VITAMIN_DIMS as _vt
+
+        supported = sorted(
+            set(_e1) | set(_e2) | set(_cn) | set(_fv) | set(_sw) | set(_vt)
+            | set(TIMM_PLAIN_VIT)
+            | {"vit_base_mci_224", "vit_relpos_medium_patch16_cls_224"}
+        )
         raise NotImplementedError(
-            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native port "
-            "(reference: src/open_clip/timm_model.py)"
+            f"timm vision tower {cfg.timm_model_name!r} has no TPU-native "
+            "port. Natively-ported families: SigLIP ViTs "
+            "(vit_*_siglip_* via pattern), EVA01/EVA02, ConvNeXt, Swin, "
+            "ViTamin, FastViT/MCi, GAP/relpos ViTs — every timm name in the "
+            "126-config registry resolves. Explicitly supported names: "
+            f"{supported}. Arbitrary timm trunks (reference "
+            "timm_model.py:23-198) are out of scope; add a native port or "
+            "open the capability matrix in COMPONENTS.md."
         )
     if cfg.is_resnet:
         from .resnet import ModifiedResNet

@@ -1,14 +1,17 @@
-"""Experiment tracking: TensorBoard + MLflow.
+"""Experiment tracking: TensorBoard + MLflow + wandb.
 
 Reference behaviour (`src/open_clip_train/train.py:455-533`,
 `main.py:123-189,457-466`): TensorBoard scalars under train/* and val/*
 every `--log-every-n-steps`; MLflow is env-gated (MLFLOW_ENABLE /
 MLFLOW_TRACKING_URI / MLFLOW_EXPERIMENT) and receives params, per-epoch
-metrics (names sanitized — '@' is illegal), and artifacts.
+metrics (names sanitized — '@' is illegal), and artifacts. wandb is flag
+-gated (`--report-to wandb`, `--wandb-project-name`, `--wandb-notes` —
+vestigial in the fork, `main.py:26-29,584+`, but part of its flag surface).
 
-Both backends are optional: TensorBoard writes through tf.summary when
-tensorflow is importable, MLflow when mlflow is importable; otherwise the
-tracker degrades to a no-op with one warning.
+All backends are optional: TensorBoard writes through tf.summary when
+tensorflow is importable, MLflow when mlflow is importable, wandb when
+wandb is importable; otherwise the tracker degrades to a no-op with one
+warning.
 """
 
 from __future__ import annotations
@@ -26,6 +29,22 @@ class Tracker:
     def __init__(self, log_dir: str, args=None, enable_tb: bool = True):
         self._tb = None
         self._mlflow = None
+        self._wandb = None
+
+        if args is not None and "wandb" in (getattr(args, "report_to", "") or ""):
+            try:
+                import wandb
+
+                wandb.init(
+                    project=getattr(args, "wandb_project_name", "open-clip"),
+                    name=getattr(args, "name", None),
+                    notes=getattr(args, "wandb_notes", "") or None,
+                    config={k: str(v)[:500] for k, v in sorted(vars(args).items())},
+                    dir=log_dir,
+                )
+                self._wandb = wandb
+            except ImportError:
+                logging.warning("--report-to wandb set but wandb not importable")
 
         if enable_tb:
             try:
@@ -70,6 +89,8 @@ class Tracker:
             self._mlflow.log_metrics(
                 {sanitize_metric_name(k): v for k, v in named.items()}, step=step
             )
+        if self._wandb is not None:
+            self._wandb.log(dict(named, step=step), step=step)
 
     def log_artifact(self, path: str):
         if self._mlflow is not None and os.path.exists(path):
@@ -80,3 +101,5 @@ class Tracker:
             self._tb.close()
         if self._mlflow is not None:
             self._mlflow.end_run()
+        if self._wandb is not None:
+            self._wandb.finish()

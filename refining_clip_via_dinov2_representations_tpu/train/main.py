@@ -762,14 +762,20 @@ def _main(args):
     # a mid-epoch resume of epoch 0 skips this: the model is no longer the
     # untrained one, and the pre-train numbers already exist in the first
     # incarnation's logs
+    pretrain_results = []
     if start_epoch == 0 and resume_step_in_epoch == 0 and eval_rounds:
         variables_eval = {"params": state.params["model"]}
         if state.batch_stats is not None:
             variables_eval["batch_stats"] = state.batch_stats
         for i, key in enumerate(eval_rounds):
             try:
-                evaluate(model, variables_eval, data, 0, args, tokenizer,
-                         val_key=key, include_zero_shot=(i == 0), mesh=mesh)
+                m = evaluate(model, variables_eval, data, 0, args, tokenizer,
+                             val_key=key, include_zero_shot=(i == 0), mesh=mesh)
+                if m:  # recorded as the epoch-0 entry of
+                    # final_itm_results.json (`main.py:826-859`) — the
+                    # reference keeps the pre-train eval in the artifact but
+                    # excludes it from best-epoch tracking (`main.py:905+`)
+                    pretrain_results.append({"val_name": key, "metrics": m})
             except Exception as e:  # pre-train eval must not kill the run
                 logging.warning("pre-train eval on %s failed: %r", key, e)
 
@@ -781,8 +787,12 @@ def _main(args):
     loss_steps, all_results = _preload_artifacts(
         log_base, resumed_step=int(state.step), start_epoch=start_epoch
     ) if args.resume else ([], [])
+    if pretrain_results and not any(r.get("epoch") == 0 for r in all_results):
+        all_results.insert(0, {"epoch": 0, "results": pretrain_results})
     best = {"score": float("-inf"), "tie": float("-inf"), "epoch": -1}
     for prior in all_results:
+        if prior.get("epoch") == 0:
+            continue  # pre-train eval is an artifact row, never "best"
         score, tie = epoch_retrieval_score(prior["results"])
         if not math.isnan(score) and (score, tie) > (best["score"], best["tie"]):
             best = {"score": score, "tie": tie, "epoch": prior["epoch"]}
