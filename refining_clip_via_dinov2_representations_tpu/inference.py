@@ -165,6 +165,13 @@ class ClipInferenceEngine:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         else:
             self.variables = variables
+        if mesh is None:
+            # materialize the weight tree on device ONCE. A host/numpy tree
+            # (converted checkpoints arrive as numpy) would otherwise be
+            # re-transferred on EVERY jitted call — measured 5 s/request for
+            # fp32 ViT-B-32 over the tunneled chip vs milliseconds resident.
+            # (The mesh path device_puts with explicit shardings below.)
+            self.variables = jax.device_put(self.variables)
 
         # Multi-device serving: a (data, model) mesh shards the weights by
         # the Megatron TP rules (model axis — ViT-g-scale checkpoints that
