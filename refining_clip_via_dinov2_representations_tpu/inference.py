@@ -166,12 +166,16 @@ class ClipInferenceEngine:
         else:
             self.variables = variables
         if mesh is None:
-            # materialize the weight tree on device ONCE. A host/numpy tree
-            # (converted checkpoints arrive as numpy) would otherwise be
-            # re-transferred on EVERY jitted call — measured 5 s/request for
-            # fp32 ViT-B-32 over the tunneled chip vs milliseconds resident.
+            # materialize the weight tree on the ACCELERATOR once. The init
+            # path deliberately builds params on the host CPU backend, and a
+            # host-resident tree (numpy from converted checkpoints, or CPU
+            # jax arrays from init) is re-transferred on EVERY jitted call —
+            # measured 5 s/request for fp32 ViT-B-32 over the tunneled chip
+            # vs milliseconds resident. The device must be EXPLICIT:
+            # device_put(tree) with device=None keeps existing placement, so
+            # it would leave CPU-resident init arrays exactly where they are.
             # (The mesh path device_puts with explicit shardings below.)
-            self.variables = jax.device_put(self.variables)
+            self.variables = jax.device_put(self.variables, jax.devices()[0])
 
         # Multi-device serving: a (data, model) mesh shards the weights by
         # the Megatron TP rules (model axis — ViT-g-scale checkpoints that

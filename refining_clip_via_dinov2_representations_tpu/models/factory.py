@@ -399,10 +399,19 @@ def create_model(
     variables = None
     if init_params or checkpoint_path:
         ih, iw = to_2tuple(cfg.vision_cfg.image_size)
-        dummy_img = jnp.zeros((1, ih, iw, 3), compute_dtype)
-        dummy_txt = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
-        with jax.default_device(jax.local_devices(backend="cpu")[0] if _has_cpu() else None):
+        cpu = jax.local_devices(backend="cpu")[0] if _has_cpu() else None
+        with jax.default_device(cpu):
+            # EVERYTHING — dummies, rng, the eager flax init — must be
+            # created inside this block. Placement follows the inputs: a
+            # dummy created outside (default device = the accelerator) drags
+            # the whole UNJITTED init onto it op-by-op, which on a tunneled
+            # TPU costs one RTT per op (~minutes for a ViT-B; found live in
+            # round 5 as a 12-minute create_engine).
+            dummy_img = jnp.zeros((1, ih, iw, 3), compute_dtype)
+            dummy_txt = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
             init_rng = rng if rng is not None else jax.random.PRNGKey(0)
+            if cpu is not None and rng is not None:
+                init_rng = jax.device_put(init_rng, cpu)
             variables = model.init(init_rng, dummy_img, dummy_txt)
         if checkpoint_path:
             variables, _ = load_checkpoint(model, variables, checkpoint_path)
