@@ -382,11 +382,24 @@ class ClipInferenceEngine:
         return scale * img_f @ txt_f.T + bias
 
     def warmup(self) -> None:
-        """AOT-compile every bucket for both towers (no device steps wasted
-        on the first request)."""
+        """Compile AND prime the jit dispatch cache for every bucket of both
+        towers, so the first real request pays zero compile latency.
+
+        Runs one zero-filled batch per (tower, bucket) through the jitted
+        callables — `.lower().compile()` would avoid the execution but its
+        result is a SEPARATE executable that `jax.jit`'s dispatch cache never
+        sees, so the first request would still stall on a (persistent-cache)
+        compile round-trip; one tiny real execution per bucket is cheaper
+        than that stall."""
+        h, w = self.image_size
         for b in self.buckets:
-            self._encode_image.lower(self.variables, self._image_spec(b)).compile()
-            self._encode_text.lower(self.variables, self._text_spec(b)).compile()
+            img = jnp.zeros((b, h, w, 3), jnp.float32)
+            txt = jnp.zeros((b, self.context_length), jnp.int32)
+            if self.mesh is not None:
+                img = jax.device_put(img, self._batch_sharding)
+                txt = jax.device_put(txt, self._batch_sharding)
+            self._encode_image(self.variables, img).block_until_ready()
+            self._encode_text(self.variables, txt).block_until_ready()
 
     # -- deployable artifact -------------------------------------------------
 

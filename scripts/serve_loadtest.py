@@ -115,6 +115,14 @@ def main(argv=None):
     print(f"backend={backend} model={a.model} buckets={engine.buckets}",
           file=sys.stderr, flush=True)
     engine.warmup()  # compile every bucket before timing anything
+    # prime a dispatch from a non-main thread before the timed points: the
+    # tunneled backend intermittently hard-aborts on a fresh thread's first
+    # dispatch; do it here where a crash wastes seconds, not a full table
+    th = threading.Thread(
+        target=lambda: engine.encode_text(
+            __import__("numpy").asarray(tokenizer(["warm"]), dtype="int32"))
+    )
+    th.start(); th.join()
 
     rows = []
     print("| window_ms | clients | p50 ms | p95 ms | p99 ms | req/s |")
