@@ -396,8 +396,12 @@ class ClipInferenceEngine:
             img = jnp.zeros((b, h, w, 3), jnp.float32)
             txt = jnp.zeros((b, self.context_length), jnp.int32)
             if self.mesh is not None:
-                img = jax.device_put(img, self._batch_sharding)
-                txt = jax.device_put(txt, self._batch_sharding)
+                # same placement as the real request path: plain device_put
+                # onto a mesh with non-addressable devices raises multi-host
+                from .parallel.mesh import put_full_batch
+
+                img = put_full_batch(img, self._batch_sharding)
+                txt = put_full_batch(txt, self._batch_sharding)
             self._encode_image(self.variables, img).block_until_ready()
             self._encode_text(self.variables, txt).block_until_ready()
 
@@ -500,6 +504,8 @@ class ClipInferenceEngine:
                 "spec": spec,
                 "dtype": dtype_name,
             })
+        import uuid
+
         manifest = {
             "mesh_axes": {str(k): int(v) for k, v in self.mesh.shape.items()},
             "batch_spec": [
@@ -507,6 +513,12 @@ class ClipInferenceEngine:
                 for s in tuple(self._batch_sharding.spec)
             ],
             "leaves": leaves_meta,
+            # unique per export: the params cache keys on this, so a
+            # re-export to the same dir invalidates even on filesystems
+            # with coarse mtime (NFS/GCS-fuse — the shared-FS multi-host
+            # artifact home) where same-shape params.npz is byte-count
+            # identical and mtime alone can miss
+            "export_id": uuid.uuid4().hex,
         }
         written["params"] = os.path.join(out_dir, "params.npz")
         written["manifest"] = os.path.join(out_dir, "sharding_manifest.json")
@@ -574,10 +586,17 @@ _SHARDED_PARAMS_CACHE: Dict[Any, Any] = {}
 
 
 def _artifact_freshness(out_dir: str):
+    import json
+
     token = []
     for name in ("sharding_manifest.json", "params.npz"):
         st = os.stat(os.path.join(out_dir, name))
         token.append((name, st.st_mtime_ns, st.st_size))
+    # export_id is unique per export() call — catches a re-export that
+    # mtime+size can miss (same-shape params.npz on a coarse-mtime shared
+    # FS). Older artifacts without one fall back to mtime+size alone.
+    with open(os.path.join(out_dir, "sharding_manifest.json")) as f:
+        token.append(("export_id", json.load(f).get("export_id")))
     return tuple(token)
 
 

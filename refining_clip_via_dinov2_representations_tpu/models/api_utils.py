@@ -189,11 +189,15 @@ def trace_model(model, variables, batch_size: int = 256, device=None,
 
     ih, iw = to_2tuple(model.vision_cfg.image_size)
     ctx = model.text_cfg.context_length
-    # materialize on device ONCE, unconditionally (device=None places on the
-    # default device) — a host/numpy pytree left as-is would re-transfer the
-    # whole weight tree on every call, the exact regression trace_model exists
-    # to avoid
-    variables = jax.device_put(variables, device)
+    # materialize on device ONCE, unconditionally. device=None must resolve
+    # to the default accelerator EXPLICITLY: device_put(tree, None) keeps
+    # existing placement, and create_model deliberately inits on the CPU
+    # backend — leaving those committed-to-CPU arrays in place would
+    # re-transfer the whole weight tree on every call (or reject the inputs),
+    # the exact regression trace_model exists to avoid
+    variables = jax.device_put(
+        variables, jax.devices()[0] if device is None else device
+    )
     img_s = jax.ShapeDtypeStruct((batch_size, ih, iw, 3), image_dtype)
     txt_s = jax.ShapeDtypeStruct((batch_size, ctx), jnp.int32)
     vars_s = jax.tree.map(

@@ -258,7 +258,12 @@ def _instantiate_hf(model_name, config, pooler_type, pretrained, cache_dir):
                 model_name, cache_dir=cache_dir
             )
         return FlaxM2M100EncoderModel(config)
-    if getattr(config, "is_encoder_decoder", False):
+    if getattr(config, "is_encoder_decoder", False) and config.model_type in (
+        "t5", "mt5",
+    ):
+        # only the t5 family gets the T5-encoder classes; other
+        # encoder-decoder architectures (bart, marian, ...) fall through to
+        # FlaxAutoModel, which resolves their own correct class
         from transformers import FlaxMT5EncoderModel, FlaxT5EncoderModel
 
         cls = FlaxMT5EncoderModel if config.model_type == "mt5" else FlaxT5EncoderModel

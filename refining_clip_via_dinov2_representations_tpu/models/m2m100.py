@@ -92,6 +92,14 @@ class FlaxM2M100EncoderModule(nn.Module):
         )
         x = x + pos_table[position_ids_from_input_ids(input_ids, pad)]
 
+        # torch M2M100Encoder applies p=cfg.dropout after embed+positions,
+        # on every sublayer output, and (attention_dropout) on attn probs;
+        # activation_dropout after fc1. All no-ops at eval / rate 0.
+        drop = nn.Dropout(getattr(cfg, "dropout", 0.1))
+        attn_drop = nn.Dropout(getattr(cfg, "attention_dropout", 0.1))
+        act_drop = nn.Dropout(getattr(cfg, "activation_dropout", 0.0))
+        x = drop(x, deterministic=deterministic)
+
         # additive mask [B, 1, 1, L]: 0 keep / big-negative drop
         neg = jnp.finfo(self.dtype).min
         add_mask = (1.0 - attention_mask[:, None, None, :].astype(self.dtype)) * neg
@@ -111,14 +119,18 @@ class FlaxM2M100EncoderModule(nn.Module):
 
             attn = jnp.einsum("bhqd,bhkd->bhqk", split(q), split(k))
             attn = nn.softmax(attn + add_mask, axis=-1)
+            attn = attn_drop(attn, deterministic=deterministic)
             o = jnp.einsum("bhqk,bhkd->bhqd", attn, split(v))
             o = o.transpose(0, 2, 1, 3).reshape(x.shape)
-            x = residual + nn.Dense(d, dtype=self.dtype, name=f"{layer}_out_proj")(o)
+            o = nn.Dense(d, dtype=self.dtype, name=f"{layer}_out_proj")(o)
+            x = residual + drop(o, deterministic=deterministic)
 
             residual = x
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=f"{layer}_final_layer_norm")(x)
             h = act(nn.Dense(cfg.encoder_ffn_dim, dtype=self.dtype, name=f"{layer}_fc1")(h))
-            x = residual + nn.Dense(d, dtype=self.dtype, name=f"{layer}_fc2")(h)
+            h = act_drop(h, deterministic=deterministic)
+            h = nn.Dense(d, dtype=self.dtype, name=f"{layer}_fc2")(h)
+            x = residual + drop(h, deterministic=deterministic)
 
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x)
         return _Output(x)

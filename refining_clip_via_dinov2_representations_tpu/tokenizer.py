@@ -631,7 +631,15 @@ class SigLipTokenizer:
         logical = None if os.path.exists(tokenizer_name) else self._logical_name(
             tokenizer_name
         )
-        gemma = "gemma" in (logical or tokenizer_name).lower()
+        # gemma-convention dispatch: for a local path, only the FILE NAME
+        # decides ("/data/gemma_exp/c4_en.model" is a T5-framing vocab that
+        # merely lives under a gemma-named directory); for names, the
+        # resolved logical name or the model name decides
+        gemma_probe = (
+            os.path.basename(tokenizer_name.rstrip("/"))
+            if os.path.exists(tokenizer_name) else (logical or tokenizer_name)
+        )
+        gemma = "gemma" in gemma_probe.lower()
 
         # 1. explicit local artifact
         if os.path.exists(tokenizer_name):
@@ -672,12 +680,18 @@ class SigLipTokenizer:
                     self.context_length = context_length
                     return
 
-        # 3. local HF cache of a public model with the identical vocab
+        # 3. local HF cache of a public model with the identical vocab.
+        # $REFINING_CLIP_HF_CACHE overrides the cache location at CALL time
+        # (transformers bakes TRANSFORMERS_CACHE/HF_HOME into constants at
+        # import, so env changes after import don't reach from_pretrained —
+        # tests point this at an empty dir to make negative cases hermetic).
         try:
             from transformers import AutoTokenizer
 
+            cache_override = os.environ.get("REFINING_CLIP_HF_CACHE") or None
             tok = AutoTokenizer.from_pretrained(
-                self.HF_CACHE_EQUIVALENTS[logical], local_files_only=True
+                self.HF_CACHE_EQUIVALENTS[logical], local_files_only=True,
+                cache_dir=cache_override,
             )
             tok.pad_token_id = 0 if gemma else 1
             tok.eos_token_id = 1

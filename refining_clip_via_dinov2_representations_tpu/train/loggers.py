@@ -31,7 +31,13 @@ class Tracker:
         self._mlflow = None
         self._wandb = None
 
-        if args is not None and "wandb" in (getattr(args, "report_to", "") or ""):
+        want_wandb = args is not None and "wandb" in (
+            getattr(args, "report_to", "") or ""
+        )
+        # process-0 gate: on a multi-host run every process builds a Tracker,
+        # but only rank 0 should own the wandb run (the reference gates the
+        # same way via `is_master`, main.py:457-466)
+        if want_wandb and int(getattr(args, "rank", 0) or 0) == 0:
             try:
                 import wandb
 
@@ -43,8 +49,14 @@ class Tracker:
                     dir=log_dir,
                 )
                 self._wandb = wandb
-            except ImportError:
-                logging.warning("--report-to wandb set but wandb not importable")
+            except Exception:
+                # degrade to a no-op on ANY init failure (not importable,
+                # not logged in, network down) per the module contract —
+                # tracking must never take down a training run
+                logging.warning(
+                    "--report-to wandb set but wandb.init failed; continuing "
+                    "without wandb", exc_info=True,
+                )
 
         if enable_tb:
             try:
@@ -90,7 +102,13 @@ class Tracker:
                 {sanitize_metric_name(k): v for k, v in named.items()}, step=step
             )
         if self._wandb is not None:
-            self._wandb.log(dict(named, step=step), step=step)
+            # no `step=`: wandb drops rows whose step DECREASES, and this
+            # facade is called with global-step for train/* but epoch number
+            # for val/* (main.py evaluate path) — passing those as wandb
+            # steps would silently discard every val row after epoch 1. The
+            # reference logs the same way (`train.py:473`: 'step': step in
+            # the data dict); the caller's step rides as a plain field.
+            self._wandb.log(dict(named, step=step))
 
     def log_artifact(self, path: str):
         if self._mlflow is not None and os.path.exists(path):

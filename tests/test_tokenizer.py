@@ -140,7 +140,7 @@ def test_reduction_masks_respect_global_numpy_seed():
         assert np.array_equal(r1, r2), mask
 
 
-def test_siglip_tokenizer_unresolvable_names_raise_guidance(monkeypatch):
+def test_siglip_tokenizer_unresolvable_names_raise_guidance(monkeypatch, tmp_path):
     """Logical vocab names with no offline source fail with the full option
     list (local path / $REFINING_CLIP_VOCAB_DIR / HF cache / hf_tokenizer_name),
     not a T5 file-not-found crash."""
@@ -148,7 +148,13 @@ def test_siglip_tokenizer_unresolvable_names_raise_guidance(monkeypatch):
     from refining_clip_via_dinov2_representations_tpu.tokenizer import SigLipTokenizer
 
     monkeypatch.delenv("REFINING_CLIP_VOCAB_DIR", raising=False)
-    monkeypatch.setenv("HF_HUB_OFFLINE", "1")  # never consult a warm HF cache
+    # HF_HUB_OFFLINE only blocks the NETWORK — a warm cache still resolves
+    # local_files_only loads. Point the fallback's cache at an empty dir so
+    # the negative test holds on hosts with t5-base/mt5-base/gemma cached
+    # (REFINING_CLIP_HF_CACHE is read at call time; HF_HOME/TRANSFORMERS_CACHE
+    # are baked into transformers constants at import and can't be patched).
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("REFINING_CLIP_HF_CACHE", str(tmp_path / "hf_cache"))
     for name in ("mc4", "gemma"):
         with pytest.raises(FileNotFoundError, match="REFINING_CLIP_VOCAB_DIR"):
             SigLipTokenizer(name)
@@ -159,7 +165,7 @@ def test_siglip_tokenizer_unresolvable_names_raise_guidance(monkeypatch):
 SIGLIP_VOCAB_DIR = os.path.join(os.path.dirname(__file__), "assets", "siglip_vocab")
 
 
-def test_siglip_tokenizer_offline_resolution_chain(monkeypatch):
+def test_siglip_tokenizer_offline_resolution_chain(monkeypatch, tmp_path):
     """`SigLipTokenizer("ViT-B-16-SigLIP")` works fully offline (VERDICT r4
     missing #3): the committed miniature T5-style vocab resolves through
     $REFINING_CLIP_VOCAB_DIR for the model name, the logical name, and the
@@ -185,7 +191,9 @@ def test_siglip_tokenizer_offline_resolution_chain(monkeypatch):
     content = row[row != 1]
     assert row[len(content)] == 1
     # i18n model names route to the mc4 vocab, which the asset dir lacks
+    # (empty cache override keeps this negative on warm-HF-cache hosts)
     monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setenv("REFINING_CLIP_HF_CACHE", str(tmp_path / "hf_cache"))
     with pytest.raises(FileNotFoundError, match="mc4"):
         SigLipTokenizer("ViT-B-16-SigLIP-i18n", context_length=16)
 
