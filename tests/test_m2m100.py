@@ -126,3 +126,37 @@ def test_offline_hf_config_table_matches_cached_when_available():
             if key == "model_type":
                 continue
             assert getattr(cached, key) == val, (name, key, val)
+
+
+def test_dropout_active_in_training_mode():
+    """deterministic=False applies the config's dropout (the torch encoder
+    regularizes with p=cfg.dropout at embeddings and every sublayer output);
+    deterministic=True stays exact/reproducible."""
+    from transformers import M2M100Config
+
+    cfg = M2M100Config(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_ffn_dim=48, decoder_ffn_dim=48, encoder_attention_heads=4,
+        decoder_attention_heads=4, max_position_embeddings=32,
+        scale_embedding=True, activation_function="relu", pad_token_id=1,
+        dropout=0.5, attention_dropout=0.1,
+    )
+    ids = jnp.asarray(_ids(cfg))
+    mod = FlaxM2M100EncoderModule(config=cfg, dtype=jnp.float32)
+    params = mod.init(jax.random.PRNGKey(0), ids)
+
+    det = mod.apply(params, ids).last_hidden_state
+    det2 = mod.apply(params, ids).last_hidden_state
+    np.testing.assert_array_equal(np.asarray(det), np.asarray(det2))
+
+    tr1 = mod.apply(
+        params, ids, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(1)},
+    ).last_hidden_state
+    tr2 = mod.apply(
+        params, ids, deterministic=False,
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    ).last_hidden_state
+    # different dropout draws -> different activations; and both differ from eval
+    assert not np.allclose(np.asarray(tr1), np.asarray(tr2))
+    assert not np.allclose(np.asarray(tr1), np.asarray(det))
