@@ -411,7 +411,21 @@ def create_model(
             dummy_txt = jnp.zeros((1, cfg.text_cfg.context_length), jnp.int32)
             init_rng = rng if rng is not None else jax.random.PRNGKey(0)
             if cpu is not None and rng is not None:
-                init_rng = jax.device_put(init_rng, cpu)
+                # a caller-provided rng may live on the accelerator and
+                # would drag the init there — rebuild it on the default
+                # device via a host roundtrip. Do NOT device_put(rng, cpu):
+                # an explicitly-committed input COMMITS the whole init
+                # output tree to cpu:0, and a committed param tree later
+                # fights pjit's context mesh ("incompatible devices: state
+                # on [0], mesh [0..7]") in every multi-device train/eval.
+                if jnp.issubdtype(init_rng.dtype, jax.dtypes.prng_key):
+                    impl = jax.random.key_impl(init_rng)
+                    init_rng = jax.random.wrap_key_data(
+                        jnp.asarray(np.asarray(jax.random.key_data(init_rng))),
+                        impl=impl,
+                    )
+                else:
+                    init_rng = jnp.asarray(np.asarray(init_rng))
             variables = model.init(init_rng, dummy_img, dummy_txt)
         if checkpoint_path:
             variables, _ = load_checkpoint(model, variables, checkpoint_path)
