@@ -293,7 +293,16 @@ class ClipInferenceEngine:
             xd = put_full_batch(x, self._batch_sharding)
         else:
             xd = jnp.asarray(x)
-        out = np.asarray(fn(self.variables, xd))
+        out = fn(self.variables, xd)
+        if self.mesh is not None and jax.process_count() > 1:
+            # the output spans every process's devices — np.asarray on a
+            # cross-process array raises; gather the global value (every
+            # process fed the identical full batch, so every process gets
+            # the identical full result)
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
+        out = np.asarray(out)
         return out[:n]
 
     # -- public API ---------------------------------------------------------

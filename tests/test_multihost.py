@@ -347,6 +347,15 @@ engine = ClipInferenceEngine(
     model, variables, image_size=(16, 16), context_length=12,
     buckets=(4,), dtype=jnp.float32, mesh=mesh,
 )
+# warmup() on a cross-process mesh: regression for the round-5 fix — a
+# plain device_put onto a sharding with non-addressable devices raises;
+# warmup must stage its zero batches via put_full_batch like the request
+# path. Then one real request through the warmed path.
+engine.warmup()
+# the request path must return a host value on EVERY process (the engine
+# allgathers the cross-process result internally)
+_feats = engine.encode_image(np.zeros((2, 16, 16, 3), np.float32))
+assert _feats.shape == (2, 32), _feats.shape
 out_dir = os.environ["EXPORT_DIR"]
 written = engine.export(out_dir)
 # the barrier inside export() guarantees the artifact is complete here
